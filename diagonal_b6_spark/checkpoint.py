@@ -1,0 +1,163 @@
+"""Iceberg-style checkpointing: partitioned Parquet + an atomic JSON
+manifest with per-partition lineage and counters.
+
+The reference's analogue is `materialise` (persist collection +
+provenance expression, fn materialise.go:37-176) and overlay worlds
+(snapshot semantics, b6/ingest/worlds.go).  At sandbox scale we own the
+table layout; on a cluster the same contract maps onto an Iceberg catalog
+(snapshot id = Iceberg snapshot, partition entries = data files,
+counters = snapshot summary).
+
+Resumability contract (BASELINE.json north_rule): a killed job reloads
+the manifest, skips partitions already marked complete, and recomputes
+only the missing ones.  Manifest commit is write-temp-then-rename
+(atomic on POSIX).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PartitionEntry:
+    key: str
+    path: str
+    rows: int
+    bytes: int
+    wall_ms: float
+    status: str = "complete"
+    recomputed: bool = True  # False when a resume skipped this partition
+
+
+@dataclass
+class Manifest:
+    root: str
+    snapshot_id: str = field(default_factory=lambda: uuid.uuid4().hex)
+    parent_id: str | None = None
+    created_at: float = field(default_factory=time.time)
+    provenance: str = ""
+    partitions: dict[str, dict] = field(default_factory=dict)
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def commit(self) -> None:
+        tmp = self.path + f".tmp.{uuid.uuid4().hex}"
+        payload = {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "created_at": self.created_at,
+            "provenance": self.provenance,
+            "partitions": self.partitions,
+        }
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic commit
+
+    @classmethod
+    def load(cls, root: str) -> "Manifest | None":
+        p = os.path.join(root, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            data = json.load(f)
+        m = cls(root=root)
+        m.snapshot_id = data["snapshot_id"]
+        m.parent_id = data.get("parent_id")
+        m.created_at = data.get("created_at", 0.0)
+        m.provenance = data.get("provenance", "")
+        m.partitions = data.get("partitions", {})
+        return m
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def checkpointed_run(
+    spark: SparkSession,
+    root: str,
+    partition_keys: list[str],
+    compute: Callable[[str], DataFrame],
+    provenance: str = "",
+) -> tuple[DataFrame, Manifest]:
+    """Run `compute(key)` for each partition key not already complete in the
+    manifest; write each result to `<root>/part=<key>/`, record lineage
+    counters, and return (full result DataFrame, manifest).
+
+    Completed partitions are NOT recomputed (their parquet is reused and
+    their entry keeps recomputed=False) -- the kill/resume contract.
+    """
+    prior = Manifest.load(root)
+    manifest = Manifest(root=root, provenance=provenance)
+    if prior is not None:
+        manifest.parent_id = prior.snapshot_id
+    done: dict[str, dict] = dict(prior.partitions) if prior else {}
+
+    for key in partition_keys:
+        part_dir = os.path.join(root, f"part={key}")
+        if key in done and done[key].get("status") == "complete" and os.path.isdir(part_dir):
+            entry = dict(done[key])
+            entry["recomputed"] = False
+            manifest.partitions[key] = entry
+            continue
+        t0 = time.time()
+        df = compute(key)
+        df.write.mode("overwrite").parquet(part_dir)
+        rows = spark.read.parquet(part_dir).count()
+        manifest.partitions[key] = {
+            "key": key,
+            "path": part_dir,
+            "rows": rows,
+            "bytes": _dir_bytes(part_dir),
+            "wall_ms": (time.time() - t0) * 1000.0,
+            "status": "complete",
+            "recomputed": True,
+        }
+        manifest.commit()  # durable after every partition -> kill-safe
+    manifest.commit()
+    paths = [manifest.partitions[k]["path"] for k in partition_keys]
+    result = spark.read.parquet(*paths) if paths else spark.createDataFrame([], "dummy int")
+    return result, manifest
+
+
+def write_snapshot(df: DataFrame, root: str, partition_col: str, provenance: str = "") -> Manifest:
+    """One-shot partitioned snapshot write with per-partition counters
+    (used when the whole stage runs as a single Spark job; the
+    per-partition counters come from a groupBy over the written data)."""
+    prior = Manifest.load(root)
+    m = Manifest(root=root, provenance=provenance, parent_id=prior.snapshot_id if prior else None)
+    t0 = time.time()
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(os.path.join(root, "data"))
+    spark = df.sparkSession
+    written = spark.read.parquet(os.path.join(root, "data"))
+    counts = {str(r[0]): r[1] for r in written.groupBy(partition_col).count().collect()}
+    wall = (time.time() - t0) * 1000.0
+    for k, n in counts.items():
+        pdir = os.path.join(root, "data", f"{partition_col}={k}")
+        m.partitions[k] = {
+            "key": k,
+            "path": pdir,
+            "rows": n,
+            "bytes": _dir_bytes(pdir),
+            "wall_ms": wall / max(len(counts), 1),
+            "status": "complete",
+            "recomputed": True,
+        }
+    m.commit()
+    return m

@@ -1,0 +1,139 @@
+"""Cell-cover columns: the engine's spatial-index primitive.
+
+Reference semantics: every feature is posted under its <=level-16,
+<=5-cell S2 covering plus ancestors (b6/ingest/tokens.go:9-28,
+b6/search/spatial.go:10-32,85-113).  Here the index is a DataFrame
+column: points carry their level-16 cell id (one per row); polygons and
+polylines carry an exploded covering table.  All cell math runs in
+Arrow-batched pandas UDFs over packed arrays -- never per-row Python.
+
+Cell ids are stored as *signed* int64 with order preserved
+(cellmath.id_to_signed) so Parquet/Spark range predicates work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import cellmath as cm
+from ..kernels import geom
+
+
+@F.pandas_udf(T.LongType())
+def cell16_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    ids = cm.cell_id_from_latlng(lat.to_numpy(), lng.to_numpy(), cm.MAX_INDEX_LEVEL)
+    return pd.Series(cm.id_to_signed(ids))
+
+
+def cell_at_level_udf(level: int):
+    @F.pandas_udf(T.LongType())
+    def _udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        ids = cm.cell_id_from_latlng(lat.to_numpy(), lng.to_numpy(), level)
+        return pd.Series(cm.id_to_signed(ids))
+
+    return _udf
+
+
+def with_point_cells(df: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Point index columns: cell16 (exact posting) + bucket (join key at
+    BUCKET_LEVEL, the co-partitioning level for large-large joins)."""
+    return df.withColumn("cell16", cell16_udf(F.col(lat), F.col(lng))).withColumn(
+        "bucket", _ancestor_udf(F.col("cell16"), F.lit(cm.BUCKET_LEVEL))
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _ancestor_udf(cell_signed: pd.Series, level: pd.Series) -> pd.Series:
+    ids = cm.signed_to_id(cell_signed.to_numpy())
+    par = cm.parent(ids, level.to_numpy().astype(np.int64))
+    return pd.Series(cm.id_to_signed(par))
+
+
+def ancestor_at(cell_col, level: int):
+    return _ancestor_udf(cell_col, F.lit(level))
+
+
+_COVER_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("rmin", T.LongType()),
+            T.StructField("rmax", T.LongType()),
+            T.StructField("level", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _cover_one(xs: np.ndarray, ys: np.ndarray, ftype: str, max_cells: int, max_level: int):
+    if ftype == "point" or len(xs) == 1:
+        cells = cm.cell_id_from_latlng(ys[:1], xs[:1], max_level)
+    else:
+        cells = cm.covering_ring(xs, ys, max_cells=max_cells, max_level=max_level)
+    rmin = cm.id_to_signed(cm.range_min(cells))
+    rmax = cm.id_to_signed(cm.range_max(cells))
+    lvl = cm.level(cells)
+    signed = cm.id_to_signed(cells)
+    return [
+        {"cell": int(signed[k]), "rmin": int(rmin[k]), "rmax": int(rmax[k]), "level": int(lvl[k])}
+        for k in range(len(cells))
+    ]
+
+
+def covering_udf(max_cells: int = cm.MAX_COVERING_CELLS, max_level: int = cm.MAX_INDEX_LEVEL):
+    @F.pandas_udf(_COVER_SCHEMA)
+    def _udf(ftype: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for t, x, y in zip(ftype, xs, ys):
+            out.append(_cover_one(np.asarray(x), np.asarray(y), t, max_cells, max_level))
+        return pd.Series(out)
+
+    return _udf
+
+
+def feature_cover_index(
+    features: DataFrame,
+    max_cells: int = cm.MAX_COVERING_CELLS,
+    max_level: int = cm.MAX_INDEX_LEVEL,
+) -> DataFrame:
+    """Exploded covering index: one row per (feature, covering cell), with
+    the cell's descendant range [rmin, rmax] -- the Spark analogue of the
+    reference's s2:/a2: posting lists (b6/search/spatial.go:65-113)."""
+    cov = features.withColumn(
+        "cover", covering_udf(max_cells, max_level)(F.col("feature_type"), F.col("xs"), F.col("ys"))
+    )
+    return cov.select(
+        "feature_id",
+        "feature_type",
+        "tags",
+        "xs",
+        "ys",
+        "ring_offsets",
+        F.explode("cover").alias("c"),
+    ).select(
+        "feature_id",
+        "feature_type",
+        "tags",
+        "xs",
+        "ys",
+        "ring_offsets",
+        F.col("c.cell").alias("cell"),
+        F.col("c.rmin").alias("rmin"),
+        F.col("c.rmax").alias("rmax"),
+        F.col("c.level").alias("cell_level"),
+    )
+
+
+def with_tiles(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Web-mercator tile assignment columns at a zoom (b6/tiles.go:202-257)."""
+
+    @F.pandas_udf(T.LongType())
+    def _tile(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        xt, yt = geom.latlng_to_tile(lat_s.to_numpy(), lng_s.to_numpy(), zoom)
+        return pd.Series(geom.tile_to_packed(xt, yt, zoom))
+
+    return df.withColumn(f"tile_z{zoom}", _tile(F.col(lat), F.col(lng)))

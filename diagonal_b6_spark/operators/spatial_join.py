@@ -1,0 +1,178 @@
+"""Point-in-polygon containment joins (filter -> refine).
+
+The reference's spatial queries are two-phase: a coarse token
+(cell-cover) match against the inverted index, then an exact geometry
+re-check inside the iterator (b6/spatial.go:159-177, 420-507;
+`containing-areas` batches probe points by cell: fn features.go:61-105).
+Spark-first re-expression:
+
+  stage 1 (filter): join the point table against the polygon cover index
+          on cell containment (point.cell16 within cover-cell range).
+          * broadcast path: polygon cover index is small -> broadcast
+            range join (no shuffle of the big point side).
+          * bucketed path: both sides keyed by the level-BUCKET_LEVEL
+            ancestor -> co-partitioned equi-join + range filter; an
+            optional salt column splits dense buckets across reducers
+            (explicit skew handling per the north rule; AQE skew-join
+            stays on as the runtime backstop).
+  stage 2 (refine): winding-number/even-odd PIP over packed coordinate
+          arrays in an Arrow-batched mapInPandas kernel, vectorized per
+          polygon group within each batch.
+
+At 100 TB the point side never re-partitions for the broadcast path and
+shuffles exactly once (by bucket) for the bucketed path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import geom
+from . import cover as cover_ops
+
+# columns stage-2 needs from the polygon side
+_GEOM_COLS = ["feature_id", "xs", "ys", "ring_offsets"]
+
+
+def _refine_pip(
+    candidates: DataFrame, point_id: str, lat: str, lng: str, keep_cols: list[str]
+) -> DataFrame:
+    """Exact PIP refine over candidate pairs carrying polygon geometry."""
+    out_fields = [f"{point_id} string", f"{lat} double", f"{lng} double", "feature_id string"]
+    schema = ", ".join(out_fields)
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            # vectorize per polygon within the Arrow batch
+            for _, grp in pdf.groupby("feature_id", sort=False):
+                first = grp.iloc[0]
+                xs = np.asarray(first["xs"], dtype=np.float64)
+                ys = np.asarray(first["ys"], dtype=np.float64)
+                offs = np.asarray(first["ring_offsets"], dtype=np.int64)
+                inside = geom.points_in_polygon(
+                    grp[lng].to_numpy(), grp[lat].to_numpy(), xs, ys, offs
+                )
+                keep[grp.index.to_numpy()] = inside
+            res = pdf.loc[keep, [point_id, lat, lng, "feature_id"]]
+            if len(res):
+                yield res.reset_index(drop=True)
+
+    return candidates.select(point_id, lat, lng, *_GEOM_COLS).mapInPandas(refine, schema=schema)
+
+
+def containment_join_broadcast(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """PIP containment join, polygon side broadcast (the `containing-areas`
+    shape: N huge points x M small areas).  Returns (point_id, lat, lng,
+    feature_id) rows -- one per containment pair."""
+    if "cell16" not in points.columns:
+        points = cover_ops.with_point_cells(points, lat, lng)
+    cov = cover_ops.feature_cover_index(polygons.filter(F.col("feature_type") == "area"))
+    cand = points.join(
+        F.broadcast(cov),
+        (F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax")),
+        "inner",
+    )
+    return _refine_pip(cand, point_id, lat, lng, [])
+
+
+def containment_join_bucketed(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    lat: str = "lat",
+    lng: str = "lng",
+    salt: int = 8,
+) -> DataFrame:
+    """PIP containment join for the large-large case: co-partitioned
+    equi-join on the BUCKET_LEVEL cell ancestor, polygon cover cells
+    exploded/normalized to bucket keys, point side salted so a dense
+    bucket (the fixture's 250 m disk; a city-centre cell at 10^12 scale)
+    spreads over `salt` reducers.
+
+    Polygon-side rows replicate `salt` times (small side); point-side salt
+    is derived from a hash of the point id, so the join key is
+    (bucket, salt_id) -- explicit skew splitting per the north rule.
+    """
+    if "cell16" not in points.columns:
+        points = cover_ops.with_point_cells(points, lat, lng)
+    cov = cover_ops.feature_cover_index(polygons.filter(F.col("feature_type") == "area"))
+    # normalize polygon cover cells to bucket keys (explode coarse cells)
+    buckets = cov.withColumn(
+        "bucket_range",
+        _bucket_keys_udf(F.col("cell")),
+    ).select(*(_GEOM_COLS + ["rmin", "rmax"]), F.explode("bucket_range").alias("bucket"))
+    salted = buckets.crossJoin(F.broadcast(_salt_range(points.sparkSession, salt)))
+    pts = points.withColumn("salt_id", F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)))
+    cand = pts.join(
+        salted,
+        (pts["bucket"] == salted["bucket"]) & (pts["salt_id"] == salted["salt_id"]),
+        "inner",
+    ).filter((F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax")))
+    return _refine_pip(cand, point_id, lat, lng, [])
+
+
+def _salt_range(spark, salt: int) -> DataFrame:
+    return spark.range(salt).select(F.col("id").cast("int").alias("salt_id"))
+
+
+from pyspark.sql import types as T  # noqa: E402
+from ..kernels import cellmath as cm  # noqa: E402
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _bucket_keys_udf(cell_signed: pd.Series) -> pd.Series:
+    """Cover cell -> list of BUCKET_LEVEL bucket keys it overlaps."""
+    ids = cm.signed_to_id(cell_signed.to_numpy())
+    out = []
+    for cid in ids:
+        b, _ = cm.expand_to_bucket_level(np.array([cid], dtype=np.uint64), cm.BUCKET_LEVEL)
+        out.append([int(v) for v in cm.id_to_signed(b)])
+    return pd.Series(out)
+
+
+def distance_join(
+    points: DataFrame,
+    center_lat: float,
+    center_lng: float,
+    radius_m: float,
+    point_id: str = "image_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """`intersecting-cap` analogue (b6/spatial.go:203-371): points within
+    radius_m of a center.  Cell prefilter via the cap covering, exact
+    haversine refine in a pandas UDF."""
+    if "cell16" not in points.columns:
+        points = cover_ops.with_point_cells(points, lat, lng)
+    cap = cm.covering_cap(center_lat, center_lng, radius_m)
+    rmin = cm.id_to_signed(cm.range_min(cap)).tolist()
+    rmax = cm.id_to_signed(cm.range_max(cap)).tolist()
+    cond = None
+    for lo, hi in zip(rmin, rmax):
+        c = (F.col("cell16") >= F.lit(lo)) & (F.col("cell16") <= F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    pre = points.filter(cond)
+
+    @F.pandas_udf(T.DoubleType())
+    def dist_udf(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            geom.haversine_m(lat_s.to_numpy(), lng_s.to_numpy(), center_lat, center_lng)
+        )
+
+    return pre.withColumn("dist_m", dist_udf(F.col(lat), F.col(lng))).filter(
+        F.col("dist_m") <= radius_m
+    )

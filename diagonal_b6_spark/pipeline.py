@@ -1,0 +1,74 @@
+"""The flagship pipeline (SURVEY.md §7.1 step 2, BASELINE.json metric):
+
+    images -> cell cover -> spatial containment join (salted/bucketed or
+    broadcast) -> PIP refine -> tile assignment (z12, z16) -> checkpoint
+    with per-bucket lineage counters.
+
+This is the job bench.py times at two parallelism levels and the job the
+resume test kills halfway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as ckpt
+from . import fixtures
+from .operators import cover as cover_ops
+from .operators import spatial_join
+
+
+def tile_assignments(images: DataFrame, zooms: tuple[int, ...] = (12, 16)) -> DataFrame:
+    """(image_id, zoom, tile_x, tile_y) rows for each requested zoom --
+    the raster-tile <-> vector join key side (b6/tiles.go:259-322)."""
+    out = None
+    for z in zooms:
+        with_t = cover_ops.with_tiles(images, z)
+        part = with_t.select(
+            "image_id",
+            F.lit(z).alias("zoom"),
+            F.shiftright(F.col(f"tile_z{z}"), 29).bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_x"),
+            F.col(f"tile_z{z}").bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_y"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def containment_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    features: DataFrame | None = None,
+    strategy: str = "broadcast",
+    salt: int = 8,
+) -> DataFrame:
+    """images x areas containment pairs (the BASELINE.json join)."""
+    feats = features if features is not None else fixtures.features_table(spark)
+    pts = cover_ops.with_point_cells(images)
+    if strategy == "broadcast":
+        return spatial_join.containment_join_broadcast(pts, feats)
+    return spatial_join.containment_join_bucketed(pts, feats, salt=salt)
+
+
+def run_flagship(
+    spark: SparkSession,
+    n_images: int,
+    checkpoint_root: str | None = None,
+    strategy: str = "broadcast",
+    zooms: tuple[int, ...] = (12, 16),
+) -> dict:
+    """Full run; returns counters. With checkpoint_root set, tile
+    assignments checkpoint per zoom-12 tile bucket with lineage."""
+    images = fixtures.images_table(spark, n_images)
+    pts = cover_ops.with_point_cells(images)
+    containment = containment_pipeline(spark, pts, strategy=strategy)
+    n_pairs = containment.count()
+    tiles = tile_assignments(pts, zooms)
+    if checkpoint_root:
+        m = ckpt.write_snapshot(
+            tiles, checkpoint_root, "zoom", provenance=f"tile_assignments(n={n_images})"
+        )
+        n_tiles = sum(p["rows"] for p in m.partitions.values())
+    else:
+        n_tiles = tiles.count()
+    return {"images": n_images, "containment_pairs": n_pairs, "tile_rows": n_tiles}

@@ -1,0 +1,74 @@
+"""Kill/resume contract (FIXTURES.md §5, BASELINE.json north_rule):
+delete half the checkpointed partitions, re-run, assert identical final
+output and zero recomputation for surviving partitions."""
+
+import os
+import shutil
+
+import pytest
+
+from diagonal_b6_spark import checkpoint as ckpt
+
+
+@pytest.fixture()
+def tmp_root(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _run(spark, root, keys, log):
+    def compute(key):
+        log.append(key)
+        base = spark.range(0, 100)
+        return base.selectExpr(f"id * {int(key) + 1} as v", f"'{key}' as k")
+
+    return ckpt.checkpointed_run(spark, root, keys, compute, provenance="test")
+
+
+def test_checkpointed_run_and_resume(spark, tmp_root):
+    keys = [str(k) for k in range(6)]
+    log1 = []
+    df1, m1 = _run(spark, tmp_root, keys, log1)
+    rows1 = sorted((r["k"], r["v"]) for r in df1.collect())
+    assert sorted(log1) == keys  # everything computed once
+    assert all(m1.partitions[k]["status"] == "complete" for k in keys)
+    assert all(m1.partitions[k]["recomputed"] for k in keys)
+    assert all(m1.partitions[k]["rows"] == 100 for k in keys)
+
+    # simulate a kill that lost partitions 0..2 (data + manifest entries)
+    m = ckpt.Manifest.load(tmp_root)
+    for k in keys[:3]:
+        shutil.rmtree(os.path.join(tmp_root, f"part={k}"))
+        del m.partitions[k]
+    m.commit()
+
+    log2 = []
+    df2, m2 = _run(spark, tmp_root, keys, log2)
+    rows2 = sorted((r["k"], r["v"]) for r in df2.collect())
+    assert rows2 == rows1  # identical final output
+    assert sorted(log2) == keys[:3]  # only the lost partitions recomputed
+    assert all(m2.partitions[k]["recomputed"] for k in keys[:3])
+    assert all(not m2.partitions[k]["recomputed"] for k in keys[3:])
+    assert m2.parent_id == m.snapshot_id  # lineage chain
+
+
+def test_manifest_atomic_commit(spark, tmp_root):
+    keys = ["7"]
+    df, m = _run(spark, tmp_root, keys, [])
+    # no stray tmp files after commit
+    leftovers = [f for f in os.listdir(tmp_root) if ".tmp." in f]
+    assert leftovers == []
+    loaded = ckpt.Manifest.load(tmp_root)
+    assert loaded.snapshot_id == m.snapshot_id
+    assert loaded.partitions["7"]["rows"] == 100
+
+
+def test_write_snapshot_counters(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    df = spark.range(0, 1000).selectExpr("id", "cast(id % 4 as int) as zoom")
+    m = ckpt.write_snapshot(df, root, "zoom", provenance="snap-test")
+    assert sum(p["rows"] for p in m.partitions.values()) == 1000
+    assert set(m.partitions) == {"0", "1", "2", "3"}
+    assert all(p["bytes"] > 0 for p in m.partitions.values())
+    # second write chains lineage
+    m2 = ckpt.write_snapshot(df, root, "zoom")
+    assert m2.parent_id == m.snapshot_id

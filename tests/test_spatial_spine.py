@@ -1,0 +1,136 @@
+"""End-to-end spine tests (SURVEY.md §7.1 step 2): fixture generation,
+containment join (both strategies) vs brute-force numpy oracle, tile
+assignment, golden counts in the b6_test.py style (FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diagonal_b6_spark import fixtures
+from diagonal_b6_spark.kernels import geom, imagecodec as ic
+from diagonal_b6_spark.operators import cover as cover_ops
+from diagonal_b6_spark.operators import spatial_join
+from diagonal_b6_spark.pipeline import tile_assignments
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    df = fixtures.images_table(spark, N, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    return fixtures.features_table(spark)
+
+
+@pytest.fixture(scope="module")
+def images_pd(images):
+    return images.select("image_id", "lat", "lng", "fmt", "w", "h", "bytes", "caption").toPandas()
+
+
+def brute_force_containment(images_pd, feature_rows):
+    pairs = set()
+    for f in feature_rows:
+        if f["feature_type"] != "area":
+            continue
+        inside = geom.points_in_polygon(
+            images_pd["lng"].to_numpy(),
+            images_pd["lat"].to_numpy(),
+            np.array(f["xs"]),
+            np.array(f["ys"]),
+            np.array(f["ring_offsets"]),
+        )
+        for img in images_pd.loc[inside, "image_id"]:
+            pairs.add((img, f["feature_id"]))
+    return pairs
+
+
+def test_images_table_deterministic_and_decodable(images_pd):
+    assert len(images_pd) == N
+    assert images_pd["image_id"].is_unique
+    # per-row invariant: decoded pixels allclose / PSNR>=40, captions match formula
+    sample = images_pd.sample(40, random_state=1)
+    for _, r in sample.iterrows():
+        i = int(r["image_id"][3:])
+        expect = ic.pix(i, r["w"], r["h"])
+        got = ic.decode(bytes(r["bytes"]), r["fmt"])
+        if r["fmt"] == "lossy":
+            assert ic.psnr(expect, got) >= 40.0
+        else:
+            assert (got == expect).all()
+        assert r["caption"] == f"caption for img{i:012d}: {fixtures.ADJ[i % 7]} {fixtures.NOUN[i % 11]}"
+
+
+def test_dense_cluster_present(images_pd):
+    d = geom.haversine_m(
+        images_pd["lat"].to_numpy(), images_pd["lng"].to_numpy(), fixtures.DENSE_LAT, fixtures.DENSE_LNG
+    )
+    assert (d <= fixtures.DENSE_R_M + 1).sum() >= N // 100  # 1% in the dense disk
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "bucketed"])
+def test_containment_join_matches_bruteforce(spark, images, feats, images_pd, strategy):
+    pts = cover_ops.with_point_cells(images)
+    if strategy == "broadcast":
+        result = spatial_join.containment_join_broadcast(pts, feats)
+    else:
+        result = spatial_join.containment_join_bucketed(pts, feats, salt=4)
+    got = {(r["image_id"], r["feature_id"]) for r in result.collect()}
+    want = brute_force_containment(images_pd, fixtures.feature_rows())
+    assert got == want, (
+        f"missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]} "
+        f"(|want|={len(want)}, |got|={len(got)})"
+    )
+    assert len(want) > 0  # the fixture must actually exercise the join
+
+
+def test_poi_golden_counts(spark, feats):
+    """FIXTURES.md §3 expected_counts: points-in-square=10, hole-solid=5."""
+    pois = feats.filter(feats.feature_type == "point").select(
+        feats.feature_id.alias("image_id"),
+        feats.ys[0].alias("lat"),
+        feats.xs[0].alias("lng"),
+    )
+    pts = cover_ops.with_point_cells(pois)
+    res = spatial_join.containment_join_broadcast(pts, feats).toPandas()
+    per_area = res.groupby("feature_id")["image_id"].count().to_dict()
+    assert per_area.get("area/test/1", 0) == 10  # inside square
+    assert per_area.get("area/test/2", 0) == 5  # hole's solid part
+    assert len(res) == 15  # 5 POIs outside all areas
+
+
+def test_distance_join_cap(spark, images, images_pd):
+    res = spatial_join.distance_join(images, 51.535, -0.125, 300.0)
+    got = set(r["image_id"] for r in res.select("image_id").collect())
+    d = geom.haversine_m(
+        images_pd["lat"].to_numpy(), images_pd["lng"].to_numpy(), 51.535, -0.125
+    )
+    want = set(images_pd.loc[d <= 300.0, "image_id"])
+    assert got == want and len(want) > 0
+
+
+def test_tile_assignments_match_oracle(spark, images, images_pd):
+    res = tile_assignments(images, zooms=(12, 16)).toPandas()
+    assert len(res) == 2 * N
+    for z in (12, 16):
+        sub = res[res["zoom"] == z].set_index("image_id")
+        xt, yt = geom.latlng_to_tile(images_pd["lat"].to_numpy(), images_pd["lng"].to_numpy(), z)
+        for k, img in enumerate(images_pd["image_id"]):
+            assert sub.loc[img, "tile_x"] == xt[k]
+            assert sub.loc[img, "tile_y"] == yt[k]
+
+
+def test_antimeridian_containment(spark, feats):
+    probe = spark.createDataFrame(
+        [("p_east", 0.0, 179.9995), ("p_west", 0.0, -179.9995), ("p_out", 0.0, 178.0)],
+        "image_id string, lat double, lng double",
+    )
+    res = spatial_join.containment_join_broadcast(
+        cover_ops.with_point_cells(probe), feats
+    ).toPandas()
+    hits = set(res["image_id"])
+    assert hits == {"p_east", "p_west"}
