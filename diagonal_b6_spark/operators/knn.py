@@ -1,0 +1,139 @@
+"""kNN nearest-feature search (reference: `closest`/`closest-distance`,
+fn graph.go:402-446; geometric variant = cell-ring expansion join +
+per-probe top-k ordering, SURVEY.md §2.5/§7.1 step 4).
+
+Two implementations:
+
+- ``knn_bruteforce``: probes x points cross join (probe side broadcast)
+  + per-probe ``row_number`` window.  Exact; the oracle-checkable baseline.
+  Scales as O(P*N) -- fine when P is small (the b6 shape: a handful of
+  probe features against the index).
+
+- ``knn_grid``: candidate generation by grid-cell ring expansion --
+  each point keyed by a lat/lng grid cell, probes join their cell plus
+  the 8 neighbors (expanding rings until k candidates found), then the
+  same window top-k.  One equi-join shuffle instead of a cross join;
+  the scale path for large probe sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import geom
+
+
+def _haversine_col(lat1, lng1, lat2, lng2):
+    """Haversine as a JVM-side column expression (whole-stage codegen)."""
+    rlat1, rlng1 = F.radians(lat1), F.radians(lng1)
+    rlat2, rlng2 = F.radians(lat2), F.radians(lng2)
+    a = F.pow(F.sin((rlat2 - rlat1) / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
+        F.sin((rlng2 - rlng1) / 2), 2
+    )
+    return 2 * F.lit(geom.EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def knn_bruteforce(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    point_id: str = "image_id",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """(probe_id, rank, point_id, dist_m): k nearest points per probe.
+    Deterministic tiebreak by point id (the reference returns
+    FeatureID-ordered results on ties, b6/world.go:401-411)."""
+    joined = points.alias("pt").join(
+        F.broadcast(probes.alias("pr")), F.lit(True), "cross"
+    )
+    with_dist = joined.select(
+        F.col(f"pr.{probe_id}").alias(probe_id),
+        F.col(f"pt.{point_id}").alias(point_id),
+        _haversine_col(
+            F.col("pr.lat"), F.col("pr.lng"), F.col("pt.lat"), F.col("pt.lng")
+        ).alias("dist_m"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+    return (
+        with_dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "rank", point_id, "dist_m")
+    )
+
+
+def knn_grid(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    cell_deg: float = 0.01,
+    max_rings: int = 4,
+    point_id: str = "image_id",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Grid-bucketed kNN: candidates from expanding cell rings, exact
+    top-k by haversine.  Ring r covers all cells within Chebyshev
+    distance r of the probe's cell; a probe's result is final once its
+    k-th neighbor is nearer than the guaranteed-covered radius
+    (r * cell_deg in latitude degrees), mirroring the reference's
+    bounded-budget search (fn graph.go:409-412)."""
+    gx = F.floor(F.col("lng") / cell_deg).cast("long")
+    gy = F.floor(F.col("lat") / cell_deg).cast("long")
+    pts = points.withColumn("gx", gx).withColumn("gy", gy)
+
+    result = None
+    remaining = probes
+    for ring in range(1, max_rings + 1):
+        if result is not None and remaining.isEmpty():
+            break
+        pr = remaining.withColumn("gx", gx).withColumn("gy", gy)
+        # neighbor offsets within the ring (broadcast tiny table)
+        offs = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
+        off_df = F.broadcast(
+            pr.sparkSession.createDataFrame(offs, "dx long, dy long")
+        )
+        cand = (
+            pr.crossJoin(off_df)
+            .withColumn("ngx", F.col("gx") + F.col("dx"))
+            .withColumn("ngy", F.col("gy") + F.col("dy"))
+            .alias("pr")
+            .join(
+                pts.alias("pt"),
+                (F.col("pr.ngx") == F.col("pt.gx")) & (F.col("pr.ngy") == F.col("pt.gy")),
+            )
+            .select(
+                F.col(f"pr.{probe_id}").alias(probe_id),
+                F.col("pr.lat").alias("_plat"),
+                F.col("pr.lng").alias("_plng"),
+                F.col(f"pt.{point_id}").alias(point_id),
+                F.col("pt.lat").alias("_lat"),
+                F.col("pt.lng").alias("_lng"),
+            )
+        )
+        with_dist = cand.withColumn(
+            "dist_m",
+            _haversine_col(F.col("_plat"), F.col("_plng"), F.col("_lat"), F.col("_lng")),
+        )
+        w = Window.partitionBy(probe_id).orderBy(F.col("dist_m").asc(), F.col(point_id).asc())
+        topk = (
+            with_dist.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(probe_id, "rank", point_id, "dist_m")
+        )
+        # guaranteed-covered radius: ring cells fully cover `ring * cell_deg`
+        # degrees of latitude in every direction (longitude shrinks by
+        # cos(lat) so the latitude bound is the conservative one)
+        safe_m = ring * cell_deg * 111195.0 * 0.99
+        stats = topk.groupBy(probe_id).agg(
+            F.max("dist_m").alias("_kth"), F.count("*").alias("_n")
+        )
+        done_ids = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= safe_m)).select(probe_id)
+        if ring == max_rings:
+            done_ids = stats.select(probe_id)  # accept best effort at the cap
+        finished = topk.join(F.broadcast(done_ids), probe_id, "inner")
+        result = finished if result is None else result.unionByName(finished)
+        remaining = remaining.join(F.broadcast(done_ids), probe_id, "left_anti")
+    return result

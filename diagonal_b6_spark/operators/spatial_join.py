@@ -43,7 +43,8 @@ def _refine_pip(
     candidates: DataFrame, point_id: str, lat: str, lng: str, keep_cols: list[str]
 ) -> DataFrame:
     """Exact PIP refine over candidate pairs carrying polygon geometry."""
-    out_fields = [f"{point_id} string", f"{lat} double", f"{lng} double", "feature_id string"]
+    pid_type = candidates.schema[point_id].dataType.simpleString()
+    out_fields = [f"{point_id} {pid_type}", f"{lat} double", f"{lng} double", "feature_id string"]
     schema = ", ".join(out_fields)
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
