@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract + BASELINE.md measurement protocol).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`--scaling` mode (BASELINE.md protocol): run the flagship spatial-join +
+tile-assignment pipeline on the SAME synthetic image input at two
+parallelism levels (local[N] and local[4N], sandbox stand-in for N vs 4N
+executors per the north rule), 1 warm-up + 3 timed runs each, and report
+median images/sec at both plus scaling efficiency (T_N / T_4N) / 4.
+Each parallelism level runs in its own subprocess because a JVM's
+local[K] master is fixed at SparkContext creation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline queries: the flagship geo pipeline ops plus one representative of
+# each operator family (relational agg, join+topk, dedup, text, similarity).
+HEADLINE = [
+    "geo_pip",
+    "geo_pip_salted",
+    "geo_tiles",
+    "geo_knn",
+    "geo_cap",
+    "tpch_q1",
+    "tpch_q3",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_count",
+    "embedding_knn",
+]
+
+SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "600000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "8"))
+
+
+def _bench_queries() -> dict:
+    from diagonal_b6_spark import catalog
+    from diagonal_b6_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", cores=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm-up (JIT, code cache, file listing)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+    return times
+
+
+def _scaling_child(cores: int, n_images: int, timed_runs: int) -> None:
+    """Child process: run the flagship pipeline at local[cores]; print JSON."""
+    from diagonal_b6_spark.pipeline import run_flagship
+    from diagonal_b6_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    run_flagship(spark, n_images, strategy="bucketed")  # warm-up
+    walls = []
+    for _ in range(timed_runs):
+        t0 = time.perf_counter()
+        counters = run_flagship(spark, n_images, strategy="bucketed")
+        walls.append(time.perf_counter() - t0)
+    med = statistics.median(walls)
+    print(
+        "SCALING_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "images": n_images,
+                "wall_s": [round(w, 3) for w in walls],
+                "median_wall_s": round(med, 3),
+                "images_per_sec": round(n_images / med, 1),
+                "counters": counters,
+            }
+        )
+    )
+
+
+def _run_child(cores: int, n_images: int, timed_runs: int = 3) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, __file__, "--scaling-child", str(cores), str(n_images), str(timed_runs)],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        check=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no SCALING_RESULT in child output:\n{out.stdout}\n{out.stderr}")
+
+
+def _bench_scaling() -> dict:
+    n = SCALING_N
+    lo = _run_child(n, SCALING_IMAGES)
+    hi = _run_child(4 * n, SCALING_IMAGES)
+    eff = (lo["median_wall_s"] / hi["median_wall_s"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": n,
+        "images": SCALING_IMAGES,
+        "low": lo,
+        "high": hi,
+        "images_per_sec_N": lo["images_per_sec"],
+        "images_per_sec_4N": hi["images_per_sec"],
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        _scaling_child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        _bench_scaling()
+    else:
+        _bench_queries()
