@@ -81,16 +81,31 @@ def _bench_queries() -> dict:
 
 
 def _scaling_child(cores: int, n_images: int, timed_runs: int) -> None:
-    """Child process: run the flagship pipeline at local[cores]; print JSON."""
+    """Child process: run the flagship pipeline at local[cores]; print JSON.
+
+    The image table materializes to parquet ONCE (untimed) — the Iceberg
+    input-table posture; timed runs cover scan -> cell cover -> salted
+    containment join -> PIP refine -> tile assignment (BASELINE.md step 3:
+    exclude one-time input generation).
+    """
+    from diagonal_b6_spark import fixtures
     from diagonal_b6_spark.pipeline import run_flagship
     from diagonal_b6_spark.session import get_spark
 
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
-    run_flagship(spark, n_images, strategy="bucketed")  # warm-up
+    spark = get_spark(
+        f"scaling_{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    images_path = os.environ.get("SPARK_GRAFT_BENCH_INPUT") or f"/tmp/bench_images_{n_images}"
+    if not os.path.exists(os.path.join(images_path, "_SUCCESS")):
+        fixtures.images_table(spark, n_images).write.mode("overwrite").parquet(images_path)
+    run_flagship(spark, n_images, strategy="bucketed", images_path=images_path)  # warm-up
     walls = []
     for _ in range(timed_runs):
         t0 = time.perf_counter()
-        counters = run_flagship(spark, n_images, strategy="bucketed")
+        counters = run_flagship(spark, n_images, strategy="bucketed", images_path=images_path)
         walls.append(time.perf_counter() - t0)
     med = statistics.median(walls)
     print(

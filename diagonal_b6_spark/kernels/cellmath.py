@@ -26,8 +26,13 @@ POS_BITS = 2 * MAX_LEVEL + 1  # 61
 # Index parameters matching the reference (b6/search/spatial.go:30-32).
 MAX_INDEX_LEVEL = 16
 MAX_COVERING_CELLS = 5
-# Fixed bucketing level for co-partitioned spatial joins (ours).
-BUCKET_LEVEL = 6
+# Fixed bucketing level for co-partitioned spatial joins (ours).  Level-13
+# cells are ~2 km across: small enough that a metro-area extent spreads over
+# O(100) buckets (parallelism), large enough that typical building/park
+# polygons straddle only 1-4 buckets (low replication).  Deployments
+# covering the whole globe inherit more buckets automatically because
+# bucket count scales with data extent.
+BUCKET_LEVEL = 13
 
 EARTH_RADIUS_M = 6371010.0  # reference: b6/units/units.go:7-23
 

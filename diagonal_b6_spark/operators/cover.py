@@ -38,23 +38,24 @@ def cell_at_level_udf(level: int):
     return _udf
 
 
-def with_point_cells(df: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
-    """Point index columns: cell16 (exact posting) + bucket (join key at
-    BUCKET_LEVEL, the co-partitioning level for large-large joins)."""
-    return df.withColumn("cell16", cell16_udf(F.col(lat), F.col(lng))).withColumn(
-        "bucket", _ancestor_udf(F.col("cell16"), F.lit(cm.BUCKET_LEVEL))
-    )
-
-
-@F.pandas_udf(T.LongType())
-def _ancestor_udf(cell_signed: pd.Series, level: pd.Series) -> pd.Series:
-    ids = cm.signed_to_id(cell_signed.to_numpy())
-    par = cm.parent(ids, level.to_numpy().astype(np.int64))
-    return pd.Series(cm.id_to_signed(par))
-
-
 def ancestor_at(cell_col, level: int):
-    return _ancestor_udf(cell_col, F.lit(level))
+    """Ancestor cell at `level` as a pure JVM column expression.
+
+    S2 parent is bit math -- ``(id & -lsb) | lsb`` with ``lsb`` the
+    trailing marker at `level` -- and the mask never touches bit 63, so it
+    is identical on the sign-flipped int64 encoding.  Stays inside
+    whole-stage codegen (no Arrow round-trip).
+    """
+    lsb = 1 << (2 * (cm.MAX_LEVEL - level))
+    return cell_col.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+
+
+def with_point_cells(df: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Point index columns: cell16 (exact posting, one pandas-UDF pass) +
+    bucket (JVM bit math; the co-partitioning key for large-large joins)."""
+    return df.withColumn("cell16", cell16_udf(F.col(lat), F.col(lng))).withColumn(
+        "bucket", ancestor_at(F.col("cell16"), cm.BUCKET_LEVEL)
+    )
 
 
 _COVER_SCHEMA = T.ArrayType(

@@ -56,10 +56,17 @@ def run_flagship(
     checkpoint_root: str | None = None,
     strategy: str = "broadcast",
     zooms: tuple[int, ...] = (12, 16),
+    images_path: str | None = None,
 ) -> dict:
     """Full run; returns counters. With checkpoint_root set, tile
-    assignments checkpoint per zoom-12 tile bucket with lineage."""
-    images = fixtures.images_table(spark, n_images)
+    assignments checkpoint per zoom-12 tile bucket with lineage.
+    With images_path set, reads a pre-materialized image table from
+    parquet (the Iceberg-table posture; generation excluded from timing
+    per BASELINE.md protocol step 3)."""
+    if images_path:
+        images = spark.read.parquet(images_path)
+    else:
+        images = fixtures.images_table(spark, n_images)
     pts = cover_ops.with_point_cells(images)
     containment = containment_pipeline(spark, pts, strategy=strategy)
     n_pairs = containment.count()
