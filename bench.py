@@ -43,7 +43,7 @@ HEADLINE = [
     "embedding_knn",
 ]
 
-SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "600000"))
+SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "8"))
 
 

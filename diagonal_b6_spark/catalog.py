@@ -23,6 +23,7 @@ from . import fixtures
 from .operators import agg as agg_ops
 from .operators import cover as cover_ops
 from .operators import dedup as dedup_ops
+from .operators import graph as graph_ops
 from .operators import knn as knn_ops
 from .operators import similarity as sim_ops
 from .operators import spatial_join
@@ -398,6 +399,142 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --- graph / routing (SURVEY.md §2.9) ---------------------------------------
+#
+# Deterministic street-graph stand-in: a DAG derived from lineitem
+# (src = l_orderkey % 500, dst = l_partkey % 500, src < dst, w = quantity),
+# so DuckDB can oracle-check the bounded-hop relaxation by unrolling the
+# rounds as plain min-aggregations (no recursion -> guaranteed convergence).
+
+GRAPH_N_NODES = 500
+GRAPH_N_ORIGINS = 5
+GRAPH_ROUNDS = 3
+
+
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = fixtures.testdata(spark, sf_dir, "lineitem")
+    raw = l.select(
+        (F.col("l_orderkey") % GRAPH_N_NODES).alias("src"),
+        (F.col("l_partkey") % GRAPH_N_NODES).alias("dst"),
+        F.col("l_quantity").cast("long").cast("double").alias("w"),
+    ).filter(F.col("src") < F.col("dst"))
+    return graph_ops.min_edges(raw)
+
+
+def _graph_origins(spark: SparkSession) -> DataFrame:
+    return spark.range(GRAPH_N_ORIGINS).select(
+        F.col("id").alias("origin"), F.col("id").alias("node")
+    )
+
+
+_GRAPH_EDGES_CTE = f"""raw AS (
+  SELECT l_orderkey % {GRAPH_N_NODES} AS src, l_partkey % {GRAPH_N_NODES} AS dst,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_orderkey % {GRAPH_N_NODES} < l_partkey % {GRAPH_N_NODES}
+),
+e AS (SELECT src, dst, min(w) AS w FROM raw GROUP BY 1, 2)"""
+
+
+def _graph_relax_ctes() -> str:
+    """d0..dN CTEs: one min-aggregated relaxation per bounded hop."""
+    parts = [
+        f"d0 AS (SELECT CAST(range AS BIGINT) AS origin, CAST(range AS BIGINT) AS node, "
+        f"CAST(0 AS BIGINT) AS dist FROM range({GRAPH_N_ORIGINS}))"
+    ]
+    for r in range(1, GRAPH_ROUNDS + 1):
+        p = f"d{r - 1}"
+        parts.append(
+            f"d{r} AS (SELECT origin, node, min(dist) AS dist FROM ("
+            f"SELECT * FROM {p} UNION ALL "
+            f"SELECT {p}.origin, e.dst AS node, {p}.dist + e.w AS dist "
+            f"FROM {p} JOIN e ON e.src = {p}.node) GROUP BY 1, 2)"
+        )
+    return ",\n".join(parts)
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = graph_ops.bounded_sssp(
+        _graph_edges(spark, sf_dir), _graph_origins(spark), rounds=GRAPH_ROUNDS
+    )
+    return dist.select("origin", "node", F.col("dist").cast("long").alias("dist"))
+
+
+def sql_graph_sssp() -> str:
+    return f"""
+WITH {_GRAPH_EDGES_CTE},
+{_graph_relax_ctes()}
+SELECT origin, node, dist FROM d{GRAPH_ROUNDS}
+"""
+
+
+def q_graph_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = graph_ops.bounded_sssp(
+        _graph_edges(spark, sf_dir), _graph_origins(spark), rounds=GRAPH_ROUNDS
+    )
+    targets = spark.range(GRAPH_N_NODES).filter((F.col("id") % 7 == 0) & (F.col("id") > 0)).select(
+        F.col("id").alias("node")
+    )
+    out = graph_ops.closest(dist, targets)
+    return out.select("origin", "node", F.col("dist").cast("long").alias("dist"))
+
+
+def sql_graph_closest() -> str:
+    return f"""
+WITH {_GRAPH_EDGES_CTE},
+{_graph_relax_ctes()},
+hits AS (
+  SELECT origin, node, dist,
+         row_number() OVER (PARTITION BY origin ORDER BY dist ASC, node ASC) AS rn
+  FROM d{GRAPH_ROUNDS} WHERE node % 7 = 0 AND node > 0
+)
+SELECT origin, node, dist FROM hits WHERE rn = 1
+"""
+
+
+def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = graph_ops.bounded_sssp(
+        _graph_edges(spark, sf_dir), _graph_origins(spark), rounds=GRAPH_ROUNDS
+    )
+    return graph_ops.reachable_count(dist, max_cost=60.0)
+
+
+def sql_graph_reachable() -> str:
+    return f"""
+WITH {_GRAPH_EDGES_CTE},
+{_graph_relax_ctes()}
+SELECT origin, count(*) AS n_reachable FROM d{GRAPH_ROUNDS} WHERE dist <= 60 GROUP BY 1
+"""
+
+
+def q_graph_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-origin Dijkstra under applyInPandas (rows-only check;
+    pytest pins it against the iterative path run to convergence)."""
+    import numpy as np
+
+    e = _graph_edges(spark, sf_dir).toPandas()
+    routes = graph_ops.dijkstra_per_origin(
+        _graph_origins(spark),
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["w"].to_numpy(np.float64),
+    )
+    return routes.select("origin", "node", F.col("dist").cast("long").alias("dist"), "pred")
+
+
+def q_graph_paths_to_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-usage counts over shortest-path trees (rows-only check)."""
+    import numpy as np
+
+    e = _graph_edges(spark, sf_dir).toPandas()
+    routes = graph_ops.dijkstra_per_origin(
+        _graph_origins(spark),
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["w"].to_numpy(np.float64),
+    )
+    return graph_ops.paths_to_reach(routes)
+
+
 # --- dedup / text / similarity (training-data pipeline ops) -----------------
 
 
@@ -648,6 +785,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree": q_degree,
     "flatten_words": q_flatten_words,
     "events_hourly": q_events_hourly,
+    "graph_sssp": q_graph_sssp,
+    "graph_closest": q_graph_closest,
+    "graph_reachable": q_graph_reachable,
+    "graph_dijkstra": q_graph_dijkstra,
+    "graph_paths_to_reach": q_graph_paths_to_reach,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
@@ -678,6 +820,9 @@ ORACLES: dict[str, str] = {
     "degree": sql_degree(),
     "flatten_words": sql_flatten_words(),
     "events_hourly": sql_events_hourly(),
+    "graph_sssp": sql_graph_sssp(),
+    "graph_closest": sql_graph_closest(),
+    "graph_reachable": sql_graph_reachable(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_lsh": sql_minhash_lsh(),
     "dedup_simhash": sql_simhash(),

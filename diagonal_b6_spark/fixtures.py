@@ -67,36 +67,35 @@ def image_latlng(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def _gen_rows(ids: np.ndarray) -> pd.DataFrame:
     ids = np.asarray(ids, dtype=np.int64)
     lat, lng = image_latlng(ids)
-    recs = []
-    # group by (w, h) so phash can vectorize across rows of equal pixel count
     w_arr = np.array(WIDTHS)[ids % 4]
     h_arr = np.array(HEIGHTS)[(ids // 4) % 4]
     fmt_arr = np.array(FMTS)[ids % 3]
-    bufs: dict[int, bytes] = {}
+    bufs: list[bytes | None] = [None] * len(ids)
     phash = np.zeros(len(ids), dtype=np.int64)
-    for (w, h), grp in pd.DataFrame({"w": w_arr, "h": h_arr, "k": np.arange(len(ids))}).groupby(
-        ["w", "h"]
-    ):
+    # batch-vectorized per (w, h, fmt) group: one pix_batch + one batch
+    # encoder call per group (the DCT einsum spans the whole group)
+    grouping = pd.DataFrame({"w": w_arr, "h": h_arr, "fmt": fmt_arr, "k": np.arange(len(ids))})
+    for (w, h, fmt), grp in grouping.groupby(["w", "h", "fmt"]):
         kk = grp["k"].to_numpy()
-        imgs = [ic.pix(int(ids[k]), int(w), int(h)) for k in kk]
-        phash[kk] = ic.fnv1a64_batch(np.stack([im.reshape(-1) for im in imgs]))
-        for pos, k in enumerate(kk):
-            bufs[int(k)] = ic.encode(imgs[pos], str(fmt_arr[k]))
-    for k, i in enumerate(ids):
-        recs.append(
-            {
-                "image_id": f"img{i:012d}",
-                "bytes": bufs[k],
-                "w": int(w_arr[k]),
-                "h": int(h_arr[k]),
-                "fmt": str(fmt_arr[k]),
-                "caption": f"caption for img{i:012d}: {ADJ[i % 7]} {NOUN[i % 11]}",
-                "phash": int(phash[k]),
-                "lat": float(lat[k]),
-                "lng": float(lng[k]),
-            }
-        )
-    return pd.DataFrame.from_records(recs)
+        imgs = ic.pix_batch(ids[kk], int(w), int(h))
+        phash[kk] = ic.fnv1a64_batch(imgs.reshape(len(kk), -1))
+        for pos, buf in zip(kk, ic.encode_batch(imgs, str(fmt))):
+            bufs[int(pos)] = buf
+    return pd.DataFrame(
+        {
+            "image_id": [f"img{i:012d}" for i in ids],
+            "bytes": bufs,
+            "w": w_arr.astype(np.int32),
+            "h": h_arr.astype(np.int32),
+            "fmt": fmt_arr,
+            "caption": [
+                f"caption for img{i:012d}: {ADJ[i % 7]} {NOUN[i % 11]}" for i in ids
+            ],
+            "phash": phash,
+            "lat": lat,
+            "lng": lng,
+        }
+    )
 
 
 def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:

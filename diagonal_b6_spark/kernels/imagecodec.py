@@ -37,6 +37,22 @@ def pix(i: int, w: int, h: int) -> np.ndarray:
     return ((img + i) % 256).astype(np.uint8)
 
 
+def pix_batch(ids: np.ndarray, w: int, h: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 batch of ``pix`` images, one einsum-free numpy
+    pass across the whole batch (generation at bench scale runs through
+    this, never the scalar path)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = np.broadcast_to((x * 255) // max(w - 1, 1), (h, w))
+    g = np.broadcast_to((y * 255) // max(h - 1, 1), (h, w))
+    checker = np.broadcast_to((((x // 4) ^ (y // 4)) & 1) * 200, (h, w))
+    base = np.stack([r, g, checker], axis=2)[None, :, :, :]  # (1, h, w, 3)
+    add = ids[:, None, None, None] + np.zeros((1, 1, 1, 3), dtype=np.int64)
+    add[:, :, :, 2] += (ids % 56)[:, None, None]
+    return ((base + add) % 256).astype(np.uint8)
+
+
 def fnv1a64(data: bytes) -> int:
     """FNV-1a 64-bit of a byte string, returned as signed int64 (parquet-friendly)."""
     h = int(FNV_OFFSET)
@@ -148,7 +164,7 @@ def encode_lossy(img: np.ndarray) -> bytes:
     coeffs = []
     for c in range(3):
         blocks, ph, pw = _blockify(img[:, :, c].astype(np.float64) - 128.0)
-        d = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+        d = _DCT @ blocks @ _DCT.T  # same matmul form as the batch path
         coeffs.append(np.round(d / _QUANT).astype(np.int16))
     payload = zlib.compress(np.stack(coeffs).tobytes(), level=6)
     return b"DCT1" + struct.pack("<II", w, h) + payload
@@ -163,10 +179,56 @@ def decode_lossy(data: bytes) -> np.ndarray:
     q = raw.reshape(3, ph // _BLK, pw // _BLK, _BLK, _BLK).astype(np.float64) * _QUANT
     out = np.empty((h, w, 3), dtype=np.uint8)
     for c in range(3):
-        blocks = np.einsum("ji,abjk,kl->abil", _DCT, q[c], _DCT)
+        blocks = _DCT.T @ q[c] @ _DCT
         full = blocks.transpose(0, 2, 1, 3).reshape(ph, pw)
         out[:, :, c] = np.clip(np.round(full[:h, :w] + 128.0), 0, 255).astype(np.uint8)
     return out
+
+
+def encode_lossy_batch(imgs: np.ndarray) -> list[bytes]:
+    """Batch lossy encode of (n, h, w, 3) images: one DCT einsum over the
+    whole batch; only the per-image zlib call remains a loop."""
+    n, h, w, _ = imgs.shape
+    ph = (h + _BLK - 1) // _BLK * _BLK
+    pw = (w + _BLK - 1) // _BLK * _BLK
+    padded = np.zeros((n, 3, ph, pw), dtype=np.float64)
+    chans = imgs.transpose(0, 3, 1, 2).astype(np.float64) - 128.0
+    padded[:, :, :h, :w] = chans
+    padded[:, :, h:, :w] = chans[:, :, -1:, :]
+    padded[:, :, :h, w:] = chans[:, :, :, -1:]
+    padded[:, :, h:, w:] = chans[:, :, -1:, -1:]
+    blocks = padded.reshape(n, 3, ph // _BLK, _BLK, pw // _BLK, _BLK).transpose(0, 1, 2, 4, 3, 5)
+    d = _DCT @ blocks @ _DCT.T  # broadcast matmul (BLAS) over all blocks
+    q = np.round(d / _QUANT).astype(np.int16)
+    head = b"DCT1" + struct.pack("<II", w, h)
+    return [head + zlib.compress(q[k].tobytes(), level=6) for k in range(n)]
+
+
+def encode_bmp_batch(imgs: np.ndarray) -> list[bytes]:
+    """Batch BMP encode of (n, h, w, 3): header built once, rows padded in
+    one vectorized pass."""
+    n, h, w, _ = imgs.shape
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = np.zeros((n, h, row_size), dtype=np.uint8)
+    rows[:, :, : w * 3] = imgs[:, ::-1, :, ::-1].reshape(n, h, w * 3)
+    return [header + info + rows[k].tobytes() for k in range(n)]
+
+
+def encode_raw_batch(imgs: np.ndarray) -> list[bytes]:
+    n, h, w, _ = imgs.shape
+    head = b"RAW1" + struct.pack("<II", w, h)
+    flat = np.ascontiguousarray(imgs, dtype=np.uint8).reshape(n, -1)
+    return [head + flat[k].tobytes() for k in range(n)]
+
+
+_BATCH_ENCODERS = {"raw": encode_raw_batch, "bmp": encode_bmp_batch, "lossy": encode_lossy_batch}
+
+
+def encode_batch(imgs: np.ndarray, fmt: str) -> list[bytes]:
+    return _BATCH_ENCODERS[fmt](imgs)
 
 
 # --- dispatch ----------------------------------------------------------------

@@ -1,0 +1,174 @@
+"""Graph / routing operators: b6's reachability family re-expressed for Spark.
+
+The reference builds everything on one Dijkstra over street-graph Segment
+edges with pluggable weights (reference: b6/graph/graph.go:316-532), run
+in parallel across origins (fn graph.go:209-230).  Spark-first split:
+
+* ``bounded_sssp`` -- Pregel-style iterative frontier relaxation: the
+  distance table is re-joined to the edge table and min-aggregated per
+  round.  Each round is one shuffle keyed by node; rounds are bounded the
+  way b6 bounds traversal by cost budget (graph/graph.go:509-532).  This
+  is THE scale path: the edge table can be 100 TB, partitioned by src, and
+  every round is an ordinary equi-join Catalyst can plan (broadcast when
+  the frontier is small, sort-merge otherwise).  Lineage is truncated with
+  localCheckpoint every few rounds so plans don't grow unboundedly.
+
+* ``dijkstra_per_origin`` -- exact Dijkstra inside ``applyInPandas``, one
+  group per origin, mirroring b6's per-origin goroutine fan-out.  Right
+  when the per-origin subgraph fits in one task (b6 itself bounds street
+  networks at a 500 m connect threshold, fn graph.go:547-562); at scale
+  the edge list handed to each group comes from a cell-cover subgraph
+  extraction rather than a full broadcast.
+
+* ``closest`` / ``reachable_count`` -- aggregations over the distance
+  table (fn graph.go:402-446, 185-245).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def min_edges(df: DataFrame, src: str = "src", dst: str = "dst", w: str = "w") -> DataFrame:
+    """Collapse multi-edges to their minimum weight (the only edge a
+    shortest path can use)."""
+    return df.groupBy(src, dst).agg(F.min(w).alias(w))
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Add reverse edges (b6 walking weights are symmetric;
+    one-way handling is a weight-column concern, graph/graph.go:87-126)."""
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+    )
+    return edges.unionByName(rev)
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    origins: DataFrame,
+    rounds: int,
+    max_cost: float | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source shortest path, bounded at `rounds` hops.
+
+    origins: DataFrame[origin, node] (an origin may seed several nodes).
+    Returns DataFrame[origin, node, dist] -- min cost within <= rounds
+    edges, optionally pruned at max_cost (b6's cost-budget bound).
+    """
+    dist = origins.select("origin", "node", F.lit(0.0).alias("dist"))
+    for r in range(rounds):
+        d, e = dist.alias("d"), edges.alias("e")
+        relaxed = d.join(e, F.col("d.node") == F.col("e.src"), "inner").select(
+            F.col("d.origin").alias("origin"),
+            F.col("e.dst").alias("node"),
+            (F.col("d.dist") + F.col("e.w")).alias("dist"),
+        )
+        if max_cost is not None:
+            relaxed = relaxed.filter(F.col("dist") <= max_cost)
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("origin", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist
+
+
+def closest(
+    dist: DataFrame, targets: DataFrame, target_node: str = "node"
+) -> DataFrame:
+    """Per-origin nearest matching target (fn graph.go:402-446): the
+    min-dist target node reachable, deterministic tie-break on node id."""
+    hits = dist.join(targets, dist["node"] == targets[target_node], "leftsemi")
+    return (
+        hits.groupBy("origin")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("node"))).alias("best"),
+        )
+        .select("origin", F.col("best.node").alias("node"), F.col("best.dist").alias("dist"))
+    )
+
+
+def reachable_count(dist: DataFrame, max_cost: float) -> DataFrame:
+    """accessible-all summary: how many nodes each origin reaches within
+    the budget (fn graph.go:185-245 -> groupBy shape)."""
+    return (
+        dist.filter(F.col("dist") <= max_cost)
+        .groupBy("origin")
+        .agg(F.count("*").alias("n_reachable"))
+    )
+
+
+def dijkstra_per_origin(
+    origins: DataFrame,
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_w: np.ndarray,
+    max_cost: float | None = None,
+) -> DataFrame:
+    """Exact Dijkstra per origin group under applyInPandas.
+
+    The edge arrays are captured in the task closure (broadcast once per
+    executor).  Appropriate when the (sub)graph fits a task -- the b6
+    street-network case; for planetary graphs, extract the cell-bounded
+    subgraph per origin first and cogroup instead.
+
+    Returns DataFrame[origin, node, dist, pred] with pred = predecessor
+    node on the shortest path tree (-1 at the origin), which is what
+    `accessible-routes` / `paths-to-reach` consume (fn graph.go:312-339,
+    451-499).
+    """
+    n = int(max(edge_src.max(initial=0), edge_dst.max(initial=0))) + 1
+    # CSR adjacency built once per executor from the closure arrays
+    order = np.argsort(edge_src, kind="stable")
+    s_sorted = edge_src[order]
+    starts = np.searchsorted(s_sorted, np.arange(n + 1))
+    d_sorted = edge_dst[order]
+    w_sorted = edge_w[order]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for origin, seed in zip(pdf["origin"], pdf["node"]):
+            dist = {int(seed): 0.0}
+            pred = {int(seed): -1}
+            heap = [(0.0, int(seed))]
+            while heap:
+                d, u = heapq.heappop(heap)
+                if d > dist.get(u, np.inf):
+                    continue
+                for k in range(starts[u], starts[u + 1]):
+                    v = int(d_sorted[k])
+                    nd = d + float(w_sorted[k])
+                    if max_cost is not None and nd > max_cost:
+                        continue
+                    if nd < dist.get(v, np.inf):
+                        dist[v] = nd
+                        pred[v] = u
+                        heapq.heappush(heap, (nd, v))
+            for node, d in dist.items():
+                out.append((int(origin), node, d, pred[node]))
+        return pd.DataFrame(out, columns=["origin", "node", "dist", "pred"])
+
+    return origins.groupBy("origin").applyInPandas(
+        run, schema="origin long, node long, dist double, pred long"
+    )
+
+
+def paths_to_reach(routes: DataFrame) -> DataFrame:
+    """Edge-usage counts across all shortest-path trees
+    (fn graph.go:451-499): every (pred -> node) edge of every origin's
+    tree, counted over origins."""
+    return (
+        routes.filter(F.col("pred") >= 0)
+        .groupBy(F.col("pred").alias("src"), F.col("node").alias("dst"))
+        .agg(F.count("*").alias("n_paths"))
+    )

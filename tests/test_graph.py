@@ -1,0 +1,95 @@
+"""Graph/routing operators (SURVEY.md §2.9): bounded relaxation vs the
+DuckDB unrolled oracle, and exact Dijkstra vs the iterative path run to
+convergence on the same DAG."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark import catalog
+from diagonal_b6_spark.operators import graph as graph_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+@pytest.mark.parametrize("name", ["graph_sssp", "graph_closest", "graph_reachable"])
+def test_graph_oracle_parity(spark, name):
+    got = sorted(tuple(r) for r in catalog.QUERIES[name](spark, SF).collect())
+    want = _oracle(catalog.ORACLES[name])
+    assert got == want
+
+
+def test_dijkstra_matches_converged_relaxation(spark):
+    """On a DAG, relaxation run for >= longest-path rounds equals exact
+    Dijkstra distances."""
+    edges = catalog._graph_edges(spark, SF)
+    origins = catalog._graph_origins(spark)
+    # DAG on 500 ordered nodes: 16 rounds is far beyond its depth at sf0.001
+    converged = graph_ops.bounded_sssp(edges, origins, rounds=16)
+    e = edges.toPandas()
+    routes = graph_ops.dijkstra_per_origin(
+        origins,
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["w"].to_numpy(np.float64),
+    )
+    a = {(r["origin"], r["node"]): r["dist"] for r in converged.collect()}
+    b = {(r["origin"], r["node"]): r["dist"] for r in routes.collect()}
+    assert a == b
+
+
+def test_dijkstra_pred_forms_tree(spark):
+    """Every non-origin node's predecessor is itself reachable and the
+    pred edge weight is consistent with the distance delta."""
+    edges = catalog._graph_edges(spark, SF)
+    e = edges.toPandas()
+    w = {(s, d): ww for s, d, ww in zip(e["src"], e["dst"], e["w"])}
+    routes = graph_ops.dijkstra_per_origin(
+        catalog._graph_origins(spark),
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["w"].to_numpy(np.float64),
+    ).collect()
+    dist = {(r["origin"], r["node"]): r["dist"] for r in routes}
+    n_edges_checked = 0
+    for r in routes:
+        if r["pred"] < 0:
+            assert r["dist"] == 0.0
+            continue
+        key = (r["pred"], r["node"])
+        assert key in w
+        assert abs(dist[(r["origin"], r["pred"])] + w[key] - r["dist"]) < 1e-9
+        n_edges_checked += 1
+    assert n_edges_checked > 0
+
+
+def test_paths_to_reach_counts(spark):
+    out = catalog.q_graph_paths_to_reach(spark, SF).collect()
+    assert len(out) > 0
+    # usage counts bounded by the number of origins
+    assert all(1 <= r["n_paths"] <= catalog.GRAPH_N_ORIGINS for r in out)
+
+
+def test_undirected_doubles_edges(spark):
+    edges = catalog._graph_edges(spark, SF)
+    assert graph_ops.undirected(edges).count() == 2 * edges.count()
+
+
+def test_max_cost_prunes(spark):
+    edges = catalog._graph_edges(spark, SF)
+    origins = catalog._graph_origins(spark)
+    full = graph_ops.bounded_sssp(edges, origins, rounds=3)
+    pruned = graph_ops.bounded_sssp(edges, origins, rounds=3, max_cost=20.0)
+    assert pruned.filter(F.col("dist") > 20.0).count() == 0
+    assert pruned.count() <= full.count()
