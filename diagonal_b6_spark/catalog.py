@@ -23,6 +23,8 @@ from . import fixtures
 from .operators import agg as agg_ops
 from .operators import cover as cover_ops
 from .operators import dedup as dedup_ops
+from .operators import find as find_ops
+from .operators import geo_fn
 from .operators import graph as graph_ops
 from .operators import knn as knn_ops
 from .operators import similarity as sim_ops
@@ -31,10 +33,25 @@ from .operators import text as text_ops
 
 # --- deterministic derived geometry (identical SQL text both engines) ------
 
-LAT_SQL = "51.50 + 0.08 * (((event_id * 2654435761) % 1000003) / 1000003.0)"
-LNG_SQL = "-0.16 + 0.10 * (((event_id * 40503) % 999983) / 999983.0)"
-PROBE_LAT_SQL = "51.50 + 0.08 * ((((probe_id + 7) * 104729) % 10007) / 10007.0)"
-PROBE_LNG_SQL = "-0.16 + 0.10 * ((((probe_id + 3) * 7919) % 9973) / 9973.0)"
+# all-DOUBLE arithmetic spelled out with CASTs: Spark parses bare decimal
+# literals (51.50, 0.08) as DECIMAL and would evaluate the whole chain in
+# truncated decimal, silently diverging from DuckDB's double at ~1e-9
+LAT_SQL = (
+    "CAST(51.50 AS DOUBLE) + CAST(0.08 AS DOUBLE) * "
+    "(((event_id * 2654435761) % 1000003) / CAST(1000003 AS DOUBLE))"
+)
+LNG_SQL = (
+    "CAST(-0.16 AS DOUBLE) + CAST(0.10 AS DOUBLE) * "
+    "(((event_id * 40503) % 999983) / CAST(999983 AS DOUBLE))"
+)
+PROBE_LAT_SQL = (
+    "CAST(51.50 AS DOUBLE) + CAST(0.08 AS DOUBLE) * "
+    "((((probe_id + 7) * 104729) % 10007) / CAST(10007 AS DOUBLE))"
+)
+PROBE_LNG_SQL = (
+    "CAST(-0.16 AS DOUBLE) + CAST(0.10 AS DOUBLE) * "
+    "((((probe_id + 3) * 7919) % 9973) / CAST(9973 AS DOUBLE))"
+)
 
 N_PROBES = 16
 KNN_K = 5
@@ -396,6 +413,411 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   count(*) AS n,
   CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total
 FROM events GROUP BY 1, 2
+"""
+
+
+# --- find / query algebra + geometry functions (SURVEY.md §2.2-2.4, §2.10) --
+
+
+def _feature_tags_values() -> str:
+    """VALUES rows (fid, ftype, k, v) for every fixture feature tag."""
+    rows = []
+    for f in fixtures.feature_rows():
+        for k, v in f["tags"].items():
+            rows.append(f"('{f['feature_id']}', '{f['feature_type']}', '{k}', '{v}')")
+    return ",\n    ".join(rows)
+
+
+def _feature_vertices_values() -> str:
+    """VALUES rows (fid, idx, x, y) for every fixture feature vertex."""
+    rows = []
+    for f in fixtures.feature_rows():
+        for k, (x, y) in enumerate(zip(f["xs"], f["ys"])):
+            rows.append(f"('{f['feature_id']}', {k}, {x!r}, {y!r})")
+    return ",\n    ".join(rows)
+
+
+def q_find_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = fixtures.features_table(spark)
+    q = find_ops.and_(find_ops.typed("point"), find_ops.tagged("#amenity", "pub"))
+    return find_ops.find(feats, q).select("feature_id")
+
+
+def sql_find_tagged() -> str:
+    return f"""
+WITH tags(fid, ftype, k, v) AS (VALUES
+    {_feature_tags_values()})
+SELECT fid AS feature_id FROM tags
+WHERE ftype = 'point' AND k = '#amenity' AND v = 'pub'
+"""
+
+
+def q_find_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = fixtures.features_table(spark)
+    return find_ops.find(feats, find_ops.keyed("#building")).select(
+        "feature_id", "feature_type"
+    )
+
+
+def sql_find_keyed() -> str:
+    return f"""
+WITH tags(fid, ftype, k, v) AS (VALUES
+    {_feature_tags_values()})
+SELECT DISTINCT fid AS feature_id, ftype AS feature_type FROM tags
+WHERE k = '#building'
+"""
+
+
+def q_all_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return find_ops.all_tags(fixtures.features_table(spark))
+
+
+def sql_all_tags() -> str:
+    return f"""
+WITH tags(fid, ftype, k, v) AS (VALUES
+    {_feature_tags_values()})
+SELECT fid AS feature_id, k, v FROM tags
+"""
+
+
+def q_geo_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
+    out = geo_fn.with_length_m(feats)
+    return out.select(
+        "feature_id", F.round(F.col("length_m"), 3).alias("length_m")
+    )
+
+
+def sql_geo_length() -> str:
+    hav = _HAV.format(lat1="a.y", lng1="a.x", lat2="b.y", lng2="b.x")
+    return f"""
+WITH v(fid, idx, x, y) AS (VALUES
+    {_feature_vertices_values()}),
+paths AS (SELECT DISTINCT fid FROM v WHERE fid LIKE 'path/%'),
+seg AS (
+  SELECT a.fid, {hav} AS d
+  FROM v a JOIN v b ON a.fid = b.fid AND b.idx = a.idx + 1
+  WHERE a.fid IN (SELECT fid FROM paths)
+)
+SELECT fid AS feature_id, round(sum(d), 3) AS length_m FROM seg GROUP BY 1
+"""
+
+
+def q_geo_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the antimeridian fixture is excluded here (a bbox in plain SQL cannot
+    # wrap); its wrapping tile cover is pinned in tests/test_geo_fn.py
+    feats = fixtures.features_table(spark).filter(
+        (F.col("feature_type") == "area") & (F.col("feature_id") != "area/test/4")
+    )
+    return geo_fn.tile_cover(feats, zoom=15)
+
+
+def sql_geo_tile_cover() -> str:
+    # bbox -> mercator tile ranges, cross-joined with range() per feature
+    tx = "CAST(floor((x + 180.0) / 360.0 * 32768.0) AS BIGINT)"
+    ty = "CAST(floor((1.0 - ln(tan(radians(y)) + 1.0 / cos(radians(y))) / pi()) / 2.0 * 32768.0) AS BIGINT)"
+    return f"""
+WITH v(fid, idx, x, y) AS (VALUES
+    {_feature_vertices_values()}),
+bbox AS (
+  SELECT fid,
+         min({tx}) AS tx0, max({tx}) AS tx1,
+         min({ty}) AS ty0, max({ty}) AS ty1
+  FROM v WHERE fid LIKE 'area/%' AND fid <> 'area/test/4' GROUP BY fid
+)
+SELECT fid AS feature_id, 15 AS zoom, tx0 + gx.range AS tile_x, ty0 + gy.range AS tile_y
+FROM bbox, range(64) gx, range(64) gy
+WHERE tx0 + gx.range <= tx1 AND ty0 + gy.range <= ty1
+"""
+
+
+def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type centroids (rows-only; pinned in pytest vs closed forms)."""
+    out = geo_fn.with_centroid(fixtures.features_table(spark))
+    return out.select(
+        "feature_id",
+        F.round("centroid_lat", 9).alias("clat"),
+        F.round("centroid_lng", 9).alias("clng"),
+    )
+
+
+def q_geo_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical polygon areas (rows-only; pytest checks closed forms)."""
+    feats = fixtures.features_table(spark).filter(F.col("feature_type") == "area")
+    return geo_fn.with_area_m2(feats).select(
+        "feature_id", F.round("area_m2", 1).alias("area_m2")
+    )
+
+
+def q_geo_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s2-covering tokens per feature (rows-only; pinned vectors in pytest)."""
+    return geo_fn.s2_covering(fixtures.features_table(spark)).select(
+        "feature_id", "token", "level"
+    )
+
+
+def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull of the events point cloud (rows-only; hull kernel pinned in
+    pytest; two-stage partial-hull plan)."""
+    pts = _events_points(spark, sf_dir)
+    return geo_fn.convex_hull_agg(pts).select(
+        F.round("lat", 9).alias("lat"), F.round("lng", 9).alias("lng")
+    )
+
+
+def q_geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1 nearest POI as a codegen least() chain (the map-side `closest`)."""
+    from .pipeline import poi_list
+
+    pts = _events_points(spark, sf_dir)
+    out = knn_ops.nearest_expr(pts, poi_list(spark))
+    return out.select(
+        "event_id", "nearest_poi", F.round("nearest_dist_m", 3).alias("nearest_dist_m")
+    )
+
+
+def sql_geo_nearest_poi() -> str:
+    pois = [
+        f"('{f['feature_id']}', {f['ys'][0]!r}, {f['xs'][0]!r})"
+        for f in fixtures.feature_rows()
+        if f["feature_type"] == "point"
+    ]
+    hav = _HAV.format(lat1="pp.plat", lng1="pp.plng", lat2="p.lat", lng2="p.lng")
+    return f"""
+WITH {_PTS_CTE},
+pois(pid, plat, plng) AS (VALUES
+    {", ".join(pois)}),
+d AS (
+  SELECT p.event_id, pp.pid, {hav} AS dist,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY {hav} ASC, pp.pid ASC) AS rn
+  FROM pts p CROSS JOIN pois pp
+)
+SELECT event_id, pid AS nearest_poi, round(dist, 3) AS nearest_dist_m
+FROM d WHERE rn = 1
+"""
+
+
+# --- network-connection joins (SURVEY.md §2.5) ------------------------------
+
+N_ELEV_SPOTS = 20
+
+
+def _elev_spots(spark: SparkSession) -> DataFrame:
+    return spark.range(N_ELEV_SPOTS).select(
+        F.col("id").alias("spot_id"),
+        F.expr(PROBE_LAT_SQL.replace("probe_id", "id")).alias("lat"),
+        F.expr(PROBE_LNG_SQL.replace("probe_id", "id")).alias("lng"),
+        (F.col("id") * 7 % 100).cast("double").alias("elev"),
+    )
+
+
+def q_geo_elevation_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import network as net_ops
+
+    pts = _events_points(spark, sf_dir)
+    out = net_ops.elevation_idw(pts, _elev_spots(spark), radius_m=3000.0, point_id="event_id")
+    return out.select("event_id", F.round("elev", 3).alias("elev"))
+
+
+def sql_geo_elevation_idw() -> str:
+    hav = _HAV.format(lat1="s.slat", lng1="s.slng", lat2="p.lat", lng2="p.lng")
+    return f"""
+WITH {_PTS_CTE},
+spots AS (
+  SELECT range AS spot_id,
+         {PROBE_LAT_SQL.replace("probe_id", "range")} AS slat,
+         {PROBE_LNG_SQL.replace("probe_id", "range")} AS slng,
+         CAST(range * 7 % 100 AS DOUBLE) AS elev
+  FROM range({N_ELEV_SPOTS})
+),
+d AS (
+  SELECT p.event_id, s.elev, {hav} AS dist FROM pts p CROSS JOIN spots s
+),
+w AS (
+  SELECT event_id, sum(1.0 / (greatest(dist, 1e-9) * greatest(dist, 1e-9))) AS denom,
+         sum(elev / (greatest(dist, 1e-9) * greatest(dist, 1e-9))) AS num
+  FROM d WHERE dist <= 3000.0 GROUP BY 1
+)
+SELECT event_id, round(num / denom, 3) AS elev FROM w
+"""
+
+
+def q_geo_connect_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest street segment within 500 m (rows-only; pinned vs numpy
+    brute force in tests/test_network.py)."""
+    from .operators import network as net_ops
+
+    pts = _events_points(spark, sf_dir)
+    paths = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
+    out = net_ops.connect_to_network(pts, paths, threshold_m=500.0, point_id="event_id")
+    return out.select("event_id", "path_id", "seg_idx", F.round("dist_m", 3).alias("dist_m"))
+
+
+# --- image payload ops (BASELINE.json input_hint; axes A+B) -----------------
+#
+# The deterministic image+caption table is generated in-engine (FIXTURES.md
+# §1); caption text and w/h/fmt metadata follow closed-form integer
+# formulas, so DuckDB regenerates them independently from range(N) -- a
+# byte-equality check of the distributed generator against SQL.  Pixel-level
+# ops (decode stats, round-trip PSNR, phash banding) are rows-only here and
+# pinned in tests/test_images.py.
+
+N_CATALOG_IMAGES = 2000
+
+
+def _adj_sql() -> str:
+    return "[" + ", ".join(f"'{a}'" for a in fixtures.ADJ) + "]"
+
+
+def _noun_sql() -> str:
+    return "[" + ", ".join(f"'{n}'" for n in fixtures.NOUN) + "]"
+
+
+def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES)
+    return img.select("image_id", "caption")
+
+
+def sql_image_captions() -> str:
+    return f"""
+SELECT 'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+       'caption for img' || lpad(CAST(range AS VARCHAR), 12, '0') || ': '
+         || ({_adj_sql()})[CAST(range % 7 AS INT) + 1] || ' '
+         || ({_noun_sql()})[CAST(range % 11 AS INT) + 1] AS caption
+FROM range({N_CATALOG_IMAGES})
+"""
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES)
+    return img.select("image_id", "w", "h", "fmt")
+
+
+def sql_image_meta() -> str:
+    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
+    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
+    fs = "[" + ", ".join(f"'{f}'" for f in fixtures.FMTS) + "]"
+    return f"""
+SELECT 'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+       ({ws})[CAST(range % 4 AS INT) + 1] AS w,
+       ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h,
+       ({fs})[CAST(range % 3 AS INT) + 1] AS fmt
+FROM range({N_CATALOG_IMAGES})
+"""
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES)
+    out = image_ops.decode_stats(img)
+    return out.select(
+        "image_id", "fmt", "ok",
+        F.round("mean_r", 4).alias("mean_r"), F.round("std_all", 4).alias("std_all"),
+    )
+
+
+def q_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES)
+    return image_ops.roundtrip_check(img).select(
+        "image_id", "fmt", "pixels_ok", "caption_ok"
+    )
+
+
+def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, 4000)
+    return image_ops.phash_near_dup_pairs(img, max_hamming=0)
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, 500)
+    out = image_ops.resize(img, 16, 16)
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
+
+
+# --- mutation / change ops (SURVEY.md §2.12) --------------------------------
+#
+# Features derived from customer rows (id + a 2-key tag map); a tag delta
+# adds "#tier" for rich customers and overwrites "seg" for AUTOMOBILE
+# rows; a removal delta drops "nat" for odd custkeys.  Result is exploded
+# (feature_id, k, v) so DuckDB can reproduce it relationally.
+
+
+def _customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = fixtures.testdata(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.map_from_arrays(
+            F.array(F.lit("seg"), F.lit("nat")),
+            F.array(F.col("c_mktsegment"), F.col("c_nationkey").cast("string")),
+        ).alias("tags"),
+    )
+
+
+def q_change_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import change as change_ops
+
+    feats = _customer_features(spark, sf_dir)
+    c = fixtures.testdata(spark, sf_dir, "customer")
+    adds = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("feature_id"), F.lit("#tier").alias("k"), F.lit("gold").alias("v")
+    ).unionByName(
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+            F.col("c_custkey").alias("feature_id"), F.lit("seg").alias("k"), F.lit("CAR").alias("v")
+        )
+    )
+    rms = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("feature_id"), F.lit("nat").alias("k")
+    )
+    out = change_ops.remove_tags(change_ops.add_tags(feats, adds), rms)
+    return out.select("feature_id", F.explode("tags").alias("k", "v"))
+
+
+def sql_change_tags() -> str:
+    return """
+WITH base AS (
+  SELECT c_custkey AS feature_id, 'seg' AS k, c_mktsegment AS v FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nat', CAST(c_nationkey AS VARCHAR) FROM customer
+),
+overwritten AS (
+  SELECT feature_id, k,
+         CASE WHEN k = 'seg' AND v = 'AUTOMOBILE' THEN 'CAR' ELSE v END AS v
+  FROM base
+  WHERE NOT (k = 'nat' AND feature_id % 2 = 1)
+)
+SELECT feature_id, k, v FROM overwritten
+UNION ALL
+SELECT c_custkey AS feature_id, '#tier' AS k, 'gold' AS v FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_change_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import change as change_ops
+
+    base = _customer_features(spark, sf_dir)
+    c = fixtures.testdata(spark, sf_dir, "customer")
+    overlay = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("feature_id"),
+        F.map_from_arrays(F.array(F.lit("seg")), F.array(F.lit("OVERLAY"))).alias("tags"),
+    )
+    out = change_ops.overlay_world(base, overlay)
+    return out.select("feature_id", F.explode("tags").alias("k", "v"))
+
+
+def sql_change_overlay() -> str:
+    return """
+SELECT c_custkey AS feature_id, 'seg' AS k,
+       CASE WHEN c_custkey % 10 = 0 THEN 'OVERLAY' ELSE c_mktsegment END AS v
+FROM customer
+UNION ALL
+SELECT c_custkey, 'nat', CAST(c_nationkey AS VARCHAR) FROM customer WHERE c_custkey % 10 <> 0
 """
 
 
@@ -785,6 +1207,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree": q_degree,
     "flatten_words": q_flatten_words,
     "events_hourly": q_events_hourly,
+    "find_tagged": q_find_tagged,
+    "find_keyed": q_find_keyed,
+    "all_tags": q_all_tags,
+    "geo_length": q_geo_length,
+    "geo_tile_cover": q_geo_tile_cover,
+    "geo_centroid": q_geo_centroid,
+    "geo_area": q_geo_area,
+    "geo_s2_covering": q_geo_s2_covering,
+    "geo_convex_hull": q_geo_convex_hull,
+    "geo_nearest_poi": q_geo_nearest_poi,
+    "geo_elevation_idw": q_geo_elevation_idw,
+    "geo_connect_network": q_geo_connect_network,
+    "image_captions": q_image_captions,
+    "image_meta": q_image_meta,
+    "image_decode_stats": q_image_decode_stats,
+    "image_roundtrip": q_image_roundtrip,
+    "image_phash_dups": q_image_phash_dups,
+    "image_resize": q_image_resize,
+    "change_tags": q_change_tags,
+    "change_overlay": q_change_overlay,
     "graph_sssp": q_graph_sssp,
     "graph_closest": q_graph_closest,
     "graph_reachable": q_graph_reachable,
@@ -820,6 +1262,17 @@ ORACLES: dict[str, str] = {
     "degree": sql_degree(),
     "flatten_words": sql_flatten_words(),
     "events_hourly": sql_events_hourly(),
+    "find_tagged": sql_find_tagged(),
+    "find_keyed": sql_find_keyed(),
+    "all_tags": sql_all_tags(),
+    "geo_length": sql_geo_length(),
+    "geo_tile_cover": sql_geo_tile_cover(),
+    "geo_nearest_poi": sql_geo_nearest_poi(),
+    "geo_elevation_idw": sql_geo_elevation_idw(),
+    "image_captions": sql_image_captions(),
+    "image_meta": sql_image_meta(),
+    "change_tags": sql_change_tags(),
+    "change_overlay": sql_change_overlay(),
     "graph_sssp": sql_graph_sssp(),
     "graph_closest": sql_graph_closest(),
     "graph_reachable": sql_graph_reachable(),

@@ -93,19 +93,20 @@ def xyz_to_face_uv(x, y, z):
     v = np.empty_like(x)
     for f, (ue, ve) in enumerate(
         [
-            (lambda: y / x, lambda: z / x),  # face 0 (+x)
-            (lambda: -x / y, lambda: z / y),  # face 1 (+y)
-            (lambda: -x / z, lambda: -y / z),  # face 2 (+z)
-            (lambda: z / x, lambda: y / x),  # face 3 (-x)
-            (lambda: z / y, lambda: -x / y),  # face 4 (-y)
-            (lambda: -y / z, lambda: -x / z),  # face 5 (-z)
+            (lambda x, y, z: y / x, lambda x, y, z: z / x),  # face 0 (+x)
+            (lambda x, y, z: -x / y, lambda x, y, z: z / y),  # face 1 (+y)
+            (lambda x, y, z: -x / z, lambda x, y, z: -y / z),  # face 2 (+z)
+            (lambda x, y, z: z / x, lambda x, y, z: y / x),  # face 3 (-x)
+            (lambda x, y, z: z / y, lambda x, y, z: -x / y),  # face 4 (-y)
+            (lambda x, y, z: -y / z, lambda x, y, z: -x / z),  # face 5 (-z)
         ]
     ):
         m = face == f
         if m.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u[m] = ue()[m]
-                v[m] = ve()[m]
+            # divide only the rows on this face (not full-array 6x over)
+            xm, ym, zm = x[m], y[m], z[m]
+            u[m] = ue(xm, ym, zm)
+            v[m] = ve(xm, ym, zm)
     return face, u, v
 
 
@@ -150,19 +151,71 @@ def st_to_ij(s):
     return np.clip(i, 0, (1 << MAX_LEVEL) - 1).astype(np.uint64)
 
 
+# 4-level Hilbert lookup tables (the published S2 chunked-traversal
+# optimization): one fancy-index per 4 levels instead of per level.
+# key = (i4 << 6) | (j4 << 2) | orientation  ->  (pos8 << 2) | orientation'
+_LOOKUP_BITS = 4
+
+
+def _build_hilbert_lookup() -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << (2 * _LOOKUP_BITS + 2)
+    pos_tab = np.zeros(n, dtype=np.uint64)
+    ij_tab = np.zeros(n, dtype=np.uint64)
+    for i4 in range(1 << _LOOKUP_BITS):
+        for j4 in range(1 << _LOOKUP_BITS):
+            for orient in range(4):
+                o, pos = orient, 0
+                for k in range(_LOOKUP_BITS - 1, -1, -1):
+                    ij = (((i4 >> k) & 1) << 1) | ((j4 >> k) & 1)
+                    pb = int(_IJ_TO_POS[o][ij])
+                    pos = (pos << 2) | pb
+                    o ^= int(_POS_TO_ORIENTATION[pb])
+                pos_tab[(i4 << (_LOOKUP_BITS + 2)) | (j4 << 2) | orient] = (pos << 2) | o
+    for pos8 in range(1 << (2 * _LOOKUP_BITS)):
+        for orient in range(4):
+            o, i4, j4 = orient, 0, 0
+            for k in range(_LOOKUP_BITS - 1, -1, -1):
+                pb = (pos8 >> (2 * k)) & 3
+                ij = int(_POS_TO_IJ[o][pb])
+                i4 = (i4 << 1) | (ij >> 1)
+                j4 = (j4 << 1) | (ij & 1)
+                o ^= int(_POS_TO_ORIENTATION[pb])
+            ij_tab[(pos8 << 2) | orient] = (i4 << (_LOOKUP_BITS + 2)) | (j4 << 2) | o
+    return pos_tab, ij_tab
+
+
+_POS_TAB, _IJ_TAB = _build_hilbert_lookup()
+_CHUNKS = (MAX_LEVEL + _LOOKUP_BITS - 1) // _LOOKUP_BITS  # 8 (top chunk has 2 levels)
+_PAD = _CHUNKS * _LOOKUP_BITS - MAX_LEVEL  # 2 phantom leading levels
+
+
 def face_ij_to_id(face, i, j):
-    """(face, i, j) at leaf resolution -> leaf cell id.  Vectorized Hilbert."""
+    """(face, i, j) at leaf resolution -> leaf cell id.
+
+    Chunked Hilbert encode: i/j are padded with 2 phantom leading zero
+    levels to a multiple of 4; phantom levels contribute zero position
+    bits and the orientation chain starts at the padded root, which maps
+    (0,0) prefixes through the same self-similar recursion, so results
+    are identical to the per-level form (verified exhaustively in tests).
+    """
     face = np.asarray(face).astype(np.uint64)
     i = np.asarray(i).astype(np.uint64)
     j = np.asarray(j).astype(np.uint64)
     pos = np.zeros_like(i)
-    orientation = face & _ONE
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        kk = _U64(k)
-        ij = (((i >> kk) & _ONE) << _ONE) | ((j >> kk) & _ONE)
-        pb = _IJ_TO_POS[orientation.astype(np.int64), ij.astype(np.int64)]
-        pos = (pos << _U64(2)) | pb
-        orientation = orientation ^ _POS_TO_ORIENTATION[pb.astype(np.int64)]
+    bits = face & _ONE
+    mask = _U64((1 << _LOOKUP_BITS) - 1)
+    for k in range(_CHUNKS - 1, -1, -1):
+        sh = _U64(k * _LOOKUP_BITS)
+        key = (
+            (((i >> sh) & mask) << _U64(_LOOKUP_BITS + 2))
+            | (((j >> sh) & mask) << _U64(2))
+            | bits
+        )
+        val = _POS_TAB[key.astype(np.int64)]
+        pos = (pos << _U64(2 * _LOOKUP_BITS)) | (val >> _U64(2))
+        bits = val & _U64(3)
+    # drop the phantom levels' position bits (always the top, zero-valued)
+    pos &= _U64((1 << (2 * MAX_LEVEL)) - 1)
     return (face << _U64(POS_BITS)) | (pos << _ONE) | _ONE
 
 
@@ -173,15 +226,20 @@ def id_to_face_ij(cell_id):
     leaf = range_min(cid)  # decode the first leaf inside the cell
     face = (leaf >> _U64(POS_BITS)).astype(np.uint64)
     pos = (leaf >> _ONE) & _U64((1 << 60) - 1)
-    orientation = face & _ONE
+    bits = face & _ONE
     i = np.zeros_like(pos)
     j = np.zeros_like(pos)
-    for k in range(MAX_LEVEL - 1, -1, -1):
-        pb = (pos >> _U64(2 * k)) & _U64(3)
-        ij = _POS_TO_IJ[orientation.astype(np.int64), pb.astype(np.int64)]
-        i = (i << _ONE) | (ij >> _ONE)
-        j = (j << _ONE) | (ij & _ONE)
-        orientation = orientation ^ _POS_TO_ORIENTATION[pb.astype(np.int64)]
+    mask = _U64((1 << (2 * _LOOKUP_BITS)) - 1)
+    ij_mask = _U64((1 << _LOOKUP_BITS) - 1)
+    for k in range(_CHUNKS - 1, -1, -1):
+        sh = _U64(2 * k * _LOOKUP_BITS)
+        key = (((pos >> sh) & mask) << _U64(2)) | bits
+        val = _IJ_TAB[key.astype(np.int64)]
+        i = (i << _U64(_LOOKUP_BITS)) | ((val >> _U64(_LOOKUP_BITS + 2)) & ij_mask)
+        j = (j << _U64(_LOOKUP_BITS)) | ((val >> _U64(2)) & ij_mask)
+        bits = val & _U64(3)
+    i &= _U64((1 << MAX_LEVEL) - 1)
+    j &= _U64((1 << MAX_LEVEL) - 1)
     return face.astype(np.int64), i, j
 
 

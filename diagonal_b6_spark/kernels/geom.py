@@ -144,6 +144,23 @@ def ring_centroid(xs, ys):
     return float(cy), float(cx)
 
 
+def polyline_centroid(xs, ys):
+    """Length-weighted centroid of a polyline, returned (lat, lng)
+    (reference: path centroid = polyline centroid, b6/world.go:868-886)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 2:
+        return float(ys[0]), float(xs[0])
+    x = _norm_lng(xs, float(xs[0]))
+    seg = haversine_m(ys[:-1], x[:-1], ys[1:], x[1:])
+    total = seg.sum()
+    if total == 0:
+        return float(ys[0]), float(xs[0])
+    midx = (x[:-1] + x[1:]) / 2.0
+    midy = (ys[:-1] + ys[1:]) / 2.0
+    return float((midy * seg).sum() / total), float((midx * seg).sum() / total)
+
+
 def spherical_ring_area_m2(xs, ys):
     """Spherical excess area of a single ring in m^2 (fn geometry.go:97-106).
 

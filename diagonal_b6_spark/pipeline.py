@@ -16,20 +16,31 @@ from pyspark.sql import functions as F
 from . import checkpoint as ckpt
 from . import fixtures
 from .operators import cover as cover_ops
+from .operators import knn as knn_ops
 from .operators import spatial_join
+
+
+def poi_list(spark: SparkSession) -> list[tuple[str, float, float]]:
+    """The fixture's 20 POI point features as (id, lat, lng) tuples."""
+    return [
+        (f["feature_id"], f["ys"][0], f["xs"][0])
+        for f in fixtures.feature_rows()
+        if f["feature_type"] == "point"
+    ]
 
 
 def tile_assignments(images: DataFrame, zooms: tuple[int, ...] = (12, 16)) -> DataFrame:
     """(image_id, zoom, tile_x, tile_y) rows for each requested zoom --
-    the raster-tile <-> vector join key side (b6/tiles.go:259-322)."""
+    the raster-tile <-> vector join key side (b6/tiles.go:259-322).
+    Pure JVM column math inside whole-stage codegen (no Python stage)."""
     out = None
     for z in zooms:
-        with_t = cover_ops.with_tiles(images, z)
-        part = with_t.select(
+        x, y = cover_ops.tile_xy_cols(z)
+        part = images.select(
             "image_id",
             F.lit(z).alias("zoom"),
-            F.shiftright(F.col(f"tile_z{z}"), 29).bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_x"),
-            F.col(f"tile_z{z}").bitwiseAND(F.lit((1 << 29) - 1)).alias("tile_y"),
+            x.alias("tile_x"),
+            y.alias("tile_y"),
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -70,12 +81,30 @@ def run_flagship(
     pts = cover_ops.with_point_cells(images)
     containment = containment_pipeline(spark, pts, strategy=strategy)
     n_pairs = containment.count()
+    # kNN (k=1) nearest-POI per image: codegen least() chain, map-side only
+    dist = knn_ops.nearest_dist_expr(poi_list(spark))
+    knn_row = images.agg(
+        F.count("*").alias("n"), F.sum(F.round(dist, 3)).alias("ck")
+    ).collect()[0]
+    knn_checksum = knn_row["ck"]
     tiles = tile_assignments(pts, zooms)
     if checkpoint_root:
         m = ckpt.write_snapshot(
             tiles, checkpoint_root, "zoom", provenance=f"tile_assignments(n={n_images})"
         )
         n_tiles = sum(p["rows"] for p in m.partitions.values())
+        checksum = None
     else:
-        n_tiles = tiles.count()
-    return {"images": n_images, "containment_pairs": n_pairs, "tile_rows": n_tiles}
+        # count()+checksum in ONE pass so the tile UDFs actually evaluate
+        # (a bare count() prunes unused columns and skips them entirely)
+        row = tiles.agg(
+            F.count("*").alias("n"), F.sum(F.col("tile_x") + F.col("tile_y")).alias("ck")
+        ).collect()[0]
+        n_tiles, checksum = row["n"], row["ck"]
+    return {
+        "images": n_images,
+        "containment_pairs": n_pairs,
+        "tile_rows": n_tiles,
+        "tile_checksum": checksum,
+        "knn_checksum": round(knn_checksum, 1) if knn_checksum is not None else None,
+    }

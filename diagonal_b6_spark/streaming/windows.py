@@ -1,0 +1,107 @@
+"""Structured Streaming operators.
+
+The reference has no streaming subsystem (SURVEY.md §2.13) -- its only
+temporal notion is static GTFS peak/off-peak tags.  Our engine adds the
+standard streaming capability a web-scale ingest pipeline needs: event-time
+tumbling/sliding windows with watermarked late-data handling, streaming
+dedupe, and a per-tile throughput monitor that reuses the SAME JVM-side
+tile expressions as the batch pipeline (one code path, two execution
+modes -- the Spark-first answer to "streams are tables").
+
+All transforms take/return DataFrames, so each works identically on a
+batch frame (tested against groupBy equivalents) and a readStream frame
+(tested through file-source + availableNow triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import cover as cover_ops
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window counts + value sums with a
+    watermark bounding state for late data."""
+    # watermarks require TIMESTAMP (tz); parquet fixtures carry TIMESTAMP_NTZ
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        src.groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
+def streaming_dedupe(
+    events: DataFrame,
+    id_col: str = "event_id",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-id stream: dropDuplicates bounded by watermark
+    (state stays finite at 10^12-event scale because expired ids age out)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.dropDuplicates([id_col])
+
+
+def tile_throughput(
+    points: DataFrame,
+    zoom: int = 12,
+    window: str = "15 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Images/events per web-mercator tile per window -- the streaming
+    twin of the batch tile-assignment stage, sharing cover.tile_xy_cols
+    so batch and stream can never disagree on tile math."""
+    x, y = cover_ops.tile_xy_cols(zoom)
+    points = points.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    src = points.withWatermark(ts_col, watermark) if points.isStreaming else points
+    with_tiles = src.withColumn("tile_x", x).withColumn("tile_y", y)
+    return (
+        with_tiles.groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.lit(zoom).alias("zoom"),
+            "tile_x",
+            "tile_y",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"), "zoom", "tile_x", "tile_y", "n"
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, spark=None
+) -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table with the
+    availableNow trigger; returns the result as a batch DataFrame.
+    Complete output mode (windowed aggs over file sources)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    session = spark or stream_df.sparkSession
+    return session.table(query_name)

@@ -1,0 +1,174 @@
+"""Geometry/S2 scalar+table functions (§2.10) and the find query algebra
+(§2.2-2.3): DuckDB parity for the SQL-expressible ones, closed-form pins
+for the rest."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark import catalog, fixtures
+from diagonal_b6_spark.kernels import geom
+from diagonal_b6_spark.operators import find as find_ops
+from diagonal_b6_spark.operators import geo_fn
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+@pytest.mark.parametrize(
+    "name", ["find_tagged", "find_keyed", "all_tags", "geo_length", "geo_tile_cover"]
+)
+def test_geo_fn_oracle_parity(spark, name):
+    got = sorted(tuple(r) for r in catalog.QUERIES[name](spark, SF).collect())
+    want = _oracle(catalog.ORACLES[name])
+    assert got == want
+    assert len(got) > 0
+
+
+def test_find_counts(spark):
+    feats = fixtures.features_table(spark)
+    # 20 POIs cycling bench/cafe/pub -> ceil assignments: k%3
+    assert find_ops.find(feats, find_ops.tagged("#amenity", "bench")).count() == 7
+    assert find_ops.find(feats, find_ops.tagged("#amenity", "cafe")).count() == 7
+    assert find_ops.find(feats, find_ops.tagged("#amenity", "pub")).count() == 6
+    assert find_ops.find(feats, find_ops.keyed("#building")).count() == 3
+    assert find_ops.find(feats, find_ops.typed("area")).count() == 5
+    assert (
+        find_ops.find(
+            feats, find_ops.or_(find_ops.tagged("#amenity", "pub"), find_ops.keyed("#highway"))
+        ).count()
+        == 7
+    )
+    assert feats.filter(find_ops.all_()).count() == feats.count()
+    assert feats.filter(find_ops.empty()).count() == 0
+    assert find_ops.matches(feats, "path/test/6", find_ops.keyed("#highway"))
+    assert not find_ops.matches(feats, "path/test/6", find_ops.tagged("#amenity", "pub"))
+
+
+def test_unsearchable_key_rejected():
+    with pytest.raises(ValueError):
+        find_ops.tagged("name", "street")  # unprefixed: stored, not indexed
+    with pytest.raises(ValueError):
+        find_ops.tagged("@x", "1")  # '@' keys are key-only searchable
+    find_ops.keyed("@x")  # fine
+
+
+def test_area_closed_forms(spark):
+    rows = {r["feature_id"]: r["area_m2"] for r in catalog.q_geo_area(spark, SF).collect()}
+    # square: 400 m x 400 m
+    assert rows["area/test/1"] == pytest.approx(400.0 * 400.0, rel=2e-3)
+    # hole: 600^2 - 200^2
+    assert rows["area/test/2"] == pytest.approx(600.0**2 - 200.0**2, rel=2e-3)
+    # tiny triangle: base spans 5 m of *longitude degrees* (shrunk by
+    # cos(lat) on the ground), height 5 m of latitude
+    base_m = 5.0 * np.cos(np.radians(51.51))
+    assert rows["area/test/5"] == pytest.approx(0.5 * base_m * 5.0, rel=5e-3)
+    # antimeridian square: 200 m x 200 m (the normalization case)
+    assert rows["area/test/4"] == pytest.approx(200.0 * 200.0, rel=2e-3)
+
+
+def test_centroid_closed_forms(spark):
+    rows = {
+        r["feature_id"]: (r["clat"], r["clng"])
+        for r in catalog.q_geo_centroid(spark, SF).collect()
+    }
+    assert rows["area/test/1"][0] == pytest.approx(51.535, abs=1e-6)
+    assert rows["area/test/1"][1] == pytest.approx(-0.125, abs=1e-6)
+    # point features: centroid == the point
+    f = fixtures.feature_rows()
+    for r in f:
+        if r["feature_type"] == "point":
+            assert rows[r["feature_id"]][0] == pytest.approx(r["ys"][0], abs=1e-9)
+            assert rows[r["feature_id"]][1] == pytest.approx(r["xs"][0], abs=1e-9)
+
+
+def test_interpolate_endpoints(spark):
+    paths = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
+    first = geo_fn.with_interpolate(paths, 0.0).collect()[0]
+    last = geo_fn.with_interpolate(paths, 1.0).collect()[0]
+    road = [r for r in fixtures.feature_rows() if r["feature_id"] == "path/test/6"][0]
+    assert first["interp_lat"] == pytest.approx(road["ys"][0], abs=1e-9)
+    assert first["interp_lng"] == pytest.approx(road["xs"][0], abs=1e-9)
+    assert last["interp_lat"] == pytest.approx(road["ys"][-1], abs=1e-9)
+    assert last["interp_lng"] == pytest.approx(road["xs"][-1], abs=1e-9)
+
+
+def test_distance_to_point(spark):
+    paths = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
+    road = [r for r in fixtures.feature_rows() if r["feature_id"] == "path/test/6"][0]
+    # probe exactly on the first vertex -> distance ~0
+    out = geo_fn.with_distance_to_point_m(paths, road["ys"][0], road["xs"][0]).collect()[0]
+    assert out["dist_m"] < 0.5
+
+
+def test_s2_covering_contains_feature_cells(spark):
+    """Covering invariant: every POI's level-16 cell is contained in some
+    covering cell of an area that contains the point."""
+    from diagonal_b6_spark.kernels import cellmath as cm
+
+    cov = catalog.q_geo_s2_covering(spark, SF).collect()
+    by_f = {}
+    for r in cov:
+        by_f.setdefault(r["feature_id"], []).append(r["token"])
+    assert len(by_f) == len(fixtures.feature_rows())
+    # square's covering must contain the cell of its centre point
+    centre = cm.cell_id_from_latlng(np.array([51.535]), np.array([-0.125]), 16)[0]
+    sq = [cm.token_to_id(t) for t in by_f["area/test/1"]]
+    assert any(cm.contains(np.array([c]), np.array([centre]))[0] for c in sq)
+
+
+def test_tile_cover_antimeridian_wraps(spark):
+    """The +-180-straddling square must cover a handful of tiles on BOTH
+    edges of the x range, not a world-spanning bbox."""
+    feats = fixtures.features_table(spark).filter(F.col("feature_id") == "area/test/4")
+    out = geo_fn.tile_cover(feats, zoom=12).collect()
+    xs = sorted({r["tile_x"] for r in out})
+    assert len(out) <= 8  # ~200 m square: a few tiles, never thousands
+    assert 0 in xs and 4095 in xs  # wraps across the antimeridian
+
+
+def test_s2_polygon_corners(spark):
+    df = catalog.q_geo_s2_cells(spark, SF).limit(5)
+    out = geo_fn.s2_polygon(df, "cell16").collect()
+    for r in out:
+        assert len(r["corners"]) == 4
+
+
+def test_convex_hull_agg(spark):
+    pts = catalog._events_points(spark, SF)
+    hull = catalog.q_geo_convex_hull(spark, SF).collect()
+    assert 3 <= len(hull) <= 64
+    # cross-check with the numpy kernel run on the full point set
+    pdf = pts.toPandas()
+    x, y = pdf["lng"].to_numpy(), pdf["lat"].to_numpy()
+    idx = geom.convex_hull(x, y)
+    got = sorted((round(float(r["lat"]), 9), round(float(r["lng"]), 9)) for r in hull)
+    want = sorted((round(float(la), 9), round(float(ln), 9)) for la, ln in zip(y[idx], x[idx]))
+    assert got == want
+
+
+def test_rect_and_cap_polygon(spark):
+    r = geo_fn.rectangle_polygon(spark, 51.0, -0.1, 51.01, -0.08)
+    out = geo_fn.with_area_m2(r).collect()[0]
+    # ~1.11 km x ~1.4 km
+    assert out["area_m2"] == pytest.approx(1112.0 * 1398.0, rel=0.02)
+    c = geo_fn.cap_polygon(spark, 51.5, -0.1, 500.0)
+    out = geo_fn.with_area_m2(c).collect()[0]
+    assert out["area_m2"] == pytest.approx(np.pi * 500.0**2, rel=0.01)
+
+
+def test_points_of(spark):
+    feats = fixtures.features_table(spark)
+    out = geo_fn.points_of(feats.filter(F.col("feature_id") == "path/test/6"))
+    assert out.count() == 12
+    assert [r["idx"] for r in out.orderBy("idx").collect()] == list(range(12))

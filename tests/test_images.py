@@ -1,0 +1,84 @@
+"""Image-payload operators: caption/meta oracle parity, decode stats,
+round-trip invariant (BASELINE.json: exact for raw/bmp, PSNR >= 40 dB for
+lossy, captions byte-equal), resize, and the banded phash dup join."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark import catalog, fixtures
+from diagonal_b6_spark.kernels import imagecodec as ic
+from diagonal_b6_spark.operators import images as image_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", ["image_captions", "image_meta"])
+def test_image_oracle_parity(spark, name):
+    got = sorted(tuple(r) for r in catalog.QUERIES[name](spark, SF).collect())
+    want = sorted(tuple(r) for r in duckdb.connect().execute(catalog.ORACLES[name]).fetchall())
+    assert got == want
+    assert len(got) == catalog.N_CATALOG_IMAGES
+
+
+def test_roundtrip_invariant_holds_for_all(spark):
+    out = catalog.q_image_roundtrip(spark, SF)
+    assert out.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).count() == 0
+    assert out.count() == catalog.N_CATALOG_IMAGES
+
+
+def test_decode_stats_match_local_decode(spark):
+    out = {r["image_id"]: r for r in catalog.q_image_decode_stats(spark, SF).collect()}
+    assert all(r["ok"] for r in out.values())
+    # cross-check a few rows against a local decode
+    for i in (0, 7, 1234):
+        iid = f"img{i:012d}"
+        w = fixtures.WIDTHS[i % 4]
+        h = fixtures.HEIGHTS[(i // 4) % 4]
+        fmt = fixtures.FMTS[i % 3]
+        img = ic.decode(ic.encode(ic.pix_batch(np.array([i]), w, h)[0], fmt), fmt)
+        assert out[iid]["mean_r"] == pytest.approx(img[:, :, 0].mean(), abs=1e-3)
+
+
+def test_phash_dups_pinned(spark):
+    """Images i and i+1792 have identical pixel buffers (pattern period
+    lcm(256, 56) with matching w/h cycles) -> identical phash.  All such
+    pairs, and only such pairs, must surface."""
+    out = catalog.q_image_phash_dups(spark, SF).collect()
+    ids = lambda s: int(s[3:])
+    got = sorted((ids(r["id_a"]), ids(r["id_b"])) for r in out)
+    n = 4000
+    want = sorted(
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1792, n, 1792)
+    )
+    assert got == want
+    assert all(r["hamming"] == 0 for r in out)
+
+
+def test_resize_shapes_and_content(spark):
+    out = catalog.q_image_resize(spark, SF).collect()
+    assert len(out) == 500
+    assert all(r["w"] == 16 and r["h"] == 16 and r["fmt"] == "raw" for r in out)
+    assert all(r["n_bytes"] == 12 + 16 * 16 * 3 for r in out)
+    # content: resizing an already-16x16 raw image is identity
+    img16 = image_ops.resize(
+        fixtures.images_table(spark, 40).filter("w = 16 and h = 16 and fmt = 'raw'"),
+        16,
+        16,
+    ).collect()
+    for r in img16:
+        i = int(r["image_id"][3:])
+        expect = ic.pix_batch(np.array([i]), 16, 16)[0]
+        assert (ic.decode_raw(bytes(r["bytes"])) == expect).all()
+
+
+def test_bilinear_downsample_constant_image():
+    img = np.full((1, 32, 32, 3), 77, dtype=np.uint8)
+    out = image_ops._bilinear_batch(img, 8, 8)
+    assert out.shape == (1, 8, 8, 3)
+    assert (out == 77).all()
