@@ -177,16 +177,18 @@ def _bench_scaling() -> dict:
         for s in ("broadcast", "bucketed")
     }
     result = {
+        # headline = the salted co-partitioned plan (the north rule's
+        # at-scale join); broadcast reported alongside
         "metric": "scaling_efficiency_N_to_4N",
-        "value": eff["broadcast"],
+        "value": eff["bucketed"],
         "unit": "ratio",
         "efficiency": eff,
         "n_cores": n,
         "images": SCALING_IMAGES,
         "low": lo,
         "high": hi,
-        "images_per_sec_N": lo["broadcast"]["images_per_sec"],
-        "images_per_sec_4N": hi["broadcast"]["images_per_sec"],
+        "images_per_sec_N": lo["bucketed"]["images_per_sec"],
+        "images_per_sec_4N": hi["bucketed"]["images_per_sec"],
     }
     print(json.dumps(result))
     return result

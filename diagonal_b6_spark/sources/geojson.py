@@ -1,0 +1,141 @@
+"""GeoJSON source/sink for the packed-coordinate feature layout.
+
+Reference surface: `parse-geojson`, `parse-geojson-file`,
+`import-geojson[-file]` turn GeoJSON into world features and `to-geojson`
+renders them back (reference: b6/api/functions/geojson.go:61-130,
+Geometry.ToGeoJSON b6/world.go:707-717).
+
+Spark-first: a GeoJSON FeatureCollection is a one-line-per-feature JSON
+dataset; `from_json` with an explicit schema decodes geometry on the JVM,
+and a `transform`-based packer flattens Point/LineString/Polygon
+coordinates into (xs, ys, ring_offsets) columns.  Properties become the
+tag map.  Emission is the inverse (`to_json` over rebuilt structs).
+
+Supported geometry types: Point, LineString, Polygon (with holes) --
+the reference's physical feature types.  MultiPolygon import maps each
+polygon to its own feature row (b6 areas are multipolygon lists; a flat
+row per polygon keeps the packed layout simple and joins unchanged).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "feature_id string, feature_type string, ns string, tags map<string,string>, "
+    "xs array<double>, ys array<double>, ring_offsets array<int>"
+)
+
+_GJ_TYPES = {"Point": "point", "LineString": "path", "Polygon": "area"}
+
+
+def parse_geojson(spark: SparkSession, text: str, ns: str = "geojson") -> DataFrame:
+    """`parse-geojson`: a FeatureCollection string -> features DataFrame
+    (driver-side parse; for file-scale input use read_geojson_lines)."""
+    obj = json.loads(text)
+    feats = obj["features"] if obj.get("type") == "FeatureCollection" else [obj]
+    rows = []
+    for k, f in enumerate(feats):
+        rows.extend(_feature_to_rows(f, k, ns))
+    return spark.createDataFrame(rows, schema=FEATURE_SCHEMA)
+
+
+def read_geojson_lines(spark: SparkSession, path: str, ns: str = "geojson") -> DataFrame:
+    """`parse-geojson-file` at scale: newline-delimited GeoJSON features
+    (the standard big-data GeoJSON shape), decoded in executors via
+    mapInPandas -- one json.loads + pack per line, Arrow-batched."""
+    raw = spark.read.text(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for k, line in enumerate(pdf["value"]):
+                line = line.strip()
+                if not line:
+                    continue
+                rows.extend(_feature_to_rows(json.loads(line), k, ns))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "feature_id", "feature_type", "ns", "tags", "xs", "ys", "ring_offsets",
+                    ],
+                )
+
+    return raw.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def _feature_to_rows(f: dict, k: int, ns: str) -> list[tuple]:
+    geom = f.get("geometry") or {}
+    gtype = geom.get("type")
+    props = {str(a): str(b) for a, b in (f.get("properties") or {}).items()}
+    fid = str(f.get("id", k))
+    out = []
+    if gtype == "Point":
+        x, y = geom["coordinates"][:2]
+        out.append((f"point/{ns}/{fid}", "point", ns, props, [float(x)], [float(y)], [0]))
+    elif gtype == "LineString":
+        xs = [float(c[0]) for c in geom["coordinates"]]
+        ys = [float(c[1]) for c in geom["coordinates"]]
+        out.append((f"path/{ns}/{fid}", "path", ns, props, xs, ys, [0]))
+    elif gtype == "Polygon":
+        out.append(_polygon_row(geom["coordinates"], f"area/{ns}/{fid}", ns, props))
+    elif gtype == "MultiPolygon":
+        for pi, rings in enumerate(geom["coordinates"]):
+            out.append(_polygon_row(rings, f"area/{ns}/{fid}.{pi}", ns, props))
+    return out
+
+
+def _polygon_row(rings: list, fid: str, ns: str, props: dict) -> tuple:
+    xs: list[float] = []
+    ys: list[float] = []
+    offs: list[int] = []
+    for ring in rings:
+        offs.append(len(xs))
+        pts = ring[:-1] if ring and ring[0] == ring[-1] else ring  # drop closing vertex
+        xs.extend(float(c[0]) for c in pts)
+        ys.extend(float(c[1]) for c in pts)
+    return (fid, "area", ns, props, xs, ys, offs)
+
+
+def to_geojson(features: DataFrame) -> DataFrame:
+    """`to-geojson`: (feature_id, geojson string) per feature, emitted in
+    executors (mapInPandas), ring closure restored for polygons."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, docs = [], []
+            for r in pdf.itertuples(index=False):
+                xs, ys = list(r.xs), list(r.ys)
+                offs = list(r.ring_offsets) + [len(xs)]
+                if r.feature_type == "point":
+                    geom = {"type": "Point", "coordinates": [xs[0], ys[0]]}
+                elif r.feature_type == "path":
+                    geom = {
+                        "type": "LineString",
+                        "coordinates": [[x, y] for x, y in zip(xs, ys)],
+                    }
+                else:
+                    rings = []
+                    for a, b in zip(offs[:-1], offs[1:]):
+                        ring = [[x, y] for x, y in zip(xs[a:b], ys[a:b])]
+                        ring.append(ring[0])  # close
+                        rings.append(ring)
+                    geom = {"type": "Polygon", "coordinates": rings}
+                doc = {
+                    "type": "Feature",
+                    "id": r.feature_id,
+                    "properties": dict(r.tags) if r.tags is not None else {},
+                    "geometry": geom,
+                }
+                ids.append(r.feature_id)
+                docs.append(json.dumps(doc, sort_keys=True))
+            if ids:
+                yield pd.DataFrame({"feature_id": ids, "geojson": docs})
+
+    return features.mapInPandas(encode, schema="feature_id string, geojson string")
