@@ -565,6 +565,23 @@ def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_sightline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed per probe origin vs fixture buildings (rows-only; closed
+    forms pinned in tests/test_sightline.py)."""
+    from .operators import sightline as sl_ops
+
+    origins = _probes(spark).select(
+        F.col("probe_id").alias("origin_id"), "lat", "lng"
+    )
+    buildings = fixtures.features_table(spark).filter(
+        F.col("tags")["#building"].isNotNull()
+    )
+    out = sl_ops.sightline(origins, buildings, radius_m=300.0)
+    return out.select(
+        "origin_id", F.round("visible_area_m2", 1).alias("visible_area_m2"), "n_edges"
+    )
+
+
 def q_geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=1 nearest POI as a codegen least() chain (the map-side `closest`)."""
     from .pipeline import poi_list
@@ -1216,6 +1233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_area": q_geo_area,
     "geo_s2_covering": q_geo_s2_covering,
     "geo_convex_hull": q_geo_convex_hull,
+    "geo_sightline": q_geo_sightline,
     "geo_nearest_poi": q_geo_nearest_poi,
     "geo_elevation_idw": q_geo_elevation_idw,
     "geo_connect_network": q_geo_connect_network,

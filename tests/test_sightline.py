@@ -1,0 +1,99 @@
+"""Sightline/viewshed: closed-form scenes (open cap, blocking wall,
+enclosing box) plus the b6-style fixture ratio band."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark import fixtures
+from diagonal_b6_spark.operators import sightline as sl
+
+R = 300.0
+OLAT, OLNG = 51.60, -0.30  # empty countryside (no fixture buildings)
+M = sl.M_PER_DEG
+
+
+def _origins(spark, pts):
+    return spark.createDataFrame(
+        [(k, float(la), float(ln)) for k, (la, ln) in enumerate(pts)],
+        "origin_id long, lat double, lng double",
+    )
+
+
+def _wall(spark, lat, lng_w_m, dist_m, half_len_m):
+    """A north-south wall dist_m east of (lat, lng_w_m) as an area feature."""
+    kx = M * np.cos(np.radians(lat))
+    x0 = float(lng_w_m + dist_m / kx)
+    y0, y1 = float(lat - half_len_m / M), float(lat + half_len_m / M)
+    t = float(0.5 / kx)  # 0.5 m thick
+    return spark.createDataFrame(
+        [("wall", "area", "t", {}, [x0, x0 + 2 * t, x0 + 2 * t, x0], [y0, y0, y1, y1], [0])],
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+
+
+def test_open_cap_full_visibility(spark):
+    empty = _wall(spark, 0.0, 100.0, 1e6, 1.0)  # wall far away
+    out = sl.sightline(_origins(spark, [(OLAT, OLNG)]), empty, radius_m=R).collect()[0]
+    # n-gon area -> pi r^2 as bins -> inf; 720 bins: within 0.01%
+    assert out["visible_area_m2"] == pytest.approx(np.pi * R * R, rel=1e-3)
+    assert out["n_edges"] == 0
+
+
+def test_enclosing_box_limits_visibility(spark):
+    """Origin inside a 20 m box: visible area == box interior area."""
+    half = 10.0
+    kx = M * np.cos(np.radians(OLAT))
+    xs = [float(v) for v in (OLNG - half / kx, OLNG + half / kx, OLNG + half / kx, OLNG - half / kx)]
+    ys = [float(v) for v in (OLAT - half / M, OLAT - half / M, OLAT + half / M, OLAT + half / M)]
+    box = spark.createDataFrame(
+        [("box", "area", "t", {}, xs, ys, [0])],
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    out = sl.sightline(_origins(spark, [(OLAT, OLNG)]), box, radius_m=R).collect()[0]
+    assert out["visible_area_m2"] == pytest.approx((2 * half) ** 2, rel=2e-3)
+
+
+def test_wall_blocks_sector(spark):
+    """A long wall 50 m east: everything beyond it in the eastern sector is
+    occluded; area must drop well below the open cap but beat the
+    half-plane bound."""
+    wall = _wall(spark, OLAT, OLNG, 50.0, 2000.0)
+    out = sl.sightline(_origins(spark, [(OLAT, OLNG)]), wall, radius_m=R).collect()[0]
+    full = np.pi * R * R
+    # west half-disc + eastern strip up to the wall (~ 0.5*full + 50m strip)
+    assert out["visible_area_m2"] < 0.62 * full
+    assert out["visible_area_m2"] > 0.5 * full
+    assert out["n_edges"] > 0
+
+
+def test_fixture_scene_ratio_band(spark):
+    """b6-style invariant (python/diagonal_b6/b6_test.py:252-256 asserts a
+    sightline/cap area ratio band): origins inside the dense fixture
+    square see a bounded fraction of the cap."""
+    buildings = fixtures.features_table(spark).filter(
+        F.col("tags")["#building"].isNotNull()
+    )
+    pts = [(51.5352, -0.1248), (51.5280, -0.1452)]  # inside square / hole centre
+    out = {r["origin_id"]: r for r in sl.sightline(_origins(spark, pts), buildings, radius_m=300.0).collect()}
+    for r in out.values():
+        ratio = r["visible_area_m2"] / r["cap_area_m2"]
+        assert 0.0 < ratio <= 1.0001
+    # origin 1 sits at the hole centre: the 200 m hole ring encloses it
+    assert out[1]["visible_area_m2"] == pytest.approx(200.0 * 200.0, rel=0.02)
+
+
+def test_boundary_polygon_shape(spark):
+    empty = _wall(spark, 0.0, 100.0, 1e6, 1.0)
+    out = sl.sightline(_origins(spark, [(OLAT, OLNG)]), empty, radius_m=R, n_bins=90).collect()[0]
+    assert len(out["boundary_lats"]) == 90
+    # all boundary points ~R meters away
+    from diagonal_b6_spark.kernels import geom
+    d = geom.haversine_m(
+        np.array(out["boundary_lats"]), np.array(out["boundary_lngs"]), OLAT, OLNG
+    )
+    assert np.allclose(d, R, rtol=5e-3)
