@@ -565,6 +565,18 @@ def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT vector-tile sink over the fixture features (rows-only; wire
+    format round-tripped in tests/test_mvt.py)."""
+    from .operators import render as render_ops
+
+    feats = fixtures.features_table(spark).filter(F.col("feature_id") != "area/test/4")
+    out = render_ops.render_tiles(feats, zoom=14)
+    return out.select(
+        "zoom", "tile_x", "tile_y", "n_features", F.length("mvt").alias("mvt_bytes")
+    )
+
+
 def q_geo_sightline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed per probe origin vs fixture buildings (rows-only; closed
     forms pinned in tests/test_sightline.py)."""
@@ -1233,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_area": q_geo_area,
     "geo_s2_covering": q_geo_s2_covering,
     "geo_convex_hull": q_geo_convex_hull,
+    "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
     "geo_nearest_poi": q_geo_nearest_poi,
     "geo_elevation_idw": q_geo_elevation_idw,

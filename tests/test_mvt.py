@@ -1,0 +1,78 @@
+"""MVT encoder + tile-render sink: wire-format round-trip, coordinate
+precision, tag table integrity, per-tile grouping."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark import fixtures
+from diagonal_b6_spark.kernels import mvt
+from diagonal_b6_spark.operators import render
+
+
+def test_varint_zigzag_roundtrip():
+    for v in [0, 1, 127, 128, 300, 1 << 20, (1 << 32) + 5]:
+        buf = mvt._varint(v)
+        got, i = mvt._read_varint(buf, 0)
+        assert got == v and i == len(buf)
+    for v in [0, -1, 1, -64, 64, 4095, -4096]:
+        assert mvt._unzigzag(mvt._zigzag(v)) == v
+
+
+def test_geometry_command_roundtrip():
+    ring = np.array([[10, 10], [200, 10], [200, 300], [10, 300]])
+    cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, [ring])
+    # first command: MoveTo count 1
+    assert cmds[0] == (1 & 7) | (1 << 3)
+    # encode a feature + layer, decode the tile
+    feat = mvt.encode_feature(7, mvt.GEOM_POLYGON, [ring], [0, 0])
+    tile = mvt.encode_layer("l", [feat], ["#building"], ["yes"])
+    layers = mvt.decode_tile(tile)
+    assert len(layers) == 1
+    lay = layers[0]
+    assert lay["name"] == "l" and lay["version"] == 2 and lay["extent"] == mvt.EXTENT
+    assert lay["keys"] == ["#building"] and lay["values"] == ["yes"]
+    f = lay["features"][0]
+    assert f["id"] == 7 and f["type"] == mvt.GEOM_POLYGON and f["tags"] == [0, 0]
+    assert (f["rings"][0] == ring).all()
+
+
+def test_render_tiles_fixture(spark):
+    feats = fixtures.features_table(spark).filter(F.col("feature_id") != "area/test/4")
+    out = render.render_tiles(feats, zoom=14).collect()
+    assert len(out) > 0
+    total_feats = sum(r["n_features"] for r in out)
+    assert total_feats >= feats.count()  # features span multiple tiles
+    # every tile decodes and its features' coords sit near the tile window
+    for r in out:
+        layers = mvt.decode_tile(bytes(r["mvt"]))
+        assert layers[0]["name"] == "features"
+        assert len(layers[0]["features"]) == r["n_features"]
+        for f in layers[0]["features"]:
+            for ring in f["rings"]:
+                assert (np.abs(ring) < 40 * mvt.EXTENT).all()
+
+
+def test_render_roundtrip_coordinates(spark):
+    """A point feature's decoded tile-local coords re-project to its
+    lat/lng within half a pixel (extent 4096)."""
+    feats = fixtures.features_table(spark).filter(F.col("feature_type") == "point")
+    zoom = 16
+    out = render.render_tiles(feats, zoom=zoom).collect()
+    pois = {f["feature_id"]: (f["ys"][0], f["xs"][0]) for f in fixtures.feature_rows() if f["feature_type"] == "point"}
+    n_checked = 0
+    for r in out:
+        lay = mvt.decode_tile(bytes(r["mvt"]))[0]
+        for f in lay["features"]:
+            x, y = f["rings"][0][0]
+            n = float(1 << zoom)
+            xf = (r["tile_x"] + x / mvt.EXTENT) / n
+            yf = (r["tile_y"] + y / mvt.EXTENT) / n
+            lng = xf * 360.0 - 180.0
+            lat = np.degrees(np.arctan(np.sinh(np.pi * (1 - 2 * yf))))
+            # match against the nearest fixture POI
+            best = min(pois.values(), key=lambda p: (p[0] - lat) ** 2 + (p[1] - lng) ** 2)
+            assert abs(best[0] - lat) < 1e-4 and abs(best[1] - lng) < 1e-4
+            n_checked += 1
+    assert n_checked >= len(pois)
