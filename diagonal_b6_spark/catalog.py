@@ -177,6 +177,16 @@ SELECT probe_id, rank, event_id FROM r WHERE rank <= {KNN_K}
 """
 
 
+def q_geo_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same kNN result through the grid ring-expansion path (the large-
+    probe-set plan: one equi-join shuffle instead of a cross join)."""
+    pts = _events_points(spark, sf_dir)
+    out = knn_ops.knn_grid(
+        pts, _probes(spark), KNN_K, cell_deg=0.01, max_rings=6, point_id="event_id"
+    )
+    return out.select("probe_id", "rank", "event_id")
+
+
 def q_geo_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _events_points(spark, sf_dir)
     out = spatial_join.distance_join(pts, CAP_LAT, CAP_LNG, CAP_R_M, point_id="event_id")
@@ -1221,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_pip_salted": q_geo_pip_salted,
     "geo_tiles": q_geo_tiles,
     "geo_knn": q_geo_knn,
+    "geo_knn_grid": q_geo_knn_grid,
     "geo_cap": q_geo_cap,
     "geo_grid": q_geo_grid,
     "geo_s2_cells": q_geo_s2_cells,
@@ -1280,6 +1291,7 @@ ORACLES: dict[str, str] = {
     "geo_pip_salted": sql_geo_pip(),  # same result, different physical plan
     "geo_tiles": sql_geo_tiles(),
     "geo_knn": sql_geo_knn(),
+    "geo_knn_grid": sql_geo_knn(),  # same result, grid-join physical plan
     "geo_cap": sql_geo_cap(),
     "geo_grid": sql_geo_grid(),
     "tpch_q1": sql_tpch_q1(),

@@ -134,3 +134,19 @@ def test_antimeridian_containment(spark, feats):
     ).toPandas()
     hits = set(res["image_id"])
     assert hits == {"p_east", "p_west"}
+
+
+def test_knn_grid_equals_bruteforce(spark):
+    """The ring-expansion kNN (equi-join plan) must return exactly the
+    brute-force result, probe for probe, rank for rank."""
+    from diagonal_b6_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    brute = sorted(
+        tuple(r) for r in catalog.q_geo_knn(spark, sf).collect()
+    )
+    grid = sorted(
+        tuple(r) for r in catalog.q_geo_knn_grid(spark, sf).collect()
+    )
+    assert grid == brute
+    assert len(grid) == catalog.N_PROBES * catalog.KNN_K
