@@ -780,6 +780,30 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extract over the deterministic fake-pcm table
+    (rows-only; real plumbing, stubbed codec per the brief)."""
+    from .operators import multimodal as mm
+
+    clips = mm.synth_audio_table(spark, 500)
+    out = mm.audio_features(clips)
+    return out.select(
+        "clip_id",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 4).alias("zcr"),
+    )
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over fake-yuv clips (rows-only)."""
+    from .operators import multimodal as mm
+
+    vids = mm.synth_video_table(spark, 200)
+    out = mm.sample_frames(vids, every=4)
+    return out.select("video_id", "frame_idx", F.round("mean", 3).alias("mean"))
+
+
 # --- mutation / change ops (SURVEY.md §2.12) --------------------------------
 #
 # Features derived from customer rows (id + a 2-key tag map); a tag delta
@@ -1215,6 +1239,28 @@ SELECT probe_id, rank, vec_id FROM r WHERE rank <= 5
 """
 
 
+def q_embedding_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_clusters: candidate set is the whole
+    collection, so results equal brute force -- oracle-checked."""
+    emb = fixtures.testdata(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = sim_ops.ivf_topk(emb, probes, 5, n_clusters=8, nprobe=8, iters=2)
+    return out.select("probe_id", "rank", "vec_id")
+
+
+def q_embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2 of 8 (recall < 1 by design -> rows-only)."""
+    emb = fixtures.testdata(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(emb, probes, 5, n_clusters=8, nprobe=2, iters=2).select(
+        "probe_id", "rank", "vec_id"
+    )
+
+
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant (recall<1 by design -> rows-only check)."""
     emb = fixtures.testdata(spark, sf_dir, "embeddings")
@@ -1267,6 +1313,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_roundtrip": q_image_roundtrip,
     "image_phash_dups": q_image_phash_dups,
     "image_resize": q_image_resize,
+    "audio_features": q_audio_features,
+    "video_frame_sample": q_video_frame_sample,
     "change_tags": q_change_tags,
     "change_overlay": q_change_overlay,
     "graph_sssp": q_graph_sssp,
@@ -1283,6 +1331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "embedding_knn": q_embedding_knn,
+    "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "embedding_knn_lsh": q_embedding_knn_lsh,
 }
 
@@ -1327,6 +1377,7 @@ ORACLES: dict[str, str] = {
     "language_score": sql_language_score(),
     "quality_score": sql_quality_score(),
     "embedding_knn": sql_embedding_knn(),
+    "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
     # doc_fingerprint, embedding_knn_lsh
 }
