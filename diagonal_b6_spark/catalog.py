@@ -362,6 +362,35 @@ FROM orders GROUP BY 1
 """
 
 
+def q_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b6-style auto-bucketing histogram (numeric mode on o_totalprice)."""
+    o = fixtures.testdata(spark, sf_dir, "orders")
+    return agg_ops.histogram_auto(o, "o_totalprice", n_buckets=8)
+
+
+def sql_histogram_auto() -> str:
+    return """
+WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 8.0)) AS BIGINT), 7) AS VARCHAR) AS bucket,
+       count(*) AS n
+FROM orders, s GROUP BY 1
+"""
+
+
+def q_geo_snap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snap-area-edges over fixture areas vs the street path (rows-only;
+    geometric invariants pinned in tests/test_geo_fn.py)."""
+    feats = fixtures.features_table(spark)
+    areas = feats.filter(F.col("feature_type") == "area")
+    paths = feats.filter(F.col("feature_type") == "path")
+    out = geo_fn.snap_area_edges(areas, paths, threshold_m=40.0)
+    return out.select(
+        "feature_id",
+        "n_snapped",
+        F.round(F.aggregate(F.col("xs"), F.lit(0.0), lambda a, x: a + x), 6).alias("xs_sum"),
+    )
+
+
 def q_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = fixtures.testdata(spark, sf_dir, "customer")
     base = c.filter(F.col("c_acctbal") >= 5000).select("c_custkey", F.col("c_name").alias("name"))
@@ -1289,6 +1318,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": q_top_orders,
     "percentiles": q_percentiles,
     "histogram": q_histogram,
+    "histogram_auto": q_histogram_auto,
+    "geo_snap_edges": q_geo_snap_edges,
     "join_missing": q_join_missing,
     "degree": q_degree,
     "flatten_words": q_flatten_words,
@@ -1351,6 +1382,7 @@ ORACLES: dict[str, str] = {
     "top_orders": sql_top_orders(),
     "percentiles": sql_percentiles(),
     "histogram": sql_histogram(),
+    "histogram_auto": sql_histogram_auto(),
     "join_missing": sql_join_missing(),
     "degree": sql_degree(),
     "flatten_words": sql_flatten_words(),

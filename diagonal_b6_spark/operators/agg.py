@@ -47,6 +47,29 @@ def histogram(df: DataFrame, value_col: str, bucket_size: float) -> DataFrame:
     return df.groupBy(bucket).agg(F.count("*").alias("n"))
 
 
+def histogram_auto(df: DataFrame, value_col: str, max_categories: int = 6, n_buckets: int = 8) -> DataFrame:
+    """b6's auto-bucketing (b6/api/histogram.go:130-374): <= max_categories
+    distinct values -> one categorical bucket per value; otherwise
+    equal-width numeric buckets over [min, max].  Two cheap aggregates
+    decide the mode; the bucketing itself is one groupBy either way."""
+    stats = df.agg(
+        F.countDistinct(value_col).alias("nd"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    ).collect()[0]
+    if stats["nd"] <= max_categories:
+        return df.groupBy(F.col(value_col).cast("string").alias("bucket")).agg(
+            F.count("*").alias("n")
+        )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets or 1.0
+    b = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    return df.groupBy(b.cast("string").alias("bucket")).agg(F.count("*").alias("n"))
+
+
 def join_missing(base: DataFrame, joined: DataFrame, key: str) -> DataFrame:
     """base UNION (joined minus base-keyed): keeps the base row when keys
     collide (fn collections.go:485-583 sorted-merge semantics)."""

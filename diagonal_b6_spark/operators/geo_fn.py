@@ -282,6 +282,70 @@ def tile_cover(features: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def snap_area_edges(
+    areas: DataFrame, paths: DataFrame, threshold_m: float = 20.0
+) -> DataFrame:
+    """`snap-area-edges` (fn geometry.go:123-204, simplified): project each
+    polygon vertex onto the closest nearby path segment (<= threshold)
+    and rebuild the ring with the snapped vertices.  The reference
+    projects *edges* and repairs intersections; vertex snapping is the
+    order-preserving core that covers the common align-parcel-to-street
+    use.  Path segments are collected (small side) and the projection is
+    one vectorized (vertices x segments) pass per polygon batch."""
+    segs = paths.select("xs", "ys").collect()
+    sx1, sy1, sx2, sy2 = [], [], [], []
+    for r in segs:
+        xs, ys = np.asarray(r["xs"]), np.asarray(r["ys"])
+        sx1.append(xs[:-1]); sy1.append(ys[:-1]); sx2.append(xs[1:]); sy2.append(ys[1:])
+    sx1 = np.concatenate(sx1) if sx1 else np.empty(0)
+    sy1 = np.concatenate(sy1) if sy1 else np.empty(0)
+    sx2 = np.concatenate(sx2) if sx2 else np.empty(0)
+    sy2 = np.concatenate(sy2) if sy2 else np.empty(0)
+
+    schema = (
+        "feature_id string, xs array<double>, ys array<double>, "
+        "ring_offsets array<int>, n_snapped int"
+    )
+
+    def snap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                vx = np.asarray(r.xs, dtype=np.float64)
+                vy = np.asarray(r.ys, dtype=np.float64)
+                if len(sx1) == 0:
+                    out.append((r.feature_id, list(vx), list(vy), list(r.ring_offsets), 0))
+                    continue
+                # local meter frame around the polygon
+                clat = float(vy.mean())
+                kx = 111195.0 * np.cos(np.radians(clat))
+                px, py = vx * kx, vy * 111195.0
+                ax, ay = sx1 * kx, sy1 * 111195.0
+                bx, by = sx2 * kx, sy2 * 111195.0
+                ex, ey = (bx - ax)[None, :], (by - ay)[None, :]
+                wx = px[:, None] - ax[None, :]
+                wy = py[:, None] - ay[None, :]
+                L2 = np.maximum(ex * ex + ey * ey, 1e-12)
+                t = np.clip((wx * ex + wy * ey) / L2, 0.0, 1.0)
+                qx = ax[None, :] + t * ex
+                qy = ay[None, :] + t * ey
+                d = np.hypot(px[:, None] - qx, py[:, None] - qy)
+                best = np.argmin(d, axis=1)
+                bd = d[np.arange(len(px)), best]
+                hit = bd <= threshold_m
+                nx = np.where(hit, qx[np.arange(len(px)), best], px) / kx
+                ny = np.where(hit, qy[np.arange(len(px)), best], py) / 111195.0
+                out.append(
+                    (r.feature_id, [float(v) for v in nx], [float(v) for v in ny],
+                     list(r.ring_offsets), int(hit.sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["feature_id", "xs", "ys", "ring_offsets", "n_snapped"]
+            )
+
+    return areas.select("feature_id", "xs", "ys", "ring_offsets").mapInPandas(snap, schema)
+
+
 # --- geometry constructors & aggregates -------------------------------------
 
 

@@ -172,3 +172,44 @@ def test_points_of(spark):
     out = geo_fn.points_of(feats.filter(F.col("feature_id") == "path/test/6"))
     assert out.count() == 12
     assert [r["idx"] for r in out.orderBy("idx").collect()] == list(range(12))
+
+
+def test_snap_area_edges(spark):
+    """A square 10 m from a straight path: near-side vertices snap onto
+    the path (distance ~0), far-side vertices stay put."""
+    M = 111195.0
+    lat0 = 51.60
+    kx = M * np.cos(np.radians(lat0))
+    path = spark.createDataFrame(
+        [("path/t/1", "path", "t", {},
+          [float(-0.30), float(-0.30)], [float(lat0 - 0.01), float(lat0 + 0.01)], [0])],
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    # square: west side 10 m east of the path, east side 200 m away
+    x_w = float(-0.30 + 10.0 / kx)
+    x_e = float(-0.30 + 200.0 / kx)
+    y0, y1 = float(lat0 - 50.0 / M), float(lat0 + 50.0 / M)
+    area = spark.createDataFrame(
+        [("area/t/2", "area", "t", {}, [x_w, x_e, x_e, x_w], [y0, y0, y1, y1], [0])],
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    out = geo_fn.snap_area_edges(area, path, threshold_m=20.0).collect()[0]
+    assert out["n_snapped"] == 2
+    xs = out["xs"]
+    assert xs[0] == pytest.approx(-0.30, abs=1e-9)  # west vertices snapped onto path
+    assert xs[3] == pytest.approx(-0.30, abs=1e-9)
+    assert xs[1] == pytest.approx(x_e, abs=1e-12)  # east vertices untouched
+    assert out["ys"] == [y0, y0, y1, y1]
+
+
+def test_histogram_auto_modes(spark):
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    cat = spark.createDataFrame([(v,) for v in [1, 1, 2, 2, 2, 3]], "v int")
+    got = {r["bucket"]: r["n"] for r in agg_ops.histogram_auto(cat, "v").collect()}
+    assert got == {"1": 2, "2": 3, "3": 1}  # categorical mode
+    num = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
+    got = {r["bucket"]: r["n"] for r in agg_ops.histogram_auto(num, "v", n_buckets=4).collect()}
+    assert got == {"0": 25, "1": 25, "2": 25, "3": 25}  # equal-width numeric
