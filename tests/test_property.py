@@ -1,0 +1,101 @@
+"""Property-based kernel invariants (hypothesis): cell-id algebra, token
+round-trips, signed-order preservation, PIP edge behavior, tile packing."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from diagonal_b6_spark.kernels import cellmath as cm
+from diagonal_b6_spark.kernels import geom
+
+lat_s = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False)
+lng_s = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+level_s = st.integers(min_value=1, max_value=16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s, level_s)
+def test_cell_id_hierarchy(lat, lng, level):
+    leaf = cm.cell_id_from_latlng(np.array([lat]), np.array([lng]), 16)
+    anc = cm.parent(leaf, np.int64(level))
+    # ancestor contains descendant; levels match; ranges nest
+    assert cm.contains(anc, leaf)[0]
+    assert cm.level(anc)[0] == level
+    assert cm.range_min(anc)[0] <= cm.range_min(leaf)[0]
+    assert cm.range_max(anc)[0] >= cm.range_max(leaf)[0]
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s)
+def test_token_roundtrip(lat, lng):
+    cid = cm.cell_id_from_latlng(np.array([lat]), np.array([lng]), 16)
+    tok = cm.token(cid)[0]
+    assert cm.token_to_id(tok) == cid[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(lat_s, lng_s), min_size=2, max_size=32))
+def test_signed_order_preserved(pts):
+    lat = np.array([p[0] for p in pts])
+    lng = np.array([p[1] for p in pts])
+    ids = cm.cell_id_from_latlng(lat, lng, 16)
+    signed = cm.id_to_signed(ids)
+    a, b = np.argsort(ids, kind="stable"), np.argsort(signed, kind="stable")
+    assert (a == b).all()  # same total order after the sign-bit flip
+    back = cm.signed_to_id(signed)
+    assert (back == ids).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat_s, lng_s)
+def test_cell_center_stays_inside(lat, lng):
+    """The decoded center of a point's cell maps back to the SAME cell."""
+    cid = cm.cell_id_from_latlng(np.array([lat]), np.array([lng]), 16)
+    clat, clng = cm.cell_center_latlng(cid)
+    cid2 = cm.cell_id_from_latlng(clat, clng, 16)
+    assert cid2[0] == cid[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-80, max_value=80, allow_nan=False),
+    st.floats(min_value=-170, max_value=170, allow_nan=False),
+    st.floats(min_value=0.001, max_value=0.2, allow_nan=False),
+    st.floats(min_value=0.001, max_value=0.2, allow_nan=False),
+)
+def test_pip_rectangle(clat, clng, hw, hh):
+    """Points strictly inside an axis-aligned rect test inside; points
+    strictly outside test outside."""
+    xs = np.array([clng - hw, clng + hw, clng + hw, clng - hw])
+    ys = np.array([clat - hh, clat - hh, clat + hh, clat + hh])
+    offs = np.array([0], dtype=np.int64)
+    inside = geom.points_in_polygon(
+        np.array([clng, clng + 0.5 * hw]), np.array([clat, clat - 0.5 * hh]), xs, ys, offs
+    )
+    assert inside.all()
+    outside = geom.points_in_polygon(
+        np.array([clng + 2 * hw, clng]), np.array([clat, clat + 3 * hh]), xs, ys, offs
+    )
+    assert not outside.any()
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_s, lng_s, st.integers(min_value=1, max_value=20))
+def test_tile_pack_roundtrip(lat, lng, zoom):
+    xt, yt = geom.latlng_to_tile(np.array([lat]), np.array([lng]), zoom)
+    packed = geom.tile_to_packed(xt, yt, zoom)
+    x2, y2, z2 = geom.packed_to_tile(packed)
+    assert x2[0] == xt[0] and y2[0] == yt[0] and z2[0] == zoom
+    assert 0 <= xt[0] < (1 << zoom) and 0 <= yt[0] < (1 << zoom)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat_s, lng_s, lat_s, lng_s)
+def test_haversine_metric_properties(a1, o1, a2, o2):
+    d12 = float(geom.haversine_m(a1, o1, a2, o2))
+    d21 = float(geom.haversine_m(a2, o2, a1, o1))
+    assert abs(d12 - d21) < 1e-6  # symmetry
+    assert d12 >= 0.0
+    assert float(geom.haversine_m(a1, o1, a1, o1)) < 1e-6  # identity
+    assert d12 <= np.pi * geom.EARTH_RADIUS_M + 1.0  # bounded by half-circumference
