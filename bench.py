@@ -45,7 +45,7 @@ HEADLINE = [
     "embedding_knn",
 ]
 
-SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "12000000"))
+SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "19000000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1"))
 
 
@@ -102,7 +102,9 @@ def _scaling_child(cores: int, n_images: int, timed_runs: int) -> None:
     spark = get_spark(
         f"scaling_{cores}",
         cores=cores,
-        shuffle_partitions=n_tasks,
+        # the shuffled candidate set is small; 8 reduce tasks cut the
+        # per-task Python handshake cost of the refine stage
+        shuffle_partitions=8,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             # bigger Arrow batches amortize per-batch Python round-trip cost
@@ -111,7 +113,7 @@ def _scaling_child(cores: int, n_images: int, timed_runs: int) -> None:
     )
     images_path = os.environ.get("SPARK_GRAFT_BENCH_INPUT") or f"/tmp/bench_images_{n_images}"
     if not os.path.exists(os.path.join(images_path, "_SUCCESS")):
-        fixtures.images_table(spark, n_images).write.mode("overwrite").parquet(images_path)
+        fixtures.images_table(spark, n_images, partitions=64).write.mode("overwrite").parquet(images_path)
     total_bytes = sum(
         os.path.getsize(os.path.join(images_path, f))
         for f in os.listdir(images_path)

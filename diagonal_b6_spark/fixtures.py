@@ -103,9 +103,16 @@ def images_table(spark: SparkSession, n: int, partitions: int | None = None) -> 
     parts = partitions or max(8, n // 25_000)
 
     def gen(batches):
+        # emit in bounded chunks regardless of the incoming Arrow batch
+        # size: a whole-partition batch of image rows (~3 KB each) would
+        # otherwise allocate multi-100MB Arrow buffers per task and blow
+        # the JVM direct-memory budget at high task counts
+        chunk = 25_000
         for pdf in batches:
-            if len(pdf):
-                yield _gen_rows(pdf["id"].to_numpy())
+            ids = pdf["id"].to_numpy()
+            for k in range(0, len(ids), chunk):
+                if len(ids[k : k + chunk]):
+                    yield _gen_rows(ids[k : k + chunk])
 
     return (
         spark.range(0, n, numPartitions=parts)

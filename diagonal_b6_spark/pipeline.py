@@ -81,26 +81,37 @@ def run_flagship(
     pts = cover_ops.with_point_cells(images)
     containment = containment_pipeline(spark, pts, strategy=strategy)
     n_pairs = containment.count()
-    # kNN (k=1) nearest-POI per image: codegen least() chain, map-side only
-    dist = knn_ops.nearest_dist_expr(poi_list(spark))
-    knn_row = images.agg(
-        F.count("*").alias("n"), F.sum(F.round(dist, 3)).alias("ck")
-    ).collect()[0]
-    knn_checksum = knn_row["ck"]
-    tiles = tile_assignments(pts, zooms)
     if checkpoint_root:
+        dist = knn_ops.nearest_dist_expr(poi_list(spark))
+        knn_row = images.agg(
+            F.count("*").alias("n"), F.sum(F.round(dist, 3)).alias("ck")
+        ).collect()[0]
+        knn_checksum = knn_row["ck"]
+        tiles = tile_assignments(pts, zooms)
         m = ckpt.write_snapshot(
             tiles, checkpoint_root, "zoom", provenance=f"tile_assignments(n={n_images})"
         )
         n_tiles = sum(p["rows"] for p in m.partitions.values())
         checksum = None
     else:
-        # count()+checksum in ONE pass so the tile UDFs actually evaluate
-        # (a bare count() prunes unused columns and skips them entirely)
-        row = tiles.agg(
-            F.count("*").alias("n"), F.sum(F.col("tile_x") + F.col("tile_y")).alias("ck")
+        # kNN distances AND all-zoom tile assignments in ONE scan+job: the
+        # map-side stages share the pass over the table (fewer reads of a
+        # 100 TB input, and one job's fixed cost instead of two).  The
+        # explicit sums force evaluation -- a bare count() would prune the
+        # computed columns and skip them entirely.
+        dist = knn_ops.nearest_dist_expr(poi_list(spark))
+        tile_sum = None
+        for z in zooms:
+            x, y = cover_ops.tile_xy_cols(z)
+            s = x + y
+            tile_sum = s if tile_sum is None else (tile_sum + s)
+        row = images.agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(dist, 3)).alias("knn_ck"),
+            F.sum(tile_sum).alias("tile_ck"),
         ).collect()[0]
-        n_tiles, checksum = row["n"], row["ck"]
+        knn_checksum = row["knn_ck"]
+        n_tiles, checksum = row["n"] * len(zooms), row["tile_ck"]
     return {
         "images": n_images,
         "containment_pairs": n_pairs,
