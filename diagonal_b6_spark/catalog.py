@@ -1097,8 +1097,16 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_minhash_lsh() -> str:
     p = dedup_ops.MOD
     hs = dedup_ops.MINHASH_PARAMS
+    rows = dedup_ops.BAND_ROWS
     sig = ", ".join(
         f"min((sh * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(hs)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, 'b{b}' || {cols} AS bucket FROM sig".format(
+            b=b,
+            cols=" || ".join(f"'_' || mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(dedup_ops.N_BANDS)
     )
     return f"""
 WITH {_DOCS_DUP_CTE},
@@ -1107,13 +1115,11 @@ hashed AS (
   SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS sh FROM sh
 ),
 sig AS (SELECT doc_id, {sig} FROM hashed GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, 'b0' || '_' || mh0 || '_' || mh1 AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, 'b1' || '_' || mh2 || '_' || mh3 AS bucket FROM sig
-)
+bands AS ({band_selects}),
+small AS (SELECT bucket FROM bands GROUP BY bucket HAVING count(*) <= {dedup_ops.MAX_BUCKET})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.bucket IN (SELECT bucket FROM small)
 """
 
 

@@ -15,8 +15,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
-# (a, b) parameters of the 4 universal hash functions h_i(x) = (a*x + b) mod p
-MINHASH_PARAMS = [(911, 3), (3571, 17), (181, 257), (7919, 29)]
+# (a, b) parameters of the N_PERM universal hash functions
+# h_i(x) = (a_i*x + b_i) mod p.  128 permutations / 16 bands x 8 rows gives
+# the standard web-corpus dedup operating point (s-curve threshold
+# ~ (1/16)^(1/8) ~ 0.71 Jaccard); the parameters are a fixed deterministic
+# sequence so the DuckDB oracle regenerates them identically.
+N_PERM = 128
+N_BANDS = 16
+BAND_ROWS = N_PERM // N_BANDS
+MAX_BUCKET = 64  # LSH bucket-size cap: bounds the self-join quadratically
+MINHASH_PARAMS = [
+    ((i * 2654435761 + 104729) % MOD, (i * 40503 + 7919) % MOD) for i in range(N_PERM)
+]
+assert all(a != 0 for a, _ in MINHASH_PARAMS)
 
 
 def _h15(col):
@@ -32,20 +43,25 @@ def words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document."""
-    w = words(df, id_col, text_col)
-    joined = w.alias("a")
-    for k in range(1, n):
-        joined = joined.join(
-            w.alias(f"w{k}"),
-            (F.col(f"a.{id_col}") == F.col(f"w{k}.{id_col}"))
-            & (F.col(f"w{k}.pos") == F.col("a.pos") + k),
-        )
-    parts = [F.col("a.word")] + [F.col(f"w{k}.word") for k in range(1, n)]
-    return joined.select(
-        F.col(f"a.{id_col}").alias(id_col),
-        F.concat_ws(" ", *parts).alias("shingle"),
-    ).distinct()
+    """Distinct word n-gram shingles per document.
+
+    Built entirely from array expressions over the split token array
+    (sequence -> transform -> slice -> concat_ws -> array_distinct):
+    ZERO shuffles -- the n-1 positional self-joins of the exploded token
+    table this replaces each shuffled the full corpus.  The token array is
+    materialized as a column first so the split() subtree is evaluated
+    once, not once per lambda element (higher-order-function pitfall)."""
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -60,7 +76,9 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """4-permutation MinHash signature per doc over word n-gram shingles."""
+    """N_PERM-permutation MinHash signature per doc over word n-gram
+    shingles: one groupBy on doc id with N_PERM JVM-side min aggregates
+    (map-side partial aggregation keeps the shuffle at one row per doc)."""
     sh = shingles(df, id_col, text_col, n)
     hashed = sh.select(id_col, (_h15(F.col("shingle")) % MOD).alias("sh"))
     aggs = [
@@ -70,22 +88,46 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding: 2 bands x 2 rows.
-    A pair collides if either band's signature half matches exactly
-    (shingle -> minhash -> band -> bucket-join; the standard web-dedup
-    pipeline expressed as two groupBy-free equi-self-joins)."""
+def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, bucket) rows: N_BANDS buckets per doc, each keyed by the
+    band's BAND_ROWS-value signature slice."""
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(f"b{b}"), *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: N_BANDS bands x
+    BAND_ROWS rows.  A pair collides if any band's signature slice matches
+    exactly (shingle -> minhash -> band -> bucket-join; the standard
+    web-dedup pipeline as one equi-self-join on the bucket key).
+
+    Buckets larger than `max_bucket` docs are dropped before the
+    self-join: a hot bucket (boilerplate-heavy corpora) otherwise costs
+    O(bucket^2) pairs; with 16 independent bands, genuinely-similar pairs
+    still collide in another band.  The cap bounds the join at
+    max_bucket^2 rows per bucket -- the skew guard this operator needs at
+    corpus scale."""
     sig = minhash_signatures(df, id_col, text_col, n)
-    bands = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                F.concat_ws("_", F.lit("b0"), "mh0", "mh1"),
-                F.concat_ws("_", F.lit("b1"), "mh2", "mh3"),
-            )
-        ).alias("bucket"),
+    bands = lsh_bands(sig, id_col)
+    small = (
+        bands.groupBy("bucket")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select("bucket")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    capped = bands.join(small, "bucket")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
