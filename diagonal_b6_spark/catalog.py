@@ -1021,30 +1021,19 @@ SELECT origin, count(*) AS n_reachable FROM d{GRAPH_ROUNDS} WHERE dist <= 60 GRO
 
 
 def q_graph_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-origin Dijkstra under applyInPandas (rows-only check;
-    pytest pins it against the iterative path run to convergence)."""
-    import numpy as np
-
-    e = _graph_edges(spark, sf_dir).toPandas()
-    routes = graph_ops.dijkstra_per_origin(
-        _graph_origins(spark),
-        e["src"].to_numpy(np.int64),
-        e["dst"].to_numpy(np.int64),
-        e["w"].to_numpy(np.float64),
+    """Exact per-origin Dijkstra, cogrouped distributed edge feed
+    (rows-only check; pytest pins it against the iterative path run to
+    convergence)."""
+    routes = graph_ops.dijkstra_cogrouped(
+        _graph_origins(spark), _graph_edges(spark, sf_dir)
     )
     return routes.select("origin", "node", F.col("dist").cast("long").alias("dist"), "pred")
 
 
 def q_graph_paths_to_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-usage counts over shortest-path trees (rows-only check)."""
-    import numpy as np
-
-    e = _graph_edges(spark, sf_dir).toPandas()
-    routes = graph_ops.dijkstra_per_origin(
-        _graph_origins(spark),
-        e["src"].to_numpy(np.int64),
-        e["dst"].to_numpy(np.int64),
-        e["w"].to_numpy(np.float64),
+    routes = graph_ops.dijkstra_cogrouped(
+        _graph_origins(spark), _graph_edges(spark, sf_dir)
     )
     return graph_ops.paths_to_reach(routes)
 

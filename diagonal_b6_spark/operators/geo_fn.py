@@ -283,24 +283,52 @@ def tile_cover(features: DataFrame, zoom: int) -> DataFrame:
 
 
 def snap_area_edges(
-    areas: DataFrame, paths: DataFrame, threshold_m: float = 20.0
+    areas: DataFrame, paths: DataFrame, threshold_m: float = 20.0,
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """`snap-area-edges` (fn geometry.go:123-204, simplified): project each
     polygon vertex onto the closest nearby path segment (<= threshold)
     and rebuild the ring with the snapped vertices.  The reference
     projects *edges* and repairs intersections; vertex snapping is the
     order-preserving core that covers the common align-parcel-to-street
-    use.  Path segments are collected (small side) and the projection is
-    one vectorized (vertices x segments) pass per polygon batch."""
-    segs = paths.select("xs", "ys").collect()
-    sx1, sy1, sx2, sy2 = [], [], [], []
-    for r in segs:
-        xs, ys = np.asarray(r["xs"]), np.asarray(r["ys"])
-        sx1.append(xs[:-1]); sy1.append(ys[:-1]); sx2.append(xs[1:]); sy2.append(ys[1:])
-    sx1 = np.concatenate(sx1) if sx1 else np.empty(0)
-    sy1 = np.concatenate(sy1) if sy1 else np.empty(0)
-    sx2 = np.concatenate(sx2) if sx2 else np.empty(0)
-    sy2 = np.concatenate(sy2) if sy2 else np.empty(0)
+    use.
+
+    Distributed shape (no driver collect): path segments replicate into
+    grid cells (threshold-inflated bbox), each polygon VERTEX explodes
+    into the cells within threshold of itself (vertices are what snap,
+    so per-vertex cells bound the fan-out at <=9 cells/vertex -- an
+    area-bbox explode would blow up on large or antimeridian-spanning
+    rings), and the matched segments are gathered per area with one
+    groupBy into arrays; the vectorized (vertices x segments) projection
+    then runs per area row.  A segment may meet several vertices' cells,
+    so candidates are deduped before aggregation."""
+    from . import gridjoin
+    from .network import segment_cells
+
+    if cell_deg is None:
+        cell_deg = max(gridjoin.margin_deg(threshold_m), 1e-4)
+    segs = segment_cells(
+        paths.select("xs", "ys").transform(_path_segments_xy), cell_deg, threshold_m
+    )
+    verts = areas.select(
+        "feature_id", F.explode(F.arrays_zip(F.col("xs"), F.col("ys"))).alias("v")
+    ).select("feature_id", F.col("v.xs").alias("vx"), F.col("v.ys").alias("vy"))
+    area_cells = gridjoin.explode_bbox_cells(
+        verts, cell_deg, threshold_m,
+        F.col("vx"), F.col("vx"), F.col("vy"), F.col("vy"),
+    ).select("feature_id", "gy", "gx").distinct()
+    cand = area_cells.join(segs, ["gy", "gx"]).select(
+        "feature_id", "x1", "y1", "x2", "y2"
+    ).distinct()
+    lists = cand.groupBy("feature_id").agg(
+        F.collect_list("x1").alias("sx1"),
+        F.collect_list("y1").alias("sy1"),
+        F.collect_list("x2").alias("sx2"),
+        F.collect_list("y2").alias("sy2"),
+    )
+    joined = areas.select("feature_id", "xs", "ys", "ring_offsets").join(
+        lists, "feature_id", "left"
+    )
 
     schema = (
         "feature_id string, xs array<double>, ys array<double>, "
@@ -313,6 +341,11 @@ def snap_area_edges(
             for r in pdf.itertuples(index=False):
                 vx = np.asarray(r.xs, dtype=np.float64)
                 vy = np.asarray(r.ys, dtype=np.float64)
+                empty = r.sx1 is None or (isinstance(r.sx1, float) and pd.isna(r.sx1))
+                sx1 = np.empty(0) if empty else np.asarray(r.sx1, dtype=np.float64)
+                sy1 = np.empty(0) if empty else np.asarray(r.sy1, dtype=np.float64)
+                sx2 = np.empty(0) if empty else np.asarray(r.sx2, dtype=np.float64)
+                sy2 = np.empty(0) if empty else np.asarray(r.sy2, dtype=np.float64)
                 if len(sx1) == 0:
                     out.append((r.feature_id, list(vx), list(vy), list(r.ring_offsets), 0))
                     continue
@@ -343,7 +376,21 @@ def snap_area_edges(
                 out, columns=["feature_id", "xs", "ys", "ring_offsets", "n_snapped"]
             )
 
-    return areas.select("feature_id", "xs", "ys", "ring_offsets").mapInPandas(snap, schema)
+    return joined.mapInPandas(snap, schema)
+
+
+def _path_segments_xy(paths: DataFrame) -> DataFrame:
+    """(x1, y1, x2, y2) consecutive-vertex segments of each path."""
+    z = F.arrays_zip(
+        F.slice(F.col("xs"), 1, F.size(F.col("xs")) - 1).alias("x1"),
+        F.slice(F.col("ys"), 1, F.size(F.col("ys")) - 1).alias("y1"),
+        F.slice(F.col("xs"), 2, F.size(F.col("xs")) - 1).alias("x2"),
+        F.slice(F.col("ys"), 2, F.size(F.col("ys")) - 1).alias("y2"),
+    )
+    return paths.select(F.explode(z).alias("s")).select(
+        F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+    )
 
 
 # --- geometry constructors & aggregates -------------------------------------

@@ -145,6 +145,8 @@ def dijkstra_per_origin(
                 d, u = heapq.heappop(heap)
                 if d > dist.get(u, np.inf):
                     continue
+                if u >= n:  # isolated seed: present in origins, no edges
+                    continue
                 for k in range(starts[u], starts[u + 1]):
                     v = int(d_sorted[k])
                     nd = d + float(w_sorted[k])
@@ -160,6 +162,82 @@ def dijkstra_per_origin(
 
     return origins.groupBy("origin").applyInPandas(
         run, schema="origin long, node long, dist double, pred long"
+    )
+
+
+def origin_subgraph_edges(
+    edges: DataFrame, origins: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Per-origin reachable edge set: (origin, src, dst, w) rows covering
+    every edge whose source is reachable from the origin.
+
+    Distributed BFS closure (frontier expansion until fixpoint or
+    max_rounds) -- the cell-bounded subgraph extraction that replaces
+    shipping the whole edge table in a task closure.  Each round is one
+    equi-join shuffle; lineage is truncated per round.  This is the feed
+    for ``dijkstra_cogrouped``."""
+    reached = origins.select("origin", "node").distinct()
+    frontier = reached
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("origin", F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, ["origin", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached.join(edges, reached["node"] == edges["src"]).select(
+        "origin", "src", "dst", "w"
+    )
+
+
+def dijkstra_cogrouped(
+    origins: DataFrame,
+    edges: DataFrame,
+    max_cost: float | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact per-origin Dijkstra with a DISTRIBUTED edge feed: the
+    per-origin subgraph (``origin_subgraph_edges``) is cogrouped with the
+    origin's seed rows, so no task ever sees more than one origin's
+    subgraph and the driver never materializes the edge table
+    (b6 per-origin goroutine fan-out, fn graph.go:209-230, at cluster
+    scale).  Returns DataFrame[origin, node, dist, pred]."""
+    sub = origin_subgraph_edges(edges, origins, max_rounds)
+
+    def run(key, seeds: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, list[tuple[int, float]]] = {}
+        for s, d, w in zip(e["src"], e["dst"], e["w"]):
+            adj.setdefault(int(s), []).append((int(d), float(w)))
+        out = []
+        for origin, seed in zip(seeds["origin"], seeds["node"]):
+            dist = {int(seed): 0.0}
+            pred = {int(seed): -1}
+            heap = [(0.0, int(seed))]
+            while heap:
+                d, u = heapq.heappop(heap)
+                if d > dist.get(u, np.inf):
+                    continue
+                for v, w in adj.get(u, ()):
+                    nd = d + w
+                    if max_cost is not None and nd > max_cost:
+                        continue
+                    if nd < dist.get(v, np.inf):
+                        dist[v] = nd
+                        pred[v] = u
+                        heapq.heappush(heap, (nd, v))
+            for node, d in dist.items():
+                out.append((int(origin), node, d, pred[node]))
+        return pd.DataFrame(out, columns=["origin", "node", "dist", "pred"])
+
+    return (
+        origins.groupBy("origin")
+        .cogroup(sub.groupBy("origin"))
+        .applyInPandas(run, schema="origin long, node long, dist double, pred long")
     )
 
 

@@ -3,28 +3,25 @@
 `connect-to-network`: project each feature onto the closest street-network
 segment within a threshold (reference: fn graph.go:522-586,
 b6/graph/connectivity.go:39-114, 500 m threshold ConnectFeature).
-Spark-first: explode paths into a segment table once (small relative to
-the point side), broadcast it, compute point-to-segment distances in one
-vectorized kernel pass, keep the argmin per point under the threshold.
-At planet scale the broadcast side is the cell-local segment subset (the
-same cell-cover prefilter as the containment join); the per-point work is
-unchanged.
+Spark-first: explode paths into a segment table once, replicate each
+segment into the grid cells its threshold-inflated bbox overlaps, join
+points on their single cell, refine with a pure-JVM point-to-segment
+distance expression, argmin per point.  No driver materialization of any
+data-dependent table; the candidate join shuffles on the grid key and
+both sides stream.
 
 Elevation IDW join: inverse-distance-weighted average of spot heights
 within a radius (reference: b6/elevation.go:18-64 sorted-cell range scan
--> here a broadcast join + weighted aggregation).
+-> here the same grid-cell candidate join + a weighted aggregation, all
+whole-stage-codegen expressions).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels import geom
+from . import gridjoin
 
 
 def path_segments(paths: DataFrame) -> DataFrame:
@@ -44,6 +41,20 @@ def path_segments(paths: DataFrame) -> DataFrame:
     )
 
 
+def segment_cells(segs: DataFrame, cell_deg: float, margin_m: float) -> DataFrame:
+    """Replicate each segment into the grid cells its margin-inflated
+    bbox overlaps (gy, gx columns added)."""
+    return gridjoin.explode_bbox_cells(
+        segs,
+        cell_deg,
+        margin_m,
+        F.least(F.col("x1"), F.col("x2")),
+        F.greatest(F.col("x1"), F.col("x2")),
+        F.least(F.col("y1"), F.col("y2")),
+        F.greatest(F.col("y1"), F.col("y2")),
+    )
+
+
 def connect_to_network(
     points: DataFrame,
     paths: DataFrame,
@@ -51,46 +62,38 @@ def connect_to_network(
     point_id: str = "image_id",
     lat: str = "lat",
     lng: str = "lng",
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """Closest segment within threshold per point:
-    (point_id, path_id, seg_idx, dist_m).  Segment table broadcast; the
-    distance kernel runs one numpy pass per Arrow batch over all
-    (point x segment) candidates."""
-    segs = path_segments(paths).collect()
-    sx1 = np.array([s["x1"] for s in segs])
-    sy1 = np.array([s["y1"] for s in segs])
-    sx2 = np.array([s["x2"] for s in segs])
-    sy2 = np.array([s["y2"] for s in segs])
-    sid = [(s["feature_id"], s["seg_idx"]) for s in segs]
+    (point_id, path_id, seg_idx, dist_m).
 
-    pid_type = points.schema[point_id].dataType.simpleString()
-    schema = f"{point_id} {pid_type}, path_id string, seg_idx int, dist_m double"
-
-    def nearest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            # (n_points, n_segs) distance matrix in one vectorized call
-            d = geom.point_segment_distance_m(
-                pdf[lng].to_numpy()[:, None],
-                pdf[lat].to_numpy()[:, None],
-                sx1[None, :], sy1[None, :], sx2[None, :], sy2[None, :],
-            )
-            best = np.argmin(d, axis=1)
-            bd = d[np.arange(len(pdf)), best]
-            keep = bd <= threshold_m
-            if not keep.any():
-                continue
-            yield pd.DataFrame(
-                {
-                    point_id: pdf[point_id].to_numpy()[keep],
-                    "path_id": [sid[b][0] for b in best[keep]],
-                    "seg_idx": [int(sid[b][1]) for b in best[keep]],
-                    "dist_m": bd[keep],
-                }
-            )
-
-    return points.select(point_id, lat, lng).mapInPandas(nearest, schema)
+    Distributed shape: grid-cell candidate join (every segment within
+    threshold_m of a point is guaranteed to land in the point's cell),
+    JVM point-to-segment distance refine, min-struct argmin per point
+    with deterministic (dist, path_id, seg_idx) tie-break."""
+    if cell_deg is None:
+        cell_deg = gridjoin.margin_deg(threshold_m)
+    segs = segment_cells(path_segments(paths), cell_deg, threshold_m)
+    pts = gridjoin.probe_cells(points.select(point_id, lat, lng), cell_deg, lat, lng)
+    cand = pts.join(segs, ["gy", "gx"])
+    d = gridjoin.point_segment_dist_col(
+        F.col(lng), F.col(lat), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    scored = cand.select(
+        point_id,
+        F.struct(
+            d.alias("dist_m"),
+            F.col("feature_id").alias("path_id"),
+            F.col("seg_idx").alias("seg_idx"),
+        ).alias("c"),
+    ).filter(F.col("c.dist_m") <= threshold_m)
+    best = scored.groupBy(point_id).agg(F.min("c").alias("b"))
+    return best.select(
+        point_id,
+        F.col("b.path_id").alias("path_id"),
+        F.col("b.seg_idx").alias("seg_idx"),
+        F.col("b.dist_m").alias("dist_m"),
+    )
 
 
 def elevation_idw(
@@ -99,30 +102,32 @@ def elevation_idw(
     radius_m: float,
     point_id: str = "image_id",
     power: float = 2.0,
+    cell_deg: float | None = None,
 ) -> DataFrame:
-    """IDW elevation per point from broadcast spot heights within radius
+    """IDW elevation per point from spot heights within radius
     (b6/elevation.go:18-64): elev = sum(w*e)/sum(w), w = 1/d^power; a
-    spot at distance ~0 short-circuits to its exact height."""
-    sp = spots.collect()
-    slat = np.array([s["lat"] for s in sp])
-    slng = np.array([s["lng"] for s in sp])
-    sel = np.array([s["elev"] for s in sp])
+    spot at distance ~0 dominates via the 1e-9 distance floor.
 
-    pid_type = points.schema[point_id].dataType.simpleString()
-    schema = f"{point_id} {pid_type}, elev double"
-
-    def idw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            d = geom.haversine_m(
-                pdf["lat"].to_numpy()[:, None], pdf["lng"].to_numpy()[:, None],
-                slat[None, :], slng[None, :],
-            )
-            w = np.where(d <= radius_m, 1.0 / np.maximum(d, 1e-9) ** power, 0.0)
-            denom = w.sum(axis=1)
-            elev = np.where(denom > 0, (w * sel[None, :]).sum(axis=1) / np.maximum(denom, 1e-30), np.nan)
-            keep = denom > 0
-            yield pd.DataFrame({point_id: pdf[point_id].to_numpy()[keep], "elev": elev[keep]})
-
-    return points.select(point_id, "lat", "lng").mapInPandas(idw, schema)
+    Distributed shape: spots replicate into the grid cells within radius
+    of themselves, points join their own cell, the weighted sum is one
+    groupBy -- no driver collect, pure JVM expressions throughout."""
+    if cell_deg is None:
+        cell_deg = gridjoin.margin_deg(radius_m)
+    sp = gridjoin.explode_bbox_cells(
+        spots.select(F.col("lat").alias("slat"), F.col("lng").alias("slng"), "elev"),
+        cell_deg,
+        radius_m,
+        F.col("slng"),
+        F.col("slng"),
+        F.col("slat"),
+        F.col("slat"),
+    )
+    pts = gridjoin.probe_cells(points.select(point_id, "lat", "lng"), cell_deg)
+    cand = pts.join(sp, ["gy", "gx"])
+    d = gridjoin.haversine_col(F.col("lat"), F.col("lng"), F.col("slat"), F.col("slng"))
+    w = F.lit(1.0) / F.pow(F.greatest(d, F.lit(1e-9)), F.lit(power))
+    scored = cand.filter(d <= radius_m).select(point_id, w.alias("w"), (w * F.col("elev")).alias("we"))
+    return (
+        scored.groupBy(point_id)
+        .agg((F.sum("we") / F.sum("w")).alias("elev"))
+    )

@@ -93,3 +93,39 @@ def test_max_cost_prunes(spark):
     pruned = graph_ops.bounded_sssp(edges, origins, rounds=3, max_cost=20.0)
     assert pruned.filter(F.col("dist") > 20.0).count() == 0
     assert pruned.count() <= full.count()
+
+
+def test_dijkstra_cogrouped_matches_closure_variant(spark):
+    """The distributed (cogrouped subgraph) feed must equal the
+    closure-fed per-origin Dijkstra exactly."""
+    import numpy as np
+
+    edges = catalog._graph_edges(spark, SF)
+    origins = catalog._graph_origins(spark)
+    e = edges.toPandas()
+    closure = graph_ops.dijkstra_per_origin(
+        origins,
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["w"].to_numpy(np.float64),
+    )
+    cg = graph_ops.dijkstra_cogrouped(origins, edges)
+    a = {(r.origin, r.node): r.dist for r in closure.collect()}
+    b = {(r.origin, r.node): r.dist for r in cg.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_dijkstra_isolated_seed_does_not_crash(spark):
+    """A seed node with no incident edges returns dist=0 for itself
+    (round-1 ADVICE: CSR sizing from edge endpoints only crashed)."""
+    import numpy as np
+
+    origins = spark.createDataFrame([(0, 10_000)], "origin long, node long")
+    out = graph_ops.dijkstra_per_origin(
+        origins,
+        np.array([0, 1], dtype=np.int64),
+        np.array([1, 2], dtype=np.int64),
+        np.array([1.0, 1.0]),
+    ).collect()
+    assert [(r.origin, r.node, r.dist) for r in out] == [(0, 10_000, 0.0)]
