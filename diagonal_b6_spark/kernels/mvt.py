@@ -67,11 +67,24 @@ def _cmd(cmd_id: int, count: int) -> int:
     return (cmd_id & 0x7) | (count << 3)
 
 
+def _signed_area2(ring: np.ndarray) -> int:
+    """Twice the signed shoelace area of a closed ring in tile coords
+    (MVT 2.1 y-down convention: exterior rings must come out POSITIVE
+    under the spec's surveyor's formula)."""
+    x = np.asarray(ring[:, 0], dtype=np.int64)
+    y = np.asarray(ring[:, 1], dtype=np.int64)
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    return int(np.sum(x * yn - xn * y))
+
+
 def encode_geometry(geom_type: int, rings: list[np.ndarray]) -> list[int]:
     """rings: list of (n, 2) int arrays of tile-local coords.
     Point: one ring of k points -> single MoveTo(k).
     LineString: per ring MoveTo(1) + LineTo(n-1).
-    Polygon: per ring MoveTo(1) + LineTo(n-1) + ClosePath."""
+    Polygon: per ring MoveTo(1) + LineTo(n-1) + ClosePath; ring
+    orientation normalized to spec 2.1 (first/exterior ring positive
+    signed area, subsequent hole rings negative) so real renderers
+    classify exterior vs hole correctly for counter-wound input."""
     out: list[int] = []
     cx = cy = 0
     if geom_type == GEOM_POINT:
@@ -82,6 +95,15 @@ def encode_geometry(geom_type: int, rings: list[np.ndarray]) -> list[int]:
             out.append(_zigzag(int(y) - cy))
             cx, cy = int(x), int(y)
         return out
+    if geom_type == GEOM_POLYGON:
+        fixed = []
+        for k, ring in enumerate(rings):
+            a2 = _signed_area2(ring)
+            want_positive = k == 0
+            if (a2 < 0) == want_positive and a2 != 0:
+                ring = ring[::-1]
+            fixed.append(ring)
+        rings = fixed
     for ring in rings:
         out.append(_cmd(1, 1))
         x0, y0 = int(ring[0][0]), int(ring[0][1])

@@ -32,8 +32,12 @@ def cell16_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
 # Catalyst duplicates deterministic Python UDFs referenced through both a
 # join key and a join condition (two ArrowEvalPython nodes = 2x Arrow
 # transfers + 2x kernel work on the 10^12-row side).  The function IS
-# deterministic; the marker is an evaluate-exactly-once barrier.
-cell16_udf = cell16_udf.asNondeterministic()
+# deterministic; the nondeterministic marker is an evaluate-exactly-once
+# barrier -- but Catalyst refuses nondeterministic expressions outside
+# Project/Filter/Aggregate/Window, so the marked variant is SCOPED to
+# `with_point_cells` (a Project) and the plain deterministic UDF stays
+# available for join conditions / sorts.
+cell16_once_udf = cell16_udf.asNondeterministic()
 
 
 def ancestor_at(cell_col, level: int):
@@ -51,7 +55,7 @@ def ancestor_at(cell_col, level: int):
 def with_point_cells(df: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
     """Point index columns: cell16 (exact posting, one pandas-UDF pass) +
     bucket (JVM bit math; the co-partitioning key for large-large joins)."""
-    return df.withColumn("cell16", cell16_udf(F.col(lat), F.col(lng))).withColumn(
+    return df.withColumn("cell16", cell16_once_udf(F.col(lat), F.col(lng))).withColumn(
         "bucket", ancestor_at(F.col("cell16"), cm.BUCKET_LEVEL)
     )
 

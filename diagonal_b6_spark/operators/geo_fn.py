@@ -437,7 +437,19 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
             idx = geom.convex_hull(x, y)  # hull vertex indices, CCW
             yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
 
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # concatenate ALL partial-hull batches before the final hull:
+        # hulling each Arrow batch independently would return several
+        # disjoint partial hulls once stage-1 vertices exceed one batch
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        x = pdf["lng"].to_numpy()
+        y = pdf["lat"].to_numpy()
+        idx = geom.convex_hull(x, y)
+        yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
+
     partials = points.select(F.col(lat).alias("lat"), F.col(lng).alias("lng")).mapInPandas(
         partial, schema=schema
     )
-    return partials.coalesce(1).mapInPandas(partial, schema=schema)
+    return partials.coalesce(1).mapInPandas(final, schema=schema)

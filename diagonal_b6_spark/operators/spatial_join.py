@@ -78,16 +78,45 @@ def containment_join_broadcast(
 ) -> DataFrame:
     """PIP containment join, polygon side broadcast (the `containing-areas`
     shape: N huge points x M small areas).  Returns (point_id, lat, lng,
-    feature_id) rows -- one per containment pair."""
+    feature_id) rows -- one per containment pair.
+
+    The broadcast side is exploded to BUCKET_LEVEL equi-keys so the join
+    plans as a broadcast HASH join on `bucket` (round 1 used the raw
+    range condition, which planned as BroadcastNestedLoopJoin -- every
+    point row scanned every cover row).  The range filter then prunes
+    within the matched bucket.  A point matches at most one cover row
+    per polygon (cover cells are disjoint), so no dedup is needed."""
     if "cell16" not in points.columns:
         points = cover_ops.with_point_cells(points, lat, lng)
     cov = cover_ops.feature_cover_index(polygons.filter(F.col("feature_type") == "area"))
-    cand = points.join(
-        F.broadcast(cov),
-        (F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax")),
-        "inner",
+    buckets = cov.withColumn(
+        "bucket", F.explode(_bucket_keys_udf(F.col("cell")))
+    ).select(*(_GEOM_COLS + ["rmin", "rmax", "bucket"]))
+    cand = points.join(F.broadcast(buckets), "bucket").filter(
+        (F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax"))
     )
     return _refine_pip(cand, point_id, lat, lng, [])
+
+
+def containment_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    lat: str = "lat",
+    lng: str = "lng",
+    max_broadcast_features: int = 100_000,
+    salt: int = 8,
+) -> DataFrame:
+    """Auto-switching containment join: broadcast-hash when the polygon
+    side is small enough to ship to every executor, salted bucketed
+    co-partition join otherwise.  The switch costs one cheap
+    `limit(n+1).count()` action on the (already-filtered) polygon side --
+    the same kind of size probe AQE itself uses."""
+    areas = polygons.filter(F.col("feature_type") == "area")
+    n = areas.limit(max_broadcast_features + 1).count()
+    if n <= max_broadcast_features:
+        return containment_join_broadcast(points, polygons, point_id, lat, lng)
+    return containment_join_bucketed(points, polygons, point_id, lat, lng, salt)
 
 
 def containment_join_bucketed(

@@ -19,6 +19,7 @@ row per polygon keeps the packed layout simple and joins unchanged).
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import Iterator
 
@@ -54,11 +55,15 @@ def read_geojson_lines(spark: SparkSession, path: str, ns: str = "geojson") -> D
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for k, line in enumerate(pdf["value"]):
+            for line in pdf["value"]:
                 line = line.strip()
                 if not line:
                     continue
-                rows.extend(_feature_to_rows(json.loads(line), k, ns))
+                # fallback id for id-less features: a content hash of the
+                # raw line -- globally stable, unlike a per-batch index
+                # (which restarts at 0 per Arrow batch and collides)
+                fallback = hashlib.md5(line.encode("utf-8")).hexdigest()[:16]
+                rows.extend(_feature_to_rows(json.loads(line), fallback, ns))
             if rows:
                 yield pd.DataFrame(
                     rows,

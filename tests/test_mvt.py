@@ -76,3 +76,41 @@ def test_render_roundtrip_coordinates(spark):
             assert abs(best[0] - lat) < 1e-4 and abs(best[1] - lng) < 1e-4
             n_checked += 1
     assert n_checked >= len(pois)
+
+
+def test_polygon_ring_winding_normalized():
+    """Spec 2.1: exterior ring positive signed area (y-down surveyor's
+    formula), holes negative -- regardless of input winding."""
+    import numpy as np
+    from diagonal_b6_spark.kernels import mvt
+
+    # a CCW-in-screen-coords square (negative area under y-down) exterior
+    ext = np.array([[0, 0], [0, 10], [10, 10], [10, 0]])
+    hole = np.array([[2, 2], [8, 2], [8, 8], [2, 8]])  # positive area
+    cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, [ext, hole])
+    # decode the command stream and re-check orientation
+    feat = {"rings": []}
+    ring, i, cx, cy = [], 0, 0, 0
+    rings = []
+    while i < len(cmds):
+        c = cmds[i]
+        cmd, count = c & 7, c >> 3
+        i += 1
+        if cmd in (1, 2):
+            for _ in range(count):
+                dx = (cmds[i] >> 1) ^ -(cmds[i] & 1)
+                dy = (cmds[i + 1] >> 1) ^ -(cmds[i + 1] & 1)
+                i += 2
+                cx += dx
+                cy += dy
+                if cmd == 1 and ring:
+                    rings.append(ring)
+                    ring = []
+                ring.append((cx, cy))
+        else:  # ClosePath
+            pass
+    if ring:
+        rings.append(ring)
+    a2 = [mvt._signed_area2(np.array(r)) for r in rings]
+    assert a2[0] > 0, "exterior must be positive"
+    assert a2[1] < 0, "hole must be negative"

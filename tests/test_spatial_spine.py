@@ -150,3 +150,66 @@ def test_knn_grid_equals_bruteforce(spark):
     )
     assert grid == brute
     assert len(grid) == catalog.N_PROBES * catalog.KNN_K
+
+
+def test_broadcast_containment_plans_hash_join(spark):
+    """Round-1 range-condition broadcast planned as BroadcastNestedLoopJoin
+    (O(N*M)); the bucket-equi-key explode must plan a hash join."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import spatial_join
+
+    from pyspark.sql import functions as F
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.lit(51.52) + F.col("id") * 1e-4).alias("lat"),
+        (F.lit(-0.14) + F.col("id") * 1e-4).alias("lng"),
+    )
+    out = spatial_join.containment_join_broadcast(pts, fixtures.features_table(spark), point_id="pid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_auto_switch(spark):
+    """Small polygon side -> broadcast plan; tiny threshold -> bucketed."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import spatial_join
+    from pyspark.sql import functions as F
+
+    pts = spark.range(50).select(
+        F.col("id").alias("pid"),
+        (F.lit(51.52) + F.col("id") * 1e-4).alias("lat"),
+        (F.lit(-0.14) + F.col("id") * 1e-4).alias("lng"),
+    )
+    feats = fixtures.features_table(spark)
+    bcast = spatial_join.containment_join(pts, feats, point_id="pid")
+    bucketed = spatial_join.containment_join(pts, feats, point_id="pid", max_broadcast_features=1)
+    a = sorted((r["pid"], r["feature_id"]) for r in bcast.collect())
+    b = sorted((r["pid"], r["feature_id"]) for r in bucketed.collect())
+    assert a == b
+
+
+def test_knn_grid_construction_is_lazy(spark):
+    """Single-job knn_grid: no driver-side ring loop, so building the
+    DataFrame launches zero jobs (round 1 ran isEmpty per ring)."""
+    import time
+    from diagonal_b6_spark.operators import knn
+    from pyspark.sql import functions as F
+
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.lit(51.5) + F.col("id") * 1e-3).alias("lat"),
+        (F.lit(-0.1) + F.col("id") * 1e-3).alias("lng"),
+    )
+    probes = spark.range(4).select(
+        F.col("id").alias("probe_id"),
+        (F.lit(51.5) + F.col("id") * 1e-2).alias("lat"),
+        (F.lit(-0.1) + F.col("id") * 1e-2).alias("lng"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = knn.knn_grid(pts, probes, 3, point_id="pid")
+    time.sleep(0.2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert df.count() > 0
