@@ -571,7 +571,8 @@ WHERE tx0 + gx.range <= tx1 AND ty0 + gy.range <= ty1
 
 
 def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type centroids (rows-only; pinned in pytest vs closed forms)."""
+    """Per-type centroids (oracle: closed-form shoelace / length-weighted
+    formulas mirrored in SQL over the fixture vertex table)."""
     out = geo_fn.with_centroid(fixtures.features_table(spark))
     return out.select(
         "feature_id",
@@ -580,12 +581,108 @@ def q_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_ring_vertices_values() -> str:
+    """VALUES rows (fid, ftype, ring, k, n, x, y): ring-scoped vertices
+    with per-ring index k and ring size n (wrap joins need both)."""
+    rows = []
+    for f in fixtures.feature_rows():
+        offs = list(f["ring_offsets"]) + [len(f["xs"])]
+        if f["feature_type"] != "area":
+            offs = [0, len(f["xs"])]
+        for r in range(len(offs) - 1):
+            xs = f["xs"][offs[r] : offs[r + 1]]
+            ys = f["ys"][offs[r] : offs[r + 1]]
+            for k, (x, y) in enumerate(zip(xs, ys)):
+                rows.append(
+                    f"('{f['feature_id']}', '{f['feature_type']}', {r}, {k}, {len(xs)}, {x!r}, {y!r})"
+                )
+    return ",\n    ".join(rows)
+
+
+# normalized longitude around the ring's first vertex (kernels/geom._norm_lng)
+_NORM_X = "((x - x0 + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 + x0"
+
+_RING_CTES = f"""rv0(fid, ftype, ring, k, n, x, y) AS (VALUES
+    {{values}}),
+rv AS (
+  SELECT fid, ftype, ring, k, n,
+         CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+  FROM rv0
+),
+ref AS (SELECT fid, ring, x AS x0, y AS y0 FROM rv WHERE k = 0),
+nv AS (
+  SELECT rv.fid, rv.ftype, rv.ring, rv.k, rv.n, {_NORM_X} AS x, rv.y,
+         ref.x0, ref.y0
+  FROM rv JOIN ref ON ref.fid = rv.fid AND ref.ring = rv.ring
+)"""
+
+
+def sql_geo_centroid() -> str:
+    hav = _HAV.format(lat1="a.y", lng1="a.x", lat2="b.y", lng2="b.x")
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+pts AS (
+  SELECT fid, round(y, 9) AS clat, round(x, 9) AS clng FROM rv
+  WHERE ftype = 'point' OR n = 1
+),
+pseg AS (
+  SELECT a.fid, {hav} AS seg,
+         (a.x + b.x) / 2.0 AS midx, (a.y + b.y) / 2.0 AS midy
+  FROM nv a JOIN nv b ON a.fid = b.fid AND b.k = a.k + 1
+  WHERE a.ftype = 'path' AND a.n > 1
+),
+paths AS (
+  SELECT fid, round(sum(midy * seg) / sum(seg), 9) AS clat,
+         round(sum(midx * seg) / sum(seg), 9) AS clng
+  FROM pseg GROUP BY fid
+),
+aseg AS (
+  SELECT a.fid, a.x0, a.y0,
+         (a.x - a.x0) * (b.y - a.y0) - (b.x - a.x0) * (a.y - a.y0) AS cross_t,
+         ((a.x - a.x0) + (b.x - a.x0)) * ((a.x - a.x0) * (b.y - a.y0) - (b.x - a.x0) * (a.y - a.y0)) AS cxt,
+         ((a.y - a.y0) + (b.y - a.y0)) * ((a.x - a.x0) * (b.y - a.y0) - (b.x - a.x0) * (a.y - a.y0)) AS cyt,
+         a.x AS ax, a.y AS ay
+  FROM nv a JOIN nv b ON a.fid = b.fid AND a.ring = b.ring AND b.k = (a.k + 1) % a.n
+  WHERE a.ftype = 'area' AND a.ring = 0 AND a.n > 1
+),
+areas AS (
+  SELECT fid,
+    CASE WHEN abs(sum(cross_t) / 2.0) < 1e-18 THEN round(avg(ay), 9)
+         ELSE round(any_value(y0) + sum(cyt) / (6.0 * (sum(cross_t) / 2.0)), 9) END AS clat,
+    CASE WHEN abs(sum(cross_t) / 2.0) < 1e-18 THEN round(avg(ax), 9)
+         ELSE round(any_value(x0) + sum(cxt) / (6.0 * (sum(cross_t) / 2.0)), 9) END AS clng
+  FROM aseg GROUP BY fid
+)
+SELECT fid AS feature_id, clat, clng FROM pts
+UNION ALL SELECT fid, clat, clng FROM paths
+UNION ALL SELECT fid, clat, clng FROM areas
+"""
+
+
 def q_geo_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical polygon areas (rows-only; pytest checks closed forms)."""
+    """Spherical polygon areas (oracle: the exact spherical-excess
+    formula sum((lng2-lng1)*(2+sin(lat1)+sin(lat2)))/2 mirrored in SQL;
+    holes subtract)."""
     feats = fixtures.features_table(spark).filter(F.col("feature_type") == "area")
     return geo_fn.with_area_m2(feats).select(
         "feature_id", F.round("area_m2", 1).alias("area_m2")
     )
+
+
+def sql_geo_area() -> str:
+    r2 = "6371010.0 * 6371010.0"
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+pairs AS (
+  SELECT a.fid, a.ring,
+         (radians(b.x) - radians(a.x)) * (2.0 + sin(radians(a.y)) + sin(radians(b.y))) AS term
+  FROM nv a JOIN nv b ON a.fid = b.fid AND a.ring = b.ring AND b.k = (a.k + 1) % a.n
+  WHERE a.ftype = 'area' AND a.n >= 3
+),
+rings AS (SELECT fid, ring, abs(sum(term) / 2.0) * {r2} AS a FROM pairs GROUP BY 1, 2),
+tot AS (SELECT fid, sum(CASE WHEN ring = 0 THEN a ELSE -a END) AS area FROM rings GROUP BY 1)
+SELECT fid AS feature_id, round(greatest(area, 0.0), 1) AS area_m2 FROM tot
+"""
 
 
 def q_geo_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,6 +1135,184 @@ def q_graph_paths_to_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.paths_to_reach(routes)
 
 
+# --- sampling / dereference / expression / weighted routing -----------------
+
+N_PATH_SAMPLES = 7
+
+
+def q_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample-points-along-paths over the fixture street (oracle: the
+    cumulative-length interpolation is mirrored as window SQL)."""
+    paths = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
+    out = geo_fn.sample_points_along_paths(paths, N_PATH_SAMPLES)
+    return out.select(
+        "feature_id", "sample_idx",
+        F.round("lat", 9).alias("lat"), F.round("lng", 9).alias("lng"),
+    )
+
+
+def sql_sample_points() -> str:
+    hav = _HAV.format(lat1="a.y", lng1="a.x", lat2="b.y", lng2="b.x")
+    n = N_PATH_SAMPLES
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+seg AS (
+  SELECT a.fid, a.k AS i, {hav} AS len,
+         a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM rv a JOIN rv b ON a.fid = b.fid AND b.k = a.k + 1
+  WHERE a.ftype = 'path'
+),
+cum AS (
+  SELECT *, coalesce(sum(len) OVER (PARTITION BY fid ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before,
+         sum(len) OVER (PARTITION BY fid) AS total
+  FROM seg
+),
+samples AS (
+  SELECT fid, range AS sample_idx FROM (SELECT DISTINCT fid FROM seg), range({n})
+),
+target AS (
+  SELECT s.fid, s.sample_idx,
+         (s.sample_idx / CAST({n - 1} AS DOUBLE)) * any_value(c.total) AS tgt
+  FROM samples s JOIN cum c ON c.fid = s.fid
+  GROUP BY s.fid, s.sample_idx
+),
+pick AS (
+  SELECT t.fid, t.sample_idx, c.len, c.cum_before, c.x1, c.y1, c.x2, c.y2,
+         row_number() OVER (PARTITION BY t.fid, t.sample_idx ORDER BY c.i DESC) AS rn
+  FROM target t JOIN cum c ON c.fid = t.fid AND c.cum_before <= t.tgt
+)
+SELECT p.fid AS feature_id, p.sample_idx,
+  round(p.y1 + (CASE WHEN p.len > 0 THEN (t.tgt - p.cum_before) / p.len ELSE 0.0 END) * (p.y2 - p.y1), 9) AS lat,
+  round(p.x1 + (CASE WHEN p.len > 0 THEN (t.tgt - p.cum_before) / p.len ELSE 0.0 END) * (p.x2 - p.x1), 9) AS lng
+FROM pick p JOIN target t ON t.fid = p.fid AND t.sample_idx = p.sample_idx
+WHERE p.rn = 1
+"""
+
+
+def q_point_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """point-paths: paths through each vertex location (packed-layout
+    dereference join)."""
+    out = geo_fn.point_paths(fixtures.features_table(spark))
+    return out.select(
+        "path_id", F.round("lat", 9).alias("lat"), F.round("lng", 9).alias("lng"), "n_paths"
+    )
+
+
+def sql_point_paths() -> str:
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+v AS (SELECT DISTINCT fid, x, y FROM rv WHERE ftype = 'path'),
+c AS (SELECT x, y, count(DISTINCT fid) AS n_paths FROM rv WHERE ftype = 'path' GROUP BY 1, 2)
+SELECT v.fid AS path_id, round(v.y, 9) AS lat, round(v.x, 9) AS lng, c.n_paths
+FROM v JOIN c ON c.x = v.x AND c.y = v.y
+"""
+
+
+def _weighted_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted street-graph stand-in: the lineitem DAG
+    with synthetic per-edge length / elevation-gain / one-way attributes
+    (closed-form from node ids so DuckDB regenerates them)."""
+    from .operators import weights as weight_ops
+
+    e = _graph_edges(spark, sf_dir)
+    ea = e.select(
+        "src", "dst",
+        F.col("w").alias("dist_m"),
+        ((F.col("dst") * 17) % 50 - (F.col("src") * 17) % 50).cast("double").alias("elev_gain_m"),
+        ((F.col("src") + F.col("dst")) % 3 == 0).alias("oneway"),
+    )
+    return weight_ops.car_weights(ea, climb_s_per_m=6.0)
+
+
+_WEIGHTED_EDGES_CTE = f"""{_GRAPH_EDGES_CTE},
+ea AS (
+  SELECT src, dst, CAST(w AS DOUBLE) AS dist_m,
+         CAST((dst * 17) % 50 - (src * 17) % 50 AS DOUBLE) AS gain,
+         (src + dst) % 3 = 0 AS oneway
+  FROM e
+),
+we AS (
+  SELECT src, dst, dist_m / 13.9 + 6.0 * greatest(gain, CAST(0 AS DOUBLE)) AS w FROM ea
+  UNION ALL
+  SELECT dst AS src, src AS dst, dist_m / 13.9 + 6.0 * greatest(-gain, CAST(0 AS DOUBLE)) AS w
+  FROM ea WHERE NOT oneway
+)"""
+
+
+def _graph_relax_ctes_weighted() -> str:
+    parts = [
+        f"d0 AS (SELECT CAST(range AS BIGINT) AS origin, CAST(range AS BIGINT) AS node, "
+        f"CAST(0 AS DOUBLE) AS dist FROM range({GRAPH_N_ORIGINS}))"
+    ]
+    for r in range(1, GRAPH_ROUNDS + 1):
+        p = f"d{r - 1}"
+        parts.append(
+            f"d{r} AS (SELECT origin, node, min(dist) AS dist FROM ("
+            f"SELECT * FROM {p} UNION ALL "
+            f"SELECT {p}.origin, we.dst AS node, {p}.dist + we.w AS dist "
+            f"FROM {p} JOIN we ON we.src = {p}.node) GROUP BY 1, 2)"
+        )
+    return ",\n".join(parts)
+
+
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted accessible-all: car-mode one-way rules + Naismith ascent
+    penalty (operators/weights.py), same bounded relaxation engine."""
+    dist = graph_ops.bounded_sssp(
+        _weighted_graph_edges(spark, sf_dir), _graph_origins(spark), rounds=GRAPH_ROUNDS
+    )
+    return dist.select("origin", "node", F.round("dist", 6).alias("dist"))
+
+
+def sql_graph_sssp_weighted() -> str:
+    return f"""
+WITH {_WEIGHTED_EDGES_CTE},
+{_graph_relax_ctes_weighted()}
+SELECT origin, node, round(dist, 6) AS dist FROM d{GRAPH_ROUNDS}
+"""
+
+
+BUILDING_ACCESS_BUDGET = 45.0
+
+
+def q_building_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """building-access: buildings (node % 11 == 0) reachable within the
+    cost budget per origin."""
+    dist = graph_ops.bounded_sssp(
+        _graph_edges(spark, sf_dir), _graph_origins(spark), rounds=GRAPH_ROUNDS
+    )
+    buildings = spark.range(GRAPH_N_NODES).filter(
+        (F.col("id") % 11 == 0) & (F.col("id") > 0)
+    ).select(F.col("id").alias("node"))
+    out = graph_ops.building_access(dist, buildings, BUILDING_ACCESS_BUDGET)
+    return out.select("origin", "node", F.col("dist").cast("long").alias("dist"))
+
+
+def sql_building_access() -> str:
+    return f"""
+WITH {_GRAPH_EDGES_CTE},
+{_graph_relax_ctes()}
+SELECT origin, node, dist FROM d{GRAPH_ROUNDS}
+WHERE node % 11 = 0 AND node > 0 AND dist <= {BUILDING_ACCESS_BUDGET!r}
+"""
+
+
+def q_evaluate_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add-expression + evaluate-feature round trip: store a catalog
+    query as an expression feature in the world, then re-evaluate it by
+    feature id.  Oracle: the stored query's own SQL (count_values)."""
+    from .operators import expression as expr_ops
+
+    world = fixtures.features_table(spark).unionByName(
+        expr_ops.add_expression(spark, "saved-analysis", "count_values"),
+        allowMissingColumns=True,
+    )
+    return expr_ops.evaluate_feature(
+        spark, world, "expression/saved-analysis", {"count_values": q_count_values}, sf_dir
+    )
+
+
 # --- dedup / text / similarity (training-data pipeline ops) -----------------
 
 
@@ -1344,8 +1619,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_tags": q_change_tags,
     "change_overlay": q_change_overlay,
     "graph_sssp": q_graph_sssp,
+    "graph_sssp_weighted": q_graph_sssp_weighted,
+    "graph_building_access": q_building_access,
     "graph_closest": q_graph_closest,
     "graph_reachable": q_graph_reachable,
+    "geo_sample_points": q_sample_points,
+    "geo_point_paths": q_point_paths,
+    "evaluate_feature": q_evaluate_feature,
     "graph_dijkstra": q_graph_dijkstra,
     "graph_paths_to_reach": q_graph_paths_to_reach,
     "dedup_exact": q_dedup_exact,
@@ -1387,6 +1667,8 @@ ORACLES: dict[str, str] = {
     "all_tags": sql_all_tags(),
     "geo_length": sql_geo_length(),
     "geo_tile_cover": sql_geo_tile_cover(),
+    "geo_centroid": sql_geo_centroid(),
+    "geo_area": sql_geo_area(),
     "geo_nearest_poi": sql_geo_nearest_poi(),
     "geo_elevation_idw": sql_geo_elevation_idw(),
     "image_captions": sql_image_captions(),
@@ -1394,8 +1676,13 @@ ORACLES: dict[str, str] = {
     "change_tags": sql_change_tags(),
     "change_overlay": sql_change_overlay(),
     "graph_sssp": sql_graph_sssp(),
+    "graph_sssp_weighted": sql_graph_sssp_weighted(),
+    "graph_building_access": sql_building_access(),
     "graph_closest": sql_graph_closest(),
     "graph_reachable": sql_graph_reachable(),
+    "geo_sample_points": sql_sample_points(),
+    "geo_point_paths": sql_point_paths(),
+    "evaluate_feature": sql_count_values(),  # the stored query's own oracle
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_lsh": sql_minhash_lsh(),
     "dedup_simhash": sql_simhash(),

@@ -131,16 +131,22 @@ def interpolate_along(xs, ys, fraction):
 
 def ring_centroid(xs, ys):
     """Planar area-weighted centroid of a ring (shoelace), adequate at
-    city scales (reference: b6/world.go:868-886 uses loop centroids)."""
+    city scales (reference: b6/world.go:868-886 uses loop centroids).
+
+    Computed in ring-local coordinates (origin at the first vertex):
+    analytically identical, but avoids the catastrophic cancellation of
+    x*y2 - x2*y at |lat| ~ 50 (which cost ~8 significant digits and
+    broke bit-stable oracle comparison)."""
     x = _norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0]))
     y = np.asarray(ys, dtype=np.float64)
-    x2, y2 = np.roll(x, -1), np.roll(y, -1)
-    cross = x * y2 - x2 * y
+    lx, ly = x - x[0], y - y[0]
+    lx2, ly2 = np.roll(lx, -1), np.roll(ly, -1)
+    cross = lx * ly2 - lx2 * ly
     a = cross.sum() / 2.0
     if abs(a) < 1e-18:
         return float(y.mean()), float(x.mean())
-    cx = ((x + x2) * cross).sum() / (6.0 * a)
-    cy = ((y + y2) * cross).sum() / (6.0 * a)
+    cx = x[0] + ((lx + lx2) * cross).sum() / (6.0 * a)
+    cy = y[0] + ((ly + ly2) * cross).sum() / (6.0 * a)
     return float(cy), float(cx)
 
 

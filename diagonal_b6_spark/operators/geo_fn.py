@@ -139,6 +139,67 @@ def points_of(features: DataFrame) -> DataFrame:
     ).select("feature_id", "idx", F.col("p.ys").alias("lat"), F.col("p.xs").alias("lng"))
 
 
+def point_features(features: DataFrame) -> DataFrame:
+    """`point-features` (fn features.go:362-380): dereference each
+    feature's vertices as point features.  In the packed-coordinate
+    layout a path's referenced points materialize as derived rows
+    `<fid>/<idx>` -- the same join surface the reference's
+    PointFeature iterator provides."""
+    v = points_of(features)
+    return v.select(
+        F.concat_ws("/", F.col("feature_id"), F.col("idx")).alias("point_id"),
+        F.col("feature_id").alias("parent_id"),
+        "idx", "lat", "lng",
+    )
+
+
+def point_paths(features: DataFrame) -> DataFrame:
+    """`point-paths` (fn features.go:383-406): for every vertex location,
+    the paths passing through it -- an exact-coordinate self-join of the
+    path vertex table (shared nodes are shared coordinates in the packed
+    layout).  Output (lat, lng, path_id, n_paths>=1 rows per node)."""
+    v = points_of(features.filter(F.col("feature_type") == "path"))
+    counts = v.groupBy("lat", "lng").agg(F.countDistinct("feature_id").alias("n_paths"))
+    return (
+        v.select("feature_id", "lat", "lng")
+        .distinct()
+        .join(counts, ["lat", "lng"])
+        .select(F.col("feature_id").alias("path_id"), "lat", "lng", "n_paths")
+    )
+
+
+_SAMPLES_SCHEMA = T.ArrayType(
+    T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lng", T.DoubleType())])
+)
+
+
+def sample_points_along_paths(paths: DataFrame, n_samples: int) -> DataFrame:
+    """`sample-points` / `sample-points-along-paths`
+    (fn features.go:85-86): n_samples points at fractions k/(n-1) along
+    each path's length.  One Arrow-batched kernel pass per path computes
+    all fractions against the shared cumulative-length table (the common
+    accessibility-study origin sampler)."""
+
+    @F.pandas_udf(_SAMPLES_SCHEMA)
+    def _samples(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            pts = []
+            for k in range(n_samples):
+                frac = k / (n_samples - 1) if n_samples > 1 else 0.0
+                lat, lng = geom.interpolate_along(x, y, frac)
+                pts.append({"lat": lat, "lng": lng})
+            out.append(pts)
+        return pd.Series(out)
+
+    return paths.select(
+        "feature_id",
+        F.posexplode(_samples(F.col("xs"), F.col("ys"))).alias("sample_idx", "s"),
+    ).select("feature_id", "sample_idx", F.col("s.lat").alias("lat"), F.col("s.lng").alias("lng"))
+
+
 # --- S2 cell table functions -------------------------------------------------
 
 

@@ -165,6 +165,41 @@ def dijkstra_per_origin(
     )
 
 
+def building_access(
+    dist: DataFrame, buildings: DataFrame, max_cost: float
+) -> DataFrame:
+    """`building-access` / `filter-accessible` (fn access.go:10-42):
+    buildings reachable within the cost budget per origin -- a semi-join
+    of the distance table against the building node set plus the budget
+    filter.  Returns (origin, node, dist)."""
+    hits = dist.join(buildings, "node", "leftsemi")
+    return hits.filter(F.col("dist") <= max_cost).select("origin", "node", "dist")
+
+
+def reachable_area(dist: DataFrame, nodes: DataFrame, max_cost: float) -> DataFrame:
+    """`reachable-area` (fn graph.go:503-519): convex-hull area of the
+    node locations reachable within budget, per origin.  nodes:
+    DataFrame[node, lat, lng]."""
+    from ..kernels import geom as _geom
+
+    pts = (
+        dist.filter(F.col("dist") <= max_cost)
+        .join(nodes, "node")
+        .select("origin", "lat", "lng")
+    )
+
+    def hull_area(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["lng"].to_numpy()
+        y = pdf["lat"].to_numpy()
+        if len(x) < 3:
+            return pd.DataFrame({"origin": [pdf["origin"].iloc[0]], "area_m2": [0.0]})
+        idx = _geom.convex_hull(x, y)
+        area = _geom.spherical_ring_area_m2(x[idx], y[idx])
+        return pd.DataFrame({"origin": [pdf["origin"].iloc[0]], "area_m2": [area]})
+
+    return pts.groupBy("origin").applyInPandas(hull_area, schema="origin long, area_m2 double")
+
+
 def origin_subgraph_edges(
     edges: DataFrame, origins: DataFrame, max_rounds: int = 64
 ) -> DataFrame:
