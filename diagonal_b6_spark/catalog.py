@@ -1190,6 +1190,25 @@ WHERE p.rn = 1
 """
 
 
+def q_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foster-clip fixture areas against a 500 m window over the dense
+    cluster (rows-only; kernel pinned against closed forms in
+    tests/test_clip.py)."""
+    ky = 600.0 / 111195.0
+    kx = 600.0 / (111195.0 * 0.622514)  # cos(51.53 deg)
+    wx = [-0.133 - kx, -0.133 + kx, -0.133 + kx, -0.133 - kx]
+    wy = [51.533 - ky, 51.533 - ky, 51.533 + ky, 51.533 + ky]
+    areas = fixtures.features_table(spark).filter(
+        (F.col("feature_type") == "area") & (F.col("feature_id") != "area/test/4")
+    )
+    out = geo_fn.clip_to_window(areas, wx, wy, "intersection")
+    return out.select(
+        "feature_id", "piece_idx", "hole",
+        F.size("xs").alias("n_vertices"),
+        F.round(F.col("area_deg2") * 1e10, 3).alias("area_e10_deg2"),
+    )
+
+
 def q_point_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point-paths: paths through each vertex location (packed-layout
     dereference join)."""
@@ -1625,6 +1644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_reachable": q_graph_reachable,
     "geo_sample_points": q_sample_points,
     "geo_point_paths": q_point_paths,
+    "geo_clip": q_geo_clip,
     "evaluate_feature": q_evaluate_feature,
     "graph_dijkstra": q_graph_dijkstra,
     "graph_paths_to_reach": q_graph_paths_to_reach,

@@ -454,6 +454,52 @@ def _path_segments_xy(paths: DataFrame) -> DataFrame:
     )
 
 
+def clip_to_window(
+    areas: DataFrame,
+    window_xs: list[float],
+    window_ys: list[float],
+    op: str = "intersection",
+) -> DataFrame:
+    """Polygon boolean op against a fixed window ring (kernels/clip.py,
+    the Foster/Greiner-Hormann clipper; reference b6/geometry/foster.go:
+    21-600).  Holes are clipped per-ring: piece areas of hole rings
+    subtract downstream (`hole` flag).  Output: (feature_id, piece_idx,
+    hole, xs, ys) -- one row per result ring."""
+    from ..kernels import clip as clip_kernel
+
+    wx = np.asarray(window_xs, dtype=np.float64)
+    wy = np.asarray(window_ys, dtype=np.float64)
+    schema = (
+        "feature_id string, piece_idx int, hole boolean, "
+        "xs array<double>, ys array<double>, area_deg2 double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                x = np.asarray(r.xs, dtype=np.float64)
+                y = np.asarray(r.ys, dtype=np.float64)
+                offs = list(np.asarray(r.ring_offsets, dtype=np.int64)) + [len(x)]
+                piece = 0
+                for ri in range(len(offs) - 1):
+                    rx, ry = x[offs[ri] : offs[ri + 1]], y[offs[ri] : offs[ri + 1]]
+                    if len(rx) < 3:
+                        continue
+                    for oxs, oys in clip_kernel.clip(rx, ry, wx, wy, op):
+                        out.append(
+                            (r.feature_id, piece, ri > 0,
+                             [float(v) for v in oxs], [float(v) for v in oys],
+                             abs(clip_kernel.ring_area(oxs, oys)))
+                        )
+                        piece += 1
+            yield pd.DataFrame(
+                out, columns=["feature_id", "piece_idx", "hole", "xs", "ys", "area_deg2"]
+            )
+
+    return areas.select("feature_id", "xs", "ys", "ring_offsets").mapInPandas(run, schema)
+
+
 # --- geometry constructors & aggregates -------------------------------------
 
 

@@ -1,0 +1,84 @@
+"""Polygon boolean kernel: closed-form rectangle/triangle/concave cases
+(reference parity target: b6/geometry/foster.go clip semantics)."""
+
+import numpy as np
+import pytest
+
+from diagonal_b6_spark.kernels import clip as C
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1])
+
+
+def _area(rings):
+    return sum(abs(C.ring_area(xs, ys)) for xs, ys in rings)
+
+
+def test_overlapping_rects_intersection():
+    a = _rect(0, 0, 4, 4)
+    b = _rect(2, 1, 6, 3)
+    out = C.clip(*a, *b, "intersection")
+    assert len(out) == 1
+    assert _area(out) == pytest.approx(2 * 2)  # overlap = [2,4]x[1,3]
+
+
+def test_overlapping_rects_union_and_difference():
+    a = _rect(0, 0, 4, 4)
+    b = _rect(2, 1, 6, 3)
+    assert _area(C.clip(*a, *b, "union")) == pytest.approx(16 + 8 - 4)
+    assert _area(C.clip(*a, *b, "difference")) == pytest.approx(16 - 4)
+    assert _area(C.clip(*b, *a, "difference")) == pytest.approx(8 - 4)
+
+
+def test_contained_and_disjoint():
+    outer = _rect(0, 0, 10, 10)
+    inner = _rect(2, 2, 3, 3)
+    far = _rect(20, 20, 21, 21)
+    assert _area(C.clip(*inner, *outer, "intersection")) == pytest.approx(1.0)
+    assert _area(C.clip(*outer, *inner, "intersection")) == pytest.approx(1.0)
+    assert C.clip(*inner, *far, "intersection") == []
+    assert _area(C.clip(*inner, *far, "union")) == pytest.approx(2.0)
+    assert _area(C.clip(*inner, *outer, "difference")) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_concave_subject_two_components():
+    """Clipping a C-shape with a bar across its opening yields TWO
+    disjoint intersection pieces."""
+    # C-shape: outer 0..3 x 0..3 with a notch [1,3]x[1,2] removed
+    sx = np.array([0, 3, 3, 1, 1, 3, 3, 0], dtype=float)
+    sy = np.array([0, 0, 1, 1, 2, 2, 3, 3], dtype=float)
+    # vertical bar crossing both arms
+    bx, by = _rect(1.5, -1, 2.5, 4)
+    out = C.clip(sx, sy, bx, by, "intersection")
+    assert len(out) == 2
+    assert _area(out) == pytest.approx(2 * 1.0)  # two 1x1 arm pieces
+
+
+def test_triangle_rect_intersection():
+    tx = np.array([0.0, 4.0, 0.0])
+    ty = np.array([0.0, 0.0, 4.0])
+    rx, ry = _rect(-1, -1, 2, 2)
+    out = C.clip(tx, ty, rx, ry, "intersection")
+    # clipped region: triangle cut at x<=2, y<=2 -> area 16/2 - small tri
+    # region = {x,y>=0, x+y<=4, x<=2, y<=2}: square 2x2 shaved? compute:
+    # full tri area 8; removed: x>2 part (tri with verts (2,0),(4,0),(2,2)) = 2
+    # and y>2 part (symmetric) = 2 -> 4
+    assert _area(out) == pytest.approx(4.0)
+
+
+def test_degenerate_shared_edge_perturbs():
+    a = _rect(0, 0, 2, 2)
+    b = _rect(2, 0, 4, 2)  # shares the x=2 edge exactly
+    out = C.clip(*a, *b, "intersection")
+    assert _area(out) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_latlng_scale_fixture():
+    """Realistic coordinates: 400 m square at lat 51.5 clipped by an
+    offset window; area ratio is exact in degree space."""
+    k = 200.0 / 111195.0
+    a = _rect(-0.125 - k, 51.535 - k, -0.125 + k, 51.535 + k)
+    b = _rect(-0.125, 51.535 - 2 * k, -0.125 + 2 * k, 51.535 + 2 * k)
+    out = C.clip(*a, *b, "intersection")
+    assert _area(out) == pytest.approx(abs(C.ring_area(*a)) / 2, rel=1e-9)
