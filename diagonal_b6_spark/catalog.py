@@ -1403,6 +1403,112 @@ WHERE node % 11 = 0 AND node > 0 AND dist <= {BUILDING_ACCESS_BUDGET!r}
 """
 
 
+def q_entrance_approach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entrance-approach: project each fixture POI (an entrance stand-in)
+    onto the closest street segment; the projection IS the approach
+    point (oracle: connect-network SQL extended with the projection)."""
+    from .operators import network as net_ops
+
+    feats = fixtures.features_table(spark)
+    entrances = feats.filter(F.col("feature_type") == "point").select(
+        "feature_id",
+        F.col("ys")[0].alias("lat"),
+        F.col("xs")[0].alias("lng"),
+    )
+    paths = feats.filter(F.col("feature_type") == "path")
+    out = net_ops.entrance_approach(entrances, paths, threshold_m=1500.0)
+    return out.select(
+        "feature_id", "path_id",
+        F.round("approach_lat", 9).alias("alat"),
+        F.round("approach_lng", 9).alias("alng"),
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
+def sql_entrance_approach() -> str:
+    m = "(radians(1.0) * 6371010.0)"
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+ent AS (SELECT fid AS eid, y AS plat, x AS plng FROM rv WHERE ftype = 'point' AND k = 0),
+seg AS (
+  SELECT a.fid, a.k AS seg_idx, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM rv a JOIN rv b ON a.fid = b.fid AND b.k = a.k + 1
+  WHERE a.ftype = 'path'
+),
+proj AS (
+  SELECT e.eid, s.fid, s.seg_idx, s.x1, s.y1, s.x2, s.y2,
+    (((s.x1 - e.plng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(e.plat)) * {m}) AS ax,
+    (s.y1 - e.plat) * {m} AS ay,
+    (((s.x2 - e.plng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(e.plat)) * {m}) AS bx,
+    (s.y2 - e.plat) * {m} AS by
+  FROM ent e CROSS JOIN seg s
+),
+scored AS (
+  SELECT eid, fid, seg_idx, x1, y1, x2, y2, t,
+    sqrt((ax + t * (bx - ax)) * (ax + t * (bx - ax)) + (ay + t * (by - ay)) * (ay + t * (by - ay))) AS d
+  FROM (
+    SELECT *, CASE WHEN (bx - ax) * (bx - ax) + (by - ay) * (by - ay) > 0
+                   THEN greatest(0.0, least(1.0,
+                        -(ax * (bx - ax) + ay * (by - ay)) / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))))
+                   ELSE 0.0 END AS t
+    FROM proj
+  )
+),
+best AS (
+  SELECT eid, fid, seg_idx, x1, y1, x2, y2, t, d,
+         row_number() OVER (PARTITION BY eid ORDER BY d ASC, fid ASC, seg_idx ASC) AS rn
+  FROM scored WHERE d <= 1500.0
+)
+SELECT eid AS feature_id, fid AS path_id,
+  round(y1 + t * (y2 - y1), 9) AS alat,
+  round(x1 + t * (x2 - x1), 9) AS alng,
+  round(d, 3) AS dist_m
+FROM best WHERE rn = 1
+"""
+
+
+HIST_ID_WIDTH = 50000.0
+
+
+def q_histogram_swatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram-with-id / -swatch: buckets with provenance."""
+    o = fixtures.testdata(spark, sf_dir, "orders")
+    return agg_ops.histogram_with_id(o, "o_totalprice", HIST_ID_WIDTH, "o_orderkey")
+
+
+def sql_histogram_swatch() -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / {HIST_ID_WIDTH!r}) AS BIGINT) AS bucket,
+         count(*) AS n, min(o_orderkey) AS example_id
+  FROM orders GROUP BY 1
+)
+SELECT bucket, n, example_id,
+       CAST(row_number() OVER (ORDER BY bucket ASC) - 1 AS INT) AS swatch
+FROM h
+"""
+
+
+def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect-areas with boolean-union semantics (rows-only; union fold
+    pinned against closed forms in tests/test_clip.py)."""
+    areas = fixtures.features_table(spark).filter(
+        (F.col("feature_type") == "area") & (F.col("feature_id") != "area/test/4")
+    )
+    out = geo_fn.collect_areas(areas)
+    return out.select(
+        "piece_idx",
+        F.size("xs").alias("n_vertices"),
+        F.round(F.col("area_deg2") * 1e10, 3).alias("area_e10_deg2"),
+    )
+
+
+def q_debug_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debug-tokens / debug-all-query: index tokens per feature
+    (rows-only; cell tokens not SQL-expressible)."""
+    return find_ops.debug_tokens(fixtures.features_table(spark))
+
+
 def q_evaluate_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add-expression + evaluate-feature round trip: store a catalog
     query as an expression feature in the world, then re-evaluate it by
@@ -1759,6 +1865,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_missing": q_join_missing,
     "degree": q_degree,
     "flatten_words": q_flatten_words,
+    "entrance_approach": q_entrance_approach,
+    "histogram_swatch": q_histogram_swatch,
+    "debug_tokens": q_debug_tokens,
+    "collect_areas": q_collect_areas,
 }
 
 ORACLES: dict[str, str] = {
@@ -1804,6 +1914,8 @@ ORACLES: dict[str, str] = {
     "geo_sample_points": sql_sample_points(),
     "geo_point_paths": sql_point_paths(),
     "evaluate_feature": sql_count_values(),  # the stored query's own oracle
+    "entrance_approach": sql_entrance_approach(),
+    "histogram_swatch": sql_histogram_swatch(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_lsh": sql_minhash_lsh(),
     "dedup_simhash": sql_simhash(),

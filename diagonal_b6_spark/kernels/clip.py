@@ -245,3 +245,33 @@ def ring_area(xs, ys) -> float:
     y = np.asarray(ys, dtype=np.float64)
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     return float(np.sum(x * y2 - x2 * y) / 2.0)
+
+
+def union_all(rings: list) -> list:
+    """Union a list of rings into pairwise-disjoint outer rings by a
+    GH-union fold (collect-areas union semantics; reference foster.go's
+    use in area accumulation).  Hole-free approximation: empty pockets
+    fully enclosed by the union are absorbed into the outer ring --
+    adequate for footprint-coverage workloads; holes of the INPUT rings
+    should be subtracted by the caller if needed.
+
+    Union is associative + commutative, so partitions can be folded
+    independently and their results folded again (the two-stage
+    distributed aggregation shape)."""
+    acc: list = []
+    for xs, ys in rings:
+        r = (np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
+        if len(r[0]) < 3:
+            continue
+        changed = True
+        while changed:
+            changed = False
+            for i, a in enumerate(acc):
+                if clip(r[0], r[1], a[0], a[1], "intersection"):
+                    u = clip(r[0], r[1], a[0], a[1], "union")
+                    r = max(u, key=lambda t: abs(ring_area(t[0], t[1])))
+                    acc.pop(i)
+                    changed = True
+                    break
+        acc.append(r)
+    return acc

@@ -89,3 +89,19 @@ def count_keys(df: DataFrame, key_col: str, valid_col: str | None = None) -> Dat
     return df.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(F.when(F.col(valid_col), 1).otherwise(0)).alias("n")
     )
+
+
+def histogram_with_id(
+    df: DataFrame, value_col: str, width: float, id_col: str
+) -> DataFrame:
+    """`histogram-with-id` / `histogram-swatch` (fn collections.go:447-483):
+    fixed-width buckets with provenance -- an example feature id per
+    bucket plus a stable swatch index (the reference assigns UI swatches
+    by bucket order)."""
+    from pyspark.sql import Window
+
+    h = df.groupBy(
+        F.floor(F.col(value_col) / width).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"), F.min(id_col).alias("example_id"))
+    w = Window.orderBy(F.col("bucket").asc())
+    return h.withColumn("swatch", F.row_number().over(w) - 1)

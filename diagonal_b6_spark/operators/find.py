@@ -102,3 +102,18 @@ def all_tags(features: DataFrame) -> DataFrame:
 def get_tag(features: DataFrame, key: str, out: str = "value") -> DataFrame:
     """`get`: tag lookup as a projected column (fn features.go:131-174)."""
     return features.select("feature_id", F.col("tags")[key].alias(out))
+
+
+def debug_tokens(features: DataFrame) -> DataFrame:
+    """`debug-tokens` / `debug-all-query` (fn debug.go:1-24): the search
+    tokens a feature posts under -- tag tokens (k=v) plus its s2 covering
+    cell tokens, i.e. exactly what the cover/tag indexes key on."""
+    from . import geo_fn
+
+    tags = features.select(
+        "feature_id", F.explode("tags").alias("k", "v")
+    ).select("feature_id", F.concat_ws("=", "k", "v").alias("token"))
+    cells = geo_fn.s2_covering(features).select(
+        "feature_id", F.concat(F.lit("s2:"), F.col("token")).alias("token")
+    )
+    return tags.unionByName(cells)

@@ -528,6 +528,61 @@ def cap_polygon(spark, lat: float, lng: float, radius_m: float, n: int = 128) ->
     )
 
 
+def collect_areas(areas: DataFrame) -> DataFrame:
+    """`collect-areas` with TRUE union semantics (fn collections.go's
+    area accumulation; upgraded from the round-1 hull approximation
+    using the kernels/clip.py boolean-union fold).  Outer rings only
+    (hole-free approximation, see union_all).
+
+    Two-stage at scale: per-partition union fold (mapInPandas), then the
+    union of partial results (union is associative/commutative) folded
+    once on a single partition -- same shape as convex_hull_agg.
+    Output: (piece_idx, xs, ys, area_deg2) disjoint rings."""
+    from ..kernels import clip as clip_kernel
+
+    schema = "xs array<double>, ys array<double>"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                x = np.asarray(r.xs, dtype=np.float64)
+                y = np.asarray(r.ys, dtype=np.float64)
+                offs = list(np.asarray(r.ring_offsets, dtype=np.int64)) + [len(x)]
+                end = offs[1] if len(offs) > 1 else len(x)
+                rings.append((x[:end], y[:end]))
+        merged = clip_kernel.union_all(rings)
+        if merged:
+            yield pd.DataFrame(
+                {
+                    "xs": [[float(v) for v in xs] for xs, _ in merged],
+                    "ys": [[float(v) for v in ys] for _, ys in merged],
+                }
+            )
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rings.append(
+                    (np.asarray(r.xs, dtype=np.float64), np.asarray(r.ys, dtype=np.float64))
+                )
+        merged = clip_kernel.union_all(rings)
+        out = []
+        for k, (xs, ys) in enumerate(merged):
+            out.append(
+                (k, [float(v) for v in xs], [float(v) for v in ys],
+                 abs(clip_kernel.ring_area(xs, ys)))
+            )
+        if out:
+            yield pd.DataFrame(out, columns=["piece_idx", "xs", "ys", "area_deg2"])
+
+    partials = areas.select("xs", "ys", "ring_offsets").mapInPandas(partial, schema)
+    return partials.coalesce(1).mapInPandas(
+        final, "piece_idx int, xs array<double>, ys array<double>, area_deg2 double"
+    )
+
+
 def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
     """`convex-hull` over a collection (fn geometry.go:207-232): hull
     vertices in CCW order.  Two-stage at scale: per-partition hulls first

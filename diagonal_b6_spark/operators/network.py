@@ -73,18 +73,25 @@ def connect_to_network(
     with deterministic (dist, path_id, seg_idx) tie-break."""
     if cell_deg is None:
         cell_deg = gridjoin.margin_deg(threshold_m)
-    segs = segment_cells(path_segments(paths), cell_deg, threshold_m)
+    segs = segment_cells(path_segments(paths), cell_deg, threshold_m).withColumnRenamed(
+        "feature_id", "_seg_path_id"  # avoid clashing with a point-side id column
+    )
     pts = gridjoin.probe_cells(points.select(point_id, lat, lng), cell_deg, lat, lng)
     cand = pts.join(segs, ["gy", "gx"])
     d = gridjoin.point_segment_dist_col(
+        F.col(lng), F.col(lat), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    )
+    t = gridjoin.point_segment_t_col(
         F.col(lng), F.col(lat), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
     )
     scored = cand.select(
         point_id,
         F.struct(
             d.alias("dist_m"),
-            F.col("feature_id").alias("path_id"),
+            F.col("_seg_path_id").alias("path_id"),
             F.col("seg_idx").alias("seg_idx"),
+            (F.col("y1") + t * (F.col("y2") - F.col("y1"))).alias("proj_lat"),
+            (F.col("x1") + t * (F.col("x2") - F.col("x1"))).alias("proj_lng"),
         ).alias("c"),
     ).filter(F.col("c.dist_m") <= threshold_m)
     best = scored.groupBy(point_id).agg(F.min("c").alias("b"))
@@ -93,6 +100,28 @@ def connect_to_network(
         F.col("b.path_id").alias("path_id"),
         F.col("b.seg_idx").alias("seg_idx"),
         F.col("b.dist_m").alias("dist_m"),
+        F.col("b.proj_lat").alias("proj_lat"),
+        F.col("b.proj_lng").alias("proj_lng"),
+    )
+
+
+def entrance_approach(
+    entrances: DataFrame,
+    paths: DataFrame,
+    threshold_m: float = 100.0,
+    point_id: str = "feature_id",
+) -> DataFrame:
+    """`entrance-approach` (reference: the sightline.go helper): the
+    street point from which an entrance is approached -- the entrance's
+    projection onto the closest network segment within threshold.
+    Returns (point_id, path_id, approach_lat, approach_lng, dist_m)."""
+    c = connect_to_network(entrances, paths, threshold_m, point_id=point_id)
+    return c.select(
+        point_id,
+        "path_id",
+        F.col("proj_lat").alias("approach_lat"),
+        F.col("proj_lng").alias("approach_lng"),
+        "dist_m",
     )
 
 

@@ -1,0 +1,175 @@
+"""OSM-shaped ingest: way / relation -> feature assembly.
+
+Reference surface: b6 ingests OSM PBF (b6/osm/pbf.go) and assembles ways
+and multipolygon relations into areas (b6/osm/polygons.go:11-140 -- ring
+assembly stitches member ways end-to-end, closed ways with area tags
+become polygons).  No PBF data exists in this sandbox, so this module
+implements the ASSEMBLY stage against PBF-shaped DataFrames -- the same
+three tables a PBF decoder (or any OSM parquet export) produces:
+
+    nodes(id long, lat double, lon double)
+    ways(id long, refs array<long>, tags map<string,string>)
+    relations(id long, members array<struct<type:string, ref:long,
+              role:string>>, tags map<string,string>)
+
+Spark-first shapes:
+  * ways_to_features: refs explode -> ONE equi-join against nodes ->
+    ordered re-assembly per way (collect_list of (pos, lat, lon) sorted
+    in the aggregate).  Classification: closed ring + area-ish tags ->
+    'area' (closing vertex dropped, packed layout), else 'path'.
+  * relations_to_areas: member ways gathered per relation, ring
+    stitching (endpoint matching, the polygons.go algorithm) runs in an
+    Arrow-batched kernel per relation -- rings are small; the heavy
+    node join is the same distributed explode/join as ways.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AREA_TAGS = ("building", "landuse", "natural", "leisure", "amenity")
+
+
+def _way_geometry(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """(way id, tags, n_refs, closed, xs, ys) via one refs->nodes join."""
+    refs = ways.select(
+        F.col("id").alias("way_id"),
+        "tags",
+        F.size("refs").alias("n_refs"),
+        (F.col("refs")[0] == F.element_at("refs", -1)).alias("closed"),
+        F.posexplode("refs").alias("pos", "node_id"),
+    )
+    joined = refs.join(nodes.withColumnRenamed("id", "node_id"), "node_id")
+    return (
+        joined.groupBy("way_id", "tags", "n_refs", "closed")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))).alias("v"))
+        .select(
+            "way_id", "tags", "n_refs", "closed",
+            F.col("v.lon").alias("xs"), F.col("v.lat").alias("ys"),
+        )
+    )
+
+
+def ways_to_features(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """OSM ways -> packed features: closed ways with area-ish tags become
+    'area' rows (closing vertex dropped), everything else 'path'
+    (b6/osm/polygons.go:11-60 closed-way classification)."""
+    g = _way_geometry(nodes, ways)
+    is_area = F.col("closed") & (F.col("n_refs") >= 4)
+    has_area_tag = None
+    for t in AREA_TAGS:
+        c = F.col("tags")[t].isNotNull()
+        has_area_tag = c if has_area_tag is None else (has_area_tag | c)
+    is_area = is_area & has_area_tag
+    return g.select(
+        F.when(is_area, F.concat(F.lit("area/osm/"), F.col("way_id"))).otherwise(
+            F.concat(F.lit("path/osm/"), F.col("way_id"))
+        ).alias("feature_id"),
+        F.when(is_area, F.lit("area")).otherwise(F.lit("path")).alias("feature_type"),
+        F.lit("osm").alias("ns"),
+        "tags",
+        F.when(is_area, F.slice(F.col("xs"), 1, F.size("xs") - 1)).otherwise(F.col("xs")).alias("xs"),
+        F.when(is_area, F.slice(F.col("ys"), 1, F.size("ys") - 1)).otherwise(F.col("ys")).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+
+
+def _stitch_rings(segments: list) -> list:
+    """Chain open way segments into closed rings by endpoint matching
+    (b6/osm/polygons.go:62-140's RingBuilder).  segments: list of
+    (xs, ys) arrays.  Returns a list of closed rings (closing vertex
+    dropped); unclosable chains are discarded."""
+    segs = [
+        (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+        for x, y in segments
+        if len(x) >= 2
+    ]
+    rings = []
+    while segs:
+        cx, cy = segs.pop(0)
+        cx, cy = list(cx), list(cy)
+        progress = True
+        while progress and not (cx[0] == cx[-1] and cy[0] == cy[-1]):
+            progress = False
+            for i, (sx, sy) in enumerate(segs):
+                if sx[0] == cx[-1] and sy[0] == cy[-1]:
+                    cx.extend(sx[1:]); cy.extend(sy[1:])
+                elif sx[-1] == cx[-1] and sy[-1] == cy[-1]:
+                    cx.extend(sx[-2::-1]); cy.extend(sy[-2::-1])
+                else:
+                    continue
+                segs.pop(i)
+                progress = True
+                break
+        if len(cx) >= 4 and cx[0] == cx[-1] and cy[0] == cy[-1]:
+            rings.append((cx[:-1], cy[:-1]))
+    return rings
+
+
+def relations_to_areas(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame
+) -> DataFrame:
+    """OSM multipolygon relations -> packed multi-ring area features.
+
+    Member ways (role outer/inner) are resolved to geometry through the
+    same distributed node join, gathered per relation, and stitched into
+    rings in an Arrow-batched kernel.  Outer rings come first in the
+    packed layout; inner rings follow (holes subtract downstream)."""
+    members = relations.filter(
+        F.col("tags")["type"] == "multipolygon"
+    ).select(
+        F.col("id").alias("rel_id"),
+        "tags",
+        F.explode("members").alias("m"),
+    ).filter(
+        (F.col("m.type") == "way") & F.col("m.role").isin("outer", "inner")
+    ).select("rel_id", "tags", F.col("m.ref").alias("way_id"), F.col("m.role").alias("role"))
+
+    geom = _way_geometry(nodes, ways).select("way_id", "xs", "ys")
+    with_geom = members.join(geom, "way_id")
+    gathered = with_geom.groupBy("rel_id").agg(
+        F.first("tags").alias("rel_tags"),
+        F.collect_list(F.struct("role", "xs", "ys")).alias("parts"),
+    )
+
+    schema = (
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>"
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                outers, inners = [], []
+                for part in r.parts:
+                    seg = (part["xs"], part["ys"])
+                    (outers if part["role"] == "outer" else inners).append(seg)
+                o_rings = _stitch_rings(outers)
+                i_rings = _stitch_rings(inners)
+                if not o_rings:
+                    continue
+                xs: list[float] = []
+                ys: list[float] = []
+                offs: list[int] = []
+                for rx, ry in o_rings + i_rings:
+                    offs.append(len(xs))
+                    xs.extend(float(v) for v in rx)
+                    ys.extend(float(v) for v in ry)
+                out.append(
+                    (f"area/osm/r{r.rel_id}", "area", "osm", dict(r.rel_tags), xs, ys, offs)
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "feature_id", "feature_type", "ns", "tags", "xs", "ys", "ring_offsets",
+                    ],
+                )
+
+    return gathered.mapInPandas(assemble, schema)

@@ -82,3 +82,21 @@ def test_latlng_scale_fixture():
     b = _rect(-0.125, 51.535 - 2 * k, -0.125 + 2 * k, 51.535 + 2 * k)
     out = C.clip(*a, *b, "intersection")
     assert _area(out) == pytest.approx(abs(C.ring_area(*a)) / 2, rel=1e-9)
+
+
+def test_union_all_merges_chain():
+    """Three overlapping squares in a row merge to ONE ring with the
+    inclusion-exclusion area; a distant square stays separate."""
+    rings = [_rect(0, 0, 2, 2), _rect(1, 0, 3, 2), _rect(2.5, 0, 4, 2), _rect(10, 10, 11, 11)]
+    out = C.union_all([(xs, ys) for xs, ys in rings])
+    assert len(out) == 2
+    areas = sorted(abs(C.ring_area(xs, ys)) for xs, ys in out)
+    assert areas[0] == pytest.approx(1.0)   # the distant unit square
+    assert areas[1] == pytest.approx(8.0)   # 0..4 x 0..2 fully covered
+
+
+def test_union_all_disjoint_passthrough():
+    rings = [_rect(0, 0, 1, 1), _rect(5, 5, 6, 6)]
+    out = C.union_all(rings)
+    assert len(out) == 2
+    assert sum(abs(C.ring_area(xs, ys)) for xs, ys in out) == pytest.approx(2.0)
