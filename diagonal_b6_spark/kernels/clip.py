@@ -84,6 +84,8 @@ def _seg_intersect(p1, p2, q1, q2):
     Returns (t, u) in (0,1)x(0,1) or None; flags degeneracy via ValueError."""
     rx, ry = p2[0] - p1[0], p2[1] - p1[1]
     sx, sy = q2[0] - q1[0], q2[1] - q1[1]
+    if rx * rx + ry * ry < 1e-24 or sx * sx + sy * sy < 1e-24:
+        return None  # zero-length edge intersects nothing
     denom = rx * sy - ry * sx
     qpx, qpy = q1[0] - p1[0], q1[1] - p1[1]
     if abs(denom) < 1e-18:
@@ -217,6 +219,19 @@ def _clip_once(sx, sy, cx, cy, op: str):
     return out
 
 
+def _dedupe_ring(xs, ys):
+    """Drop consecutive (and wraparound) duplicate vertices -- traversal
+    output can repeat a point where two intersections coincide, and a
+    zero-length edge poisons later intersection tests."""
+    keep = []
+    n = len(xs)
+    for i in range(n):
+        j = (i + 1) % n
+        if xs[i] != xs[j] or ys[i] != ys[j]:
+            keep.append(i)
+    return np.asarray(xs)[keep], np.asarray(ys)[keep]
+
+
 def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 4):
     """Boolean op between subject ring (sx, sy) and clip ring (cx, cy).
 
@@ -224,17 +239,24 @@ def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 4):
     Returns a list of (xs, ys) rings.  Degenerate contact retries with a
     perturbed subject (Foster-style degeneracy removal at the coordinate
     noise floor)."""
-    sx = np.asarray(sx, dtype=np.float64).copy()
-    sy = np.asarray(sy, dtype=np.float64).copy()
-    cx = np.asarray(cx, dtype=np.float64)
-    cy = np.asarray(cy, dtype=np.float64)
+    sx, sy = _dedupe_ring(np.asarray(sx, dtype=np.float64), np.asarray(sy, dtype=np.float64))
+    cx, cy = _dedupe_ring(np.asarray(cx, dtype=np.float64), np.asarray(cy, dtype=np.float64))
+    if len(sx) < 3:
+        return [] if op == "intersection" else ([(cx, cy)] if op == "union" and len(cx) >= 3 else [])
+    if len(cx) < 3:
+        return [(sx, sy)] if op in ("difference", "union") else []
+    sx = sx.copy()
+    sy = sy.copy()
     rng_shift = _PERTURB
     for attempt in range(max_retries):
         try:
             return _clip_once(sx, sy, cx, cy, op)
         except ValueError:
-            sx = sx + rng_shift
-            sy = sy + rng_shift * 0.7
+            # vary the perturbation DIRECTION per attempt: a fixed
+            # direction stays collinear with any edge of the same slope
+            ang = 0.7 + 2.39996 * attempt  # golden-angle walk
+            sx = sx + rng_shift * np.cos(ang)
+            sy = sy + rng_shift * np.sin(ang)
             rng_shift *= 3.7
     raise RuntimeError("degenerate polygon contact persisted after perturbation")
 

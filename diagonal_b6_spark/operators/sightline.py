@@ -127,6 +127,74 @@ def ring_segments(areas: DataFrame) -> DataFrame:
     )
 
 
+def viewshed_clip_one(
+    ex1: np.ndarray,
+    ey1: np.ndarray,
+    ex2: np.ndarray,
+    ey2: np.ndarray,
+    radius_m: float,
+    n_cap: int = 96,
+) -> float:
+    """Viewshed area by boolean subtraction (the reference's v2
+    algorithm shape, b6/api/functions/sightline.go:581-854: cap polygon
+    minus per-edge occlusion shadows, clipped with the Foster kernel).
+
+    Inputs are edge endpoints in origin-local METERS.  Each front-facing
+    edge casts a shadow quad (edge endpoints projected radially past the
+    cap); the visible region is cap minus all shadows.  Returns m^2."""
+    from ..kernels import clip as clip_kernel
+
+    theta = np.linspace(0.0, 2.0 * np.pi, n_cap, endpoint=False)
+    cap = (radius_m * np.cos(theta), radius_m * np.sin(theta))
+    pieces = [cap]
+    far = 4.0  # projection factor: well past the cap radius
+    r_pad = 1.05 * radius_m
+    for x1, y1, x2, y2 in zip(ex1, ey1, ex2, ey2):
+        # clip the edge to the padded cap disk first (a long wall whose
+        # ENDPOINTS are outside the cap still occludes), solving
+        # |p1 + t (p2 - p1)| = r_pad
+        dx, dy = x2 - x1, y2 - y1
+        a = dx * dx + dy * dy
+        b = 2.0 * (x1 * dx + y1 * dy)
+        c = x1 * x1 + y1 * y1 - r_pad * r_pad
+        if a < 1e-18:
+            continue
+        disc = b * b - 4.0 * a * c
+        if disc <= 0:
+            continue  # line misses the disk entirely
+        sq = float(np.sqrt(disc))
+        tlo = max(0.0, (-b - sq) / (2.0 * a))
+        thi = min(1.0, (-b + sq) / (2.0 * a))
+        if tlo >= thi:
+            continue  # the in-disk portion is outside the segment
+        x1c, y1c = x1 + tlo * dx, y1 + tlo * dy
+        x2c, y2c = x1 + thi * dx, y1 + thi * dy
+        d1 = np.hypot(x1c, y1c)
+        d2 = np.hypot(x2c, y2c)
+        if max(d1, d2) < 1e-9:
+            continue
+        # far boundary follows the ARC at far*radius: a straight chord
+        # between the two projected endpoints dips back inside the cap
+        # when the edge subtends a wide angle (long wall close by)
+        ang1 = float(np.arctan2(y1c, x1c))
+        ang2 = float(np.arctan2(y2c, x2c))
+        delta = (ang1 - ang2 + np.pi) % (2.0 * np.pi) - np.pi  # short way
+        steps = max(1, int(np.ceil(abs(delta) / 0.5)))
+        arc = ang2 + delta * np.arange(0, steps + 1) / steps
+        rq = far * radius_m
+        qx = np.concatenate([[x1c, x2c], rq * np.cos(arc)])
+        qy = np.concatenate([[y1c, y2c], rq * np.sin(arc)])
+        nxt = []
+        for px, py in pieces:
+            for rx, ry in clip_kernel.clip(px, py, qx, qy, "difference"):
+                if len(rx) >= 3:
+                    nxt.append((rx, ry))
+        pieces = nxt
+        if not pieces:
+            break
+    return float(sum(abs(clip_kernel.ring_area(px, py)) for px, py in pieces))
+
+
 def sightline(
     origins: DataFrame,
     buildings: DataFrame,

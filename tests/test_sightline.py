@@ -97,3 +97,30 @@ def test_boundary_polygon_shape(spark):
         np.array(out["boundary_lats"]), np.array(out["boundary_lngs"]), OLAT, OLNG
     )
     assert np.allclose(d, R, rtol=5e-3)
+
+
+def test_viewshed_clip_matches_sweep_scenes():
+    """The clip-based v2 viewshed (cap minus shadow quads, Foster
+    kernel) agrees with the angular sweep on the closed-form scenes."""
+    # open cap: no edges
+    area = sl.viewshed_clip_one(
+        np.empty(0), np.empty(0), np.empty(0), np.empty(0), R
+    )
+    assert area == pytest.approx(np.pi * R * R, rel=2e-3)
+
+    # wall 50 m east (N-S, 2000 m long): same band as the sweep test
+    x = 50.0
+    area = sl.viewshed_clip_one(
+        np.array([x]), np.array([-2000.0]), np.array([x]), np.array([2000.0]), R
+    )
+    full = np.pi * R * R
+    assert 0.5 * full < area < 0.62 * full
+
+    # enclosing 20 m box: visible == box interior
+    h = 10.0
+    ex1 = np.array([-h, h, h, -h])
+    ey1 = np.array([-h, -h, h, h])
+    ex2 = np.array([h, h, -h, -h])
+    ey2 = np.array([-h, h, h, -h])
+    area = sl.viewshed_clip_one(ex1, ey1, ex2, ey2, R)
+    assert area == pytest.approx((2 * h) ** 2, rel=2e-2)
