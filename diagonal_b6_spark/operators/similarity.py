@@ -105,9 +105,12 @@ def kmeans_fit(
     """Deterministic Lloyd's k-means as pure DataFrame ops.
 
     Init: the k vectors with the smallest ids (deterministic, no RNG).
-    Each iteration: broadcast the k centroids, assign every vector to its
-    nearest (one shuffle for the min), rebuild centroids by per-dimension
-    mean (posexplode + groupBy).  Returns DataFrame[cent_id, centroid].
+    `orderBy(id).limit(k)` plans as TakeOrderedAndProject -- per-partition
+    top-k heaps + a k-row driver merge, NOT a global sort -- so the init
+    is one O(N) scan at any scale.  Each iteration: broadcast the k
+    centroids, assign every vector to its nearest (one shuffle for the
+    min), rebuild centroids by per-dimension mean (posexplode + groupBy).
+    Returns DataFrame[cent_id, centroid].
     """
     cents = (
         vectors.orderBy(vec_id)
