@@ -1489,6 +1489,49 @@ FROM h
 """
 
 
+RASTER_ZOOM = 12
+RASTER_TX = (2045, 2048)
+RASTER_TY = (1360, 1363)
+
+
+def q_raster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster↔vector sampling join: events points sample the synthetic
+    DEM tile table (oracle: the DEM is a closed-form function of the
+    global pixel index, so DuckDB evaluates it directly -- any
+    tile/pixel-addressing bug in the join breaks value equality)."""
+    from .sources import raster
+
+    pts = _events_points(spark, sf_dir)
+    tiles = raster.synth_dem_tiles(
+        spark, RASTER_ZOOM, RASTER_TX[0], RASTER_TX[1], RASTER_TY[0], RASTER_TY[1]
+    )
+    out = raster.raster_sample(pts, tiles, RASTER_ZOOM, point_id="event_id")
+    return out.select("event_id", "elev")
+
+
+def sql_raster_sample() -> str:
+    n = float(1 << RASTER_ZOOM)
+    w = 64
+    merc_y = (
+        "(1.0 - ln(tan(radians(greatest(-85.05112878, least(lat, 85.05112878)))) "
+        "+ 1.0 / cos(radians(greatest(-85.05112878, least(lat, 85.05112878))))) / pi()) "
+        f"/ 2.0 * {n!r}"
+    )
+    return f"""
+WITH {_PTS_CTE},
+px AS (
+  SELECT event_id,
+    CAST(floor(((lng + 180.0) / 360.0 * {n!r}) * {w}.0) AS BIGINT) AS gx,
+    CAST(floor(({merc_y}) * {w}.0) AS BIGINT) AS gy
+  FROM pts
+)
+SELECT event_id, CAST((gx * 7 + gy * 13) % 500 AS DOUBLE) / 2.0 AS elev
+FROM px
+WHERE CAST(floor(gx / {w}.0) AS BIGINT) BETWEEN {RASTER_TX[0]} AND {RASTER_TX[1]}
+  AND CAST(floor(gy / {w}.0) AS BIGINT) BETWEEN {RASTER_TY[0]} AND {RASTER_TY[1]}
+"""
+
+
 def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect-areas with boolean-union semantics (rows-only; union fold
     pinned against closed forms in tests/test_clip.py)."""
@@ -1522,6 +1565,33 @@ def q_evaluate_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expr_ops.evaluate_feature(
         spark, world, "expression/saved-analysis", {"count_values": q_count_values}, sf_dir
     )
+
+
+def q_evaluate_feature_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`call` with stored ARGUMENTS: the expression feature carries a
+    parameter blob (bucket width) that re-binds the stored analysis at
+    evaluation time (fn functions.go:142's call-with-args).  Oracle: the
+    parameterized query's own SQL at the stored width."""
+    from .operators import expression as expr_ops
+
+    def hist(spark_, sf_dir_, width: float = 50000.0) -> DataFrame:
+        o = fixtures.testdata(spark_, sf_dir_, "orders")
+        return agg_ops.histogram(o, "o_totalprice", width)
+
+    world = fixtures.features_table(spark).unionByName(
+        expr_ops.add_expression(spark, "saved-hist", "histogram", {"width": 25000.0}),
+        allowMissingColumns=True,
+    )
+    return expr_ops.evaluate_feature(
+        spark, world, "expression/saved-hist", {"histogram": hist}, sf_dir
+    )
+
+
+def sql_evaluate_feature_args() -> str:
+    return """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n
+FROM orders GROUP BY 1
+"""
 
 
 # --- dedup / text / similarity (training-data pipeline ops) -----------------
@@ -1869,6 +1939,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_swatch": q_histogram_swatch,
     "debug_tokens": q_debug_tokens,
     "collect_areas": q_collect_areas,
+    "evaluate_feature_args": q_evaluate_feature_args,
+    "raster_sample": q_raster_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1916,6 +1988,8 @@ ORACLES: dict[str, str] = {
     "evaluate_feature": sql_count_values(),  # the stored query's own oracle
     "entrance_approach": sql_entrance_approach(),
     "histogram_swatch": sql_histogram_swatch(),
+    "evaluate_feature_args": sql_evaluate_feature_args(),
+    "raster_sample": sql_raster_sample(),
     "dedup_exact": sql_dedup_exact(),
     "dedup_minhash_lsh": sql_minhash_lsh(),
     "dedup_simhash": sql_simhash(),

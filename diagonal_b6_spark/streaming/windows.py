@@ -90,18 +90,101 @@ def tile_throughput(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, spark=None
+    stream_df: DataFrame, query_name: str, spark=None, output_mode: str = "complete"
 ) -> DataFrame:
     """Drain a (bounded) stream into an in-memory table with the
     availableNow trigger; returns the result as a batch DataFrame.
-    Complete output mode (windowed aggs over file sources)."""
+    Default complete output mode (windowed aggs over file sources);
+    stateful append-mode operators pass output_mode='append'."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     session = spark or stream_df.sparkSession
     return session.table(query_name)
+
+
+def stateful_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Custom stateful operator under ``applyInPandasWithState``: per-key
+    SESSION aggregation with a gap timeout (the brief's custom-stateful
+    pattern; sessionization is the canonical op the built-in windows
+    can't express).  State per key = (session_start, last_ts, n, total);
+    a processing round extends the open session or -- via the
+    EventTimeTimeout -- flushes it once the watermark passes last_ts+gap.
+
+    Emits one row per CLOSED session: (user_id, session_start,
+    session_end, n_events, total_value).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = _duration_s(gap)
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [s[0] for s in sessions],
+                "session_end": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        gap_ms = gap_s * 1000
+        if state.hasTimedOut:
+            closed = [tuple(state.get)]
+            state.remove()
+            yield _emit(key, closed)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts = rows["ts"].astype("int64") // 1_000_000  # ms epoch
+        vals = rows["value"].astype(float)
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t, v in zip(ts, vals):
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1, float(v))
+            elif t - cur[1] > gap_ms:
+                closed.append(cur)  # gap inside the data closes the session
+                cur = (t, t, 1, float(v))
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v))
+        state.update(cur)
+        state.setTimeoutTimestamp(max(cur[1] + gap_ms, 1))
+        if closed:
+            yield _emit(key, closed)
+
+    out_schema = (
+        "user_id long, session_start long, session_end long, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, gap)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def _duration_s(d: str) -> int:
+    n, unit = d.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(n) * mult

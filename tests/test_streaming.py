@@ -80,3 +80,42 @@ def test_streaming_dedupe(spark, events_stream_dir):
     )
     q.awaitTermination()
     assert spark.table("dedupe_out").count() == batch.count()
+
+
+def test_stateful_sessionization(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: two sessions per user when
+    the event gap exceeds the timeout; totals and bounds correct."""
+    import datetime as dt
+
+    d = str(tmp_path_factory.mktemp("sess_stream"))
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        # user 1: burst of 3, then a 2h gap, then 2 more
+        (1, base, 1.0), (1, base + dt.timedelta(minutes=5), 2.0),
+        (1, base + dt.timedelta(minutes=10), 3.0),
+        (1, base + dt.timedelta(hours=2, minutes=10), 4.0),
+        (1, base + dt.timedelta(hours=2, minutes=15), 5.0),
+        # user 2: one session
+        (2, base + dt.timedelta(minutes=1), 10.0),
+        # a late "clock advancer" so the watermark passes every gap
+        (99, base + dt.timedelta(hours=9), 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).repartition(1).write.mode("overwrite").parquet(d)
+
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = sw.stateful_session_stats(stream, gap="30 minutes")
+    got_df = sw.run_stream_to_memory(out, "sessions", spark, output_mode="append")
+    got = {
+        (r["user_id"], r["n_events"]): r
+        for r in got_df.collect()
+    }
+    # closed sessions: user1 first burst (3 events, 6.0) is guaranteed
+    # closed by the in-data gap; later sessions close only if the
+    # watermark timeout fired before shutdown
+    assert (1, 3) in got
+    r = got[(1, 3)]
+    assert r["total_value"] == pytest.approx(6.0)
+    assert r["session_end"] - r["session_start"] == 10 * 60 * 1000
