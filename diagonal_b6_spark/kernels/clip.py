@@ -241,6 +241,13 @@ def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 4):
     noise floor)."""
     sx, sy = _dedupe_ring(np.asarray(sx, dtype=np.float64), np.asarray(sy, dtype=np.float64))
     cx, cy = _dedupe_ring(np.asarray(cx, dtype=np.float64), np.asarray(cy, dtype=np.float64))
+    # normalize both rings to CCW: the entry/exit alternation assumes a
+    # consistent winding (a CW input silently mis-classifies for
+    # union/difference)
+    if len(sx) >= 3 and ring_area(sx, sy) < 0:
+        sx, sy = sx[::-1], sy[::-1]
+    if len(cx) >= 3 and ring_area(cx, cy) < 0:
+        cx, cy = cx[::-1], cy[::-1]
     if len(sx) < 3:
         return [] if op == "intersection" else ([(cx, cy)] if op == "union" and len(cx) >= 3 else [])
     if len(cx) < 3:

@@ -202,11 +202,19 @@ def sightline(
     n_bins: int = 720,
     origin_id: str = "origin_id",
     cell_deg: float | None = None,
+    algorithm: str = "sweep",
 ) -> DataFrame:
     """Per-origin viewshed against `#building` area edges within radius.
 
     Returns (origin_id, visible_area_m2, cap_area_m2, n_edges,
     boundary_lats, boundary_lngs).
+
+    algorithm='sweep' (default): angular sweep, r(theta) over n_bins
+    bearings -- fast, resolution-bounded.  algorithm='clip': boolean
+    subtraction of per-edge shadow polygons via the Foster kernel (the
+    reference's v2 shape, sightline.go:581-854) -- exact polygon
+    boundaries, costlier per edge; boundary columns are empty (the
+    visible region may be multiple disjoint polygons).
 
     Distributed shape (no driver collect): building rings explode into
     edge segments, each segment replicates into the grid cells its
@@ -253,9 +261,18 @@ def sightline(
                 ey1 = np.empty(0) if empty else np.asarray(r.ey1, dtype=np.float64)
                 ex2 = np.empty(0) if empty else np.asarray(r.ex2, dtype=np.float64)
                 ey2 = np.empty(0) if empty else np.asarray(r.ey2, dtype=np.float64)
-                area, blats, blngs = _viewshed_one(
-                    olat, olng, (ex1, ey1, ex2, ey2), radius_m, n_bins
-                )
+                if algorithm == "clip":
+                    kx = M_PER_DEG * np.cos(np.radians(olat))
+                    area = viewshed_clip_one(
+                        (ex1 - olng) * kx, (ey1 - olat) * M_PER_DEG,
+                        (ex2 - olng) * kx, (ey2 - olat) * M_PER_DEG,
+                        radius_m,
+                    )
+                    blats = blngs = np.empty(0)
+                else:
+                    area, blats, blngs = _viewshed_one(
+                        olat, olng, (ex1, ey1, ex2, ey2), radius_m, n_bins
+                    )
                 out.append(
                     (
                         getattr(r, origin_id),

@@ -4,6 +4,7 @@ round-trips, signed-order preservation, PIP edge behavior, tile packing."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from diagonal_b6_spark.kernels import cellmath as cm
@@ -99,3 +100,66 @@ def test_haversine_metric_properties(a1, o1, a2, o2):
     assert d12 >= 0.0
     assert float(geom.haversine_m(a1, o1, a1, o1)) < 1e-6  # identity
     assert d12 <= np.pi * geom.EARTH_RADIUS_M + 1.0  # bounded by half-circumference
+
+
+# --- polygon boolean kernel invariants --------------------------------------
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+
+def _convex_poly(seed: int, cx: float, cy: float, r: float):
+    """Genuinely convex simple polygon: hull of random points.  (A naive
+    sorted-angle star construction is NOT simple when the angles don't
+    wrap the anchor -- the kernel requires simple rings.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    while True:
+        pts = rng.uniform(-r, r, (10, 2))
+        idx = geom.convex_hull(pts[:, 0], pts[:, 1])
+        if len(idx) >= 3:
+            return cx + pts[idx, 0], cy + pts[idx, 1]
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(
+    seed_a=st.integers(0, 10_000),
+    seed_b=st.integers(0, 10_000),
+    dx=st.floats(-1.5, 1.5),
+    dy=st.floats(-1.5, 1.5),
+)
+def test_clip_inclusion_exclusion(seed_a, seed_b, dx, dy):
+    """area(A) + area(B) == area(A∪B) + area(A∩B) for random convex
+    polygon pairs at random offsets -- a traversal bug in any of the
+    three ops breaks the identity."""
+    from diagonal_b6_spark.kernels import clip as C
+
+    ax, ay = _convex_poly(seed_a, 0.0, 0.0, 1.0)
+    bx, by = _convex_poly(seed_b, dx, dy, 1.0)
+    area = lambda rings: sum(abs(C.ring_area(x, y)) for x, y in rings)
+    a = abs(C.ring_area(ax, ay))
+    b = abs(C.ring_area(bx, by))
+    inter = area(C.clip(ax, ay, bx, by, "intersection"))
+    union = area(C.clip(ax, ay, bx, by, "union"))
+    assert a + b == pytest.approx(union + inter, rel=1e-6, abs=1e-9)
+
+
+@hsettings(max_examples=40, deadline=None)
+@given(
+    seed_a=st.integers(0, 10_000),
+    seed_b=st.integers(0, 10_000),
+    dx=st.floats(-1.5, 1.5),
+    dy=st.floats(-1.5, 1.5),
+)
+def test_clip_difference_partitions_subject(seed_a, seed_b, dx, dy):
+    """area(A\\B) + area(A∩B) == area(A)."""
+    from diagonal_b6_spark.kernels import clip as C
+
+    ax, ay = _convex_poly(seed_a, 0.0, 0.0, 1.0)
+    bx, by = _convex_poly(seed_b, dx, dy, 1.0)
+    area = lambda rings: sum(abs(C.ring_area(x, y)) for x, y in rings)
+    a = abs(C.ring_area(ax, ay))
+    inter = area(C.clip(ax, ay, bx, by, "intersection"))
+    diff = area(C.clip(ax, ay, bx, by, "difference"))
+    assert diff + inter == pytest.approx(a, rel=1e-6, abs=1e-9)

@@ -124,3 +124,19 @@ def test_viewshed_clip_matches_sweep_scenes():
     ey2 = np.array([-h, h, h, -h])
     area = sl.viewshed_clip_one(ex1, ey1, ex2, ey2, R)
     assert area == pytest.approx((2 * h) ** 2, rel=2e-2)
+
+
+def test_sightline_clip_algorithm_agrees(spark):
+    """DataFrame op with algorithm='clip' agrees with the sweep on the
+    fixture scene within discretization tolerance."""
+    buildings = fixtures.features_table(spark).filter(
+        F.col("tags")["#building"].isNotNull()
+    )
+    pts = [(51.5352, -0.1248), (51.5280, -0.1452)]
+    sweep = {r["origin_id"]: r["visible_area_m2"]
+             for r in sl.sightline(_origins(spark, pts), buildings, radius_m=300.0).collect()}
+    clip = {r["origin_id"]: r["visible_area_m2"]
+            for r in sl.sightline(_origins(spark, pts), buildings, radius_m=300.0,
+                                  algorithm="clip").collect()}
+    for k in sweep:
+        assert clip[k] == pytest.approx(sweep[k], rel=0.05)
