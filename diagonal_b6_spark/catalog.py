@@ -996,7 +996,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extract + video frame-sampling in one query (merged
     for the 50-query gate; deterministic fake codecs, real Arrow
     plumbing -- each modality pinned in tests/test_multimodal.py).
-    Output melted to (modality, item_id, frame_idx, f1, f2)."""
+    Output melted to (modality, item_id, frame_idx, f1, f2).
+
+    Oracle: the fake codecs are closed-form (int16-quantized sine
+    bursts; moving-gradient frames), so DuckDB regenerates every sample
+    from range() and replays RMS / zero-crossing-rate / frame-mean --
+    verifying the whole decode->feature plumbing end to end."""
     from .operators import multimodal as mm
 
     audio = mm.audio_features(mm.synth_audio_table(spark, 500)).select(
@@ -1014,6 +1019,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("f2"),
     )
     return audio.unionByName(video)
+
+
+def sql_multimodal_features() -> str:
+    return """
+WITH a_samp AS (
+  SELECT a.range AS i, t.t AS t,
+    CAST(trunc(sin(2 * pi() * (220 + 20 * (a.range % 7)) * t.t / 16000.0) * 30000) AS BIGINT) AS pcm
+  FROM range(500) a,
+       LATERAL (SELECT unnest(range(1600 + CAST(a.range % 5 AS INT) * 160)) AS t) t
+),
+a_sign AS (
+  SELECT i, t, pcm,
+         CASE WHEN (pcm < 0) != (lag(pcm) OVER (PARTITION BY i ORDER BY t) < 0)
+              THEN 1.0 ELSE 0.0 END AS flip,
+         lag(pcm) OVER (PARTITION BY i ORDER BY t) IS NOT NULL AS has_prev
+  FROM a_samp
+),
+a_feat AS (
+  SELECT i,
+    round(sqrt(avg((pcm / 32768.0) * (pcm / 32768.0))), 4) AS rms,
+    round(sum(CASE WHEN has_prev THEN flip ELSE 0.0 END)
+            / sum(CASE WHEN has_prev THEN 1 ELSE 0 END), 4) AS zcr
+  FROM a_sign GROUP BY i
+),
+v_frames AS (
+  SELECT v.range AS i, f.fr AS fr FROM range(200) v, (VALUES (0), (4)) f(fr)
+),
+v_feat AS (
+  SELECT i, fr,
+    round(avg(CAST((x.range * 3 + y.range * 5 + fr * 7 + i) % 256 AS DOUBLE)), 3) AS m
+  FROM v_frames, range(16) x, range(12) y
+  GROUP BY i, fr
+)
+SELECT 'audio' AS modality, 'clip' || lpad(CAST(i AS VARCHAR), 8, '0') AS item_id,
+       CAST(-1 AS INT) AS frame_idx, rms AS f1, zcr AS f2
+FROM a_feat
+UNION ALL
+SELECT 'video', 'vid' || lpad(CAST(i AS VARCHAR), 8, '0'),
+       CAST(fr AS INT), m, 0.0
+FROM v_feat
+"""
 
 
 # --- mutation / change ops (SURVEY.md §2.12) --------------------------------
@@ -1785,9 +1831,25 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint (pandas-UDF kernel; rows-only check)."""
+    """Rolling-hash fingerprint (pandas-UDF kernel; oracle: the
+    base-257 mod-(2^61-1) fold replayed as a DuckDB HUGEINT
+    list_reduce over the codepoints -- documents are ASCII so
+    codepoints == utf-8 bytes)."""
     d = fixtures.testdata(spark, sf_dir, "documents")
     return text_ops.fingerprint(d, "doc_id", "text")
+
+
+def sql_fingerprint() -> str:
+    p = (1 << 61) - 1
+    return f"""
+SELECT doc_id,
+  CASE WHEN length(text) = 0 THEN 0
+       ELSE list_reduce(
+              list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+              (h, b) -> CAST((CAST(h AS HUGEINT) * 257 + b) % {p} AS BIGINT))
+  END AS fingerprint
+FROM documents
+"""
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1998,6 +2060,8 @@ ORACLES: dict[str, str] = {
     "token_count": sql_token_count(),
     "language_score": sql_language_score(),
     "quality_score": sql_quality_score(),
+    "doc_fingerprint": sql_fingerprint(),
+    "multimodal_features": sql_multimodal_features(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,

@@ -158,9 +158,10 @@ def _clip_once(sx, sy, cx, cy, op: str):
             if s_in_c:
                 return []
             if c_in_s:
-                # subject with a hole -- return both rings (hole flagged
-                # by orientation downstream); here: outer + clip ring
-                return [(sx, sy), (cx, cy)]
+                # subject with a hole: outer ring CCW, hole ring CW --
+                # signed areas then sum to the true region area and
+                # consumers classify holes by orientation
+                return [(sx, sy), (cx[::-1], cy[::-1])]
             return [(sx, sy)]
         if op == "union":
             if s_in_c:
@@ -215,6 +216,11 @@ def _clip_once(sx, sy, cx, cy, op: str):
         if len(ring) >= 3:
             xs = np.array([p[0] for p in ring])
             ys = np.array([p[1] for p in ring])
+            # traversal pieces are outer boundaries (holes only arise in
+            # the no-intersection containment branch); normalize to CCW
+            # so signed-area summation over a result list is meaningful
+            if ring_area(xs, ys) < 0:
+                xs, ys = xs[::-1], ys[::-1]
             out.append((xs, ys))
     return out
 

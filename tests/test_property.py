@@ -153,13 +153,16 @@ def test_clip_inclusion_exclusion(seed_a, seed_b, dx, dy):
     dy=st.floats(-1.5, 1.5),
 )
 def test_clip_difference_partitions_subject(seed_a, seed_b, dx, dy):
-    """area(A\\B) + area(A∩B) == area(A)."""
+    """area(A\\B) + area(A∩B) == area(A).  Difference output uses SIGNED
+    areas (outer rings CCW, hole rings CW -- the kernel's orientation
+    contract), so fully-contained clips subtract correctly."""
     from diagonal_b6_spark.kernels import clip as C
 
     ax, ay = _convex_poly(seed_a, 0.0, 0.0, 1.0)
     bx, by = _convex_poly(seed_b, dx, dy, 1.0)
     area = lambda rings: sum(abs(C.ring_area(x, y)) for x, y in rings)
+    signed = lambda rings: sum(C.ring_area(x, y) for x, y in rings)
     a = abs(C.ring_area(ax, ay))
     inter = area(C.clip(ax, ay, bx, by, "intersection"))
-    diff = area(C.clip(ax, ay, bx, by, "difference"))
+    diff = signed(C.clip(ax, ay, bx, by, "difference"))
     assert diff + inter == pytest.approx(a, rel=1e-6, abs=1e-9)
