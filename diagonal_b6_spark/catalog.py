@@ -1391,6 +1391,72 @@ WHERE p.rn = 1
 """
 
 
+def q_geo_path_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntersectsPolyline: street path x area-boundary crossings via the
+    grid-celled segment-segment intersection join (oracle: the same
+    parametric crossing test over the vertex VALUES tables)."""
+    from .operators import sightline as sl_ops
+
+    feats = fixtures.features_table(spark)
+    paths = feats.filter(F.col("feature_type") == "path")
+    areas = feats.filter(
+        (F.col("feature_type") == "area") & (F.col("feature_id") != "area/test/4")
+    )
+    from .operators import network as net_ops
+
+    segs_a = net_ops.path_segments(paths)
+    segs_b = sl_ops.ring_segments_with_ids(areas)
+    out = spatial_join.segment_intersections(segs_a, segs_b)
+    return out.select(
+        "id_a", "seg_a", "id_b", "seg_b",
+        F.round("ix", 9).alias("ix"), F.round("iy", 9).alias("iy"),
+    )
+
+
+def sql_geo_path_crossings() -> str:
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+pa AS (
+  SELECT a.fid AS id_a, a.k AS seg_a, a.x AS ax1, a.y AS ay1, b.x AS ax2, b.y AS ay2
+  FROM rv a JOIN rv b ON a.fid = b.fid AND b.k = a.k + 1
+  WHERE a.ftype = 'path'
+),
+ring_sizes AS (
+  SELECT fid, ring, any_value(n) AS n FROM rv WHERE ftype = 'area' GROUP BY 1, 2
+),
+ring_base AS (
+  SELECT fid, ring,
+         coalesce(sum(n) OVER (PARTITION BY fid ORDER BY ring
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM ring_sizes
+),
+pb AS (
+  SELECT a.fid AS id_b, CAST(rb.base + a.k AS INT) AS seg_b,
+         a.x AS bx1, a.y AS by1, b.x AS bx2, b.y AS by2
+  FROM rv a
+  JOIN rv b ON a.fid = b.fid AND a.ring = b.ring AND b.k = (a.k + 1) % a.n
+  JOIN ring_base rb ON rb.fid = a.fid AND rb.ring = a.ring
+  WHERE a.ftype = 'area' AND a.fid <> 'area/test/4'
+),
+hit AS (
+  SELECT id_a, seg_a, id_b, seg_b,
+    ax1 + t * (ax2 - ax1) AS ix, ay1 + t * (ay2 - ay1) AS iy, t, u, denom
+  FROM (
+    SELECT *,
+      ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / denom AS t,
+      ((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / denom AS u
+    FROM (
+      SELECT pa.*, pb.*,
+        (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1) AS denom
+      FROM pa CROSS JOIN pb
+    ) WHERE denom <> 0
+  )
+  WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1
+)
+SELECT id_a, seg_a, id_b, seg_b, round(ix, 9) AS ix, round(iy, 9) AS iy FROM hit
+"""
+
+
 def q_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foster-clip fixture areas against a 500 m window over the dense
     cluster (rows-only; kernel pinned against closed forms in
@@ -2140,6 +2206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debug_tokens": q_debug_tokens,
     "collect_areas": q_collect_areas,
     "evaluate_feature_args": q_evaluate_feature_args,
+    "geo_path_crossings": q_geo_path_crossings,
     "embedding_knn_lsh": q_embedding_knn_lsh,
 }
 
@@ -2202,6 +2269,7 @@ ORACLES: dict[str, str] = {
     "geo_render_tiles": sql_geo_render_tiles(),
     "embedding_knn_ivf": sql_embedding_knn_ivf(),
     "graph_paths_to_reach": sql_graph_paths_to_reach(),
+    "geo_path_crossings": sql_geo_path_crossings(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,

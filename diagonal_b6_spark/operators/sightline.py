@@ -127,6 +127,21 @@ def ring_segments(areas: DataFrame) -> DataFrame:
     )
 
 
+def ring_segments_with_ids(areas: DataFrame) -> DataFrame:
+    """(feature_id, seg_idx, x1, y1, x2, y2) closed-ring segments,
+    seg_idx contiguous across a feature's rings in ring order."""
+    return areas.select(
+        "feature_id",
+        F.posexplode(
+            _ring_segments_udf(F.col("xs"), F.col("ys"), F.col("ring_offsets"))
+        ).alias("seg_idx", "s"),
+    ).select(
+        "feature_id", "seg_idx",
+        F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+    )
+
+
 def viewshed_clip_one(
     ex1: np.ndarray,
     ey1: np.ndarray,

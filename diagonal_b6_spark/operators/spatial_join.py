@@ -163,6 +163,81 @@ from pyspark.sql import types as T  # noqa: E402
 from ..kernels import cellmath as cm  # noqa: E402
 
 
+def segment_intersections(
+    segs_a: DataFrame,
+    segs_b: DataFrame,
+    cell_deg: float = 0.002,
+) -> DataFrame:
+    """IntersectsPolyline / polyline x polyline crossings
+    (b6/spatial.go's segment test; the street-crossing primitive).
+
+    Inputs: segment tables (id_a/id_b, seg_idx, x1, y1, x2, y2).  Both
+    sides replicate into grid cells their bbox overlaps (no threshold --
+    an intersection requires overlapping bboxes), equi-join on the cell,
+    then the closed-form parametric crossing test runs as pure column
+    expressions.  A pair crossing in several shared cells dedupes on
+    (ids, seg idxs).  Output: (id_a, seg_a, id_b, seg_b, ix, iy)."""
+    from . import gridjoin
+
+    def with_cells(df, prefix):
+        return gridjoin.explode_bbox_cells(
+            df.select(
+                F.col("feature_id").alias(f"{prefix}_id"),
+                F.col("seg_idx").alias(f"{prefix}_seg"),
+                F.col("x1").alias(f"{prefix}x1"), F.col("y1").alias(f"{prefix}y1"),
+                F.col("x2").alias(f"{prefix}x2"), F.col("y2").alias(f"{prefix}y2"),
+            ),
+            cell_deg,
+            0.0,
+            F.least(F.col(f"{prefix}x1"), F.col(f"{prefix}x2")),
+            F.greatest(F.col(f"{prefix}x1"), F.col(f"{prefix}x2")),
+            F.least(F.col(f"{prefix}y1"), F.col(f"{prefix}y2")),
+            F.greatest(F.col(f"{prefix}y1"), F.col(f"{prefix}y2")),
+        )
+
+    a = with_cells(segs_a, "a")
+    b = with_cells(segs_b, "b")
+    cand = a.join(b, ["gy", "gx"])
+    rx = F.col("ax2") - F.col("ax1")
+    ry = F.col("ay2") - F.col("ay1")
+    sx = F.col("bx2") - F.col("bx1")
+    sy = F.col("by2") - F.col("by1")
+    qpx = F.col("bx1") - F.col("ax1")
+    qpy = F.col("by1") - F.col("ay1")
+    denom = rx * sy - ry * sx
+    t = (qpx * sy - qpy * sx) / denom
+    u = (qpx * ry - qpy * rx) / denom
+    hits = cand.filter(
+        (denom != 0)
+        & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    ).select(
+        F.col("a_id").alias("id_a"), F.col("a_seg").alias("seg_a"),
+        F.col("b_id").alias("id_b"), F.col("b_seg").alias("seg_b"),
+        (F.col("ax1") + t * rx).alias("ix"),
+        (F.col("ay1") + t * ry).alias("iy"),
+    )
+    return hits.dropDuplicates(["id_a", "seg_a", "id_b", "seg_b"])
+
+
+def intersects_feature(
+    points: DataFrame,
+    feature: DataFrame,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """IntersectsFeature dispatcher (b6/spatial.go:159-177): route to the
+    per-type test -- PIP for areas; for point/path features, intersection
+    with a point set means coordinate containment (exact vertex match)."""
+    ftype = feature.select("feature_type").first()["feature_type"]
+    if ftype == "area":
+        return containment_join_broadcast(points, feature, point_id=point_id)
+    verts = feature.select(
+        "feature_id", F.explode(F.arrays_zip(F.col("xs"), F.col("ys"))).alias("v")
+    ).select("feature_id", F.col("v.ys").alias("lat"), F.col("v.xs").alias("lng"))
+    return points.join(F.broadcast(verts), ["lat", "lng"]).select(
+        point_id, "lat", "lng", "feature_id"
+    )
+
+
 def distance_join(
     points: DataFrame,
     center_lat: float,

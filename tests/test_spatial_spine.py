@@ -213,3 +213,25 @@ def test_knn_grid_construction_is_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
     assert df.count() > 0
+
+
+def test_segment_intersections_street_crosses_square(spark):
+    """IntersectsPolyline: the fixture street crosses the building
+    square boundary exactly twice (in and out)."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import network as net_ops
+    from diagonal_b6_spark.operators import sightline as sl_ops
+    from diagonal_b6_spark.operators import spatial_join
+    from pyspark.sql import functions as F
+
+    feats = fixtures.features_table(spark)
+    segs_a = net_ops.path_segments(feats.filter(F.col("feature_type") == "path"))
+    segs_b = sl_ops.ring_segments_with_ids(
+        feats.filter(F.col("feature_id") == "area/test/1")
+    )
+    out = spatial_join.segment_intersections(segs_a, segs_b).collect()
+    assert len(out) == 2
+    assert all(r["id_b"] == "area/test/1" for r in out)
+    # both crossing points lie ON the square's boundary x-range
+    for r in out:
+        assert 51.533 < r["iy"] < 51.537
