@@ -1304,6 +1304,10 @@ def q_graph_paths_to_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_graph_paths_to_reach() -> str:
+    # 24 unrolled relaxation rounds + a d{rounds-1} == d{rounds} parity
+    # guard: if a shortest-path tree ever needs more rounds (another SF),
+    # the oracle raises 'sssp oracle not converged' instead of silently
+    # diverging from the (correct) engine.
     rounds = 24
     parts = [
         f"d0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS origin, "
@@ -1324,6 +1328,10 @@ def sql_graph_paths_to_reach() -> str:
 WITH {edges},
 {relax},
 dist AS MATERIALIZED (SELECT origin, node, dist FROM d{rounds}),
+conv AS (SELECT count(*) AS n FROM
+         ((SELECT * FROM d{rounds} EXCEPT SELECT * FROM d{rounds - 1})
+          UNION ALL
+          (SELECT * FROM d{rounds - 1} EXCEPT SELECT * FROM d{rounds})) x),
 pred AS (
   SELECT d.origin, d.node,
     (SELECT u.node FROM dist u JOIN e ON e.src = u.node AND e.dst = d.node
@@ -1331,7 +1339,9 @@ pred AS (
       ORDER BY u.dist ASC, u.node ASC LIMIT 1) AS p
   FROM dist d WHERE d.node <> d.origin
 )
-SELECT p AS src, node AS dst, count(*) AS n_paths
+SELECT CASE WHEN (SELECT n FROM conv) > 0
+            THEN error('sssp oracle not converged') ELSE p END AS src,
+       node AS dst, count(*) AS n_paths
 FROM pred WHERE p IS NOT NULL GROUP BY 1, 2
 """
 
@@ -1881,13 +1891,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_ngram_jaccard() -> str:
+    # mirrors dedup_ops.ngram_jaccard_pairs incl. the shingle
+    # document-frequency cap (MAX_SHINGLE_DF) applied before BOTH the
+    # join and the per-doc size counts.
     return f"""
 WITH {_DOCS_DUP_CTE},
 {_SHINGLE_CTE},
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {dedup_ops.MAX_SHINGLE_DF}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter / (sa.sz + sb.sz - inter) AS jaccard
@@ -2171,7 +2187,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_captions": q_image_captions,
     "image_meta": q_image_meta,
     "events_hourly": q_events_hourly,
-    # --- rows-only family representatives (no SQL-expressible oracle) ---
+    # --- family representatives: oracle-backed + rows-only mixed.
+    # Gate position 1-50 is LOAD-BEARING (the driver checks exactly the
+    # first 50 keys).  Truly rows-only here: geo_s2_cells, geo_s2_covering,
+    # geo_sightline, geo_clip, image_phash_dups; the rest have ORACLES
+    # entries and count as fully green gate rows. ---
     "geo_s2_cells": q_geo_s2_cells,
     "geo_s2_covering": q_geo_s2_covering,
     "geo_convex_hull": q_geo_convex_hull,

@@ -178,11 +178,16 @@ def minhash_lsh_pairs(
     )
     capped = bands.join(small, "bucket")
     a, b = capped.alias("a"), capped.alias("b")
-    return (
+    out = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+    # the result is lazy, so the cache must outlive this call; expose the
+    # handle so callers can `out._cached_bands.unpersist()` once the result
+    # is materialized (otherwise the cache is pinned for the session).
+    out._cached_bands = bands
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -201,16 +206,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     return per_doc.select(id_col, fp.cast("long").alias("simhash"))
 
 
+MAX_SHINGLE_DF = 1000  # document-frequency cap on the shingle join key
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
     The shingle equi-self-join IS the candidate generator (pairs with
     zero overlap never materialize); set sizes come from one groupBy.
     Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
-    """
-    sh = shingles(df, id_col, text_col, n)
+
+    Shingles whose document frequency exceeds `max_df` are dropped BEFORE
+    both the join and the per-doc size counts (standard prefix/positional
+    filtering): a boilerplate trigram shared by 10^6 docs otherwise makes
+    the equi-self-join quadratic in that key.  The Jaccard is then exact
+    over the FILTERED shingle sets -- internally consistent (numerator
+    and denominators use the same sets), and high-frequency shingles
+    carry no similarity signal anyway.  The join is bounded at max_df^2
+    rows per shingle."""
+    raw = shingles(df, id_col, text_col, n)
+    rare = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
+    sh = raw.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -144,16 +144,39 @@ def phash_bands(images: DataFrame, n_bands: int = 4) -> DataFrame:
     )
 
 
+MAX_BAND_BUCKET = 1024  # per-(band_idx, band_value) doc cap for the self-join
+
+
 def phash_near_dup_pairs(
-    images: DataFrame, max_hamming: int = 0, n_bands: int = 4
+    images: DataFrame,
+    max_hamming: int = 0,
+    n_bands: int = 4,
+    max_bucket: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Image near-duplicate pairs: band-equality candidate join + popcount
     hamming refine, all whole-stage-codegen (no Python).  max_hamming=0
     -> exact phash duplicates; the banding guarantees recall for any
-    hamming < bits/n_bands by pigeonhole."""
+    hamming < bits/n_bands by pigeonhole.
+
+    Buckets holding more than `max_bucket` images are dropped before the
+    self-join (the MAX_BUCKET skew guard from dedup.minhash_lsh_pairs):
+    corpora heavy in near-constant images collapse to a handful of flat
+    phash band values, and one such bucket otherwise costs O(bucket^2)
+    candidate pairs.  Pairs in a dropped bucket can still collide in any
+    of the other n_bands-1 bands; only pairs hot in EVERY band are lost
+    -- by then they are a dense duplicate cluster better handled by the
+    exact-dedup pass.  The cap bounds the join at max_bucket^2 rows per
+    bucket."""
     b = phash_bands(images, n_bands)
-    a1 = b.alias("a")
-    a2 = b.alias("b")
+    small = (
+        b.groupBy("band_idx", "band_value")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select("band_idx", "band_value")
+    )
+    capped = b.join(small, ["band_idx", "band_value"])
+    a1 = capped.alias("a")
+    a2 = capped.alias("b")
     cand = a1.join(
         a2,
         (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -223,19 +223,31 @@ def intersects_feature(
     points: DataFrame,
     feature: DataFrame,
     point_id: str = "image_id",
+    ftype: str | None = None,
 ) -> DataFrame:
     """IntersectsFeature dispatcher (b6/spatial.go:159-177): route to the
     per-type test -- PIP for areas; for point/path features, intersection
-    with a point set means coordinate containment (exact vertex match)."""
-    ftype = feature.select("feature_type").first()["feature_type"]
+    with a point set means coordinate containment (exact vertex match).
+
+    When `ftype` is None the two branch plans are UNIONED with a lazy
+    per-branch feature_type filter, so constructing the operator launches
+    zero Spark jobs (the former `.first()` probe made construction eager
+    -- a driver action per call).  Pass ftype explicitly to plan only one
+    branch."""
     if ftype == "area":
         return containment_join_broadcast(points, feature, point_id=point_id)
-    verts = feature.select(
+    verts = feature.filter(F.col("feature_type") != "area").select(
         "feature_id", F.explode(F.arrays_zip(F.col("xs"), F.col("ys"))).alias("v")
     ).select("feature_id", F.col("v.ys").alias("lat"), F.col("v.xs").alias("lng"))
-    return points.join(F.broadcast(verts), ["lat", "lng"]).select(
+    vertex_hits = points.join(F.broadcast(verts), ["lat", "lng"]).select(
         point_id, "lat", "lng", "feature_id"
     )
+    if ftype is not None:  # point / path / relation: vertex-match branch only
+        return vertex_hits
+    area_hits = containment_join_broadcast(
+        points, feature.filter(F.col("feature_type") == "area"), point_id=point_id
+    )
+    return area_hits.unionByName(vertex_hits)
 
 
 def distance_join(
@@ -248,8 +260,11 @@ def distance_join(
     lng: str = "lng",
 ) -> DataFrame:
     """`intersecting-cap` analogue (b6/spatial.go:203-371): points within
-    radius_m of a center.  Cell prefilter via the cap covering, exact
-    haversine refine in a pandas UDF."""
+    radius_m of a center.  Cell prefilter via the cap covering; the exact
+    haversine refine is a pure column expression (whole-stage codegen --
+    no Arrow round-trip of the prefiltered table)."""
+    from .knn import _haversine_col
+
     if "cell16" not in points.columns:
         points = cover_ops.with_point_cells(points, lat, lng)
     cap = cm.covering_cap(center_lat, center_lng, radius_m)
@@ -260,13 +275,7 @@ def distance_join(
         c = (F.col("cell16") >= F.lit(lo)) & (F.col("cell16") <= F.lit(hi))
         cond = c if cond is None else (cond | c)
     pre = points.filter(cond)
-
-    @F.pandas_udf(T.DoubleType())
-    def dist_udf(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
-        return pd.Series(
-            geom.haversine_m(lat_s.to_numpy(), lng_s.to_numpy(), center_lat, center_lng)
-        )
-
-    return pre.withColumn("dist_m", dist_udf(F.col(lat), F.col(lng))).filter(
-        F.col("dist_m") <= radius_m
+    dist = _haversine_col(
+        F.col(lat), F.col(lng), F.lit(center_lat), F.lit(center_lng)
     )
+    return pre.withColumn("dist_m", dist).filter(F.col("dist_m") <= radius_m)

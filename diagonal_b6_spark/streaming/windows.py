@@ -162,7 +162,12 @@ def stateful_session_stats(
             else:
                 cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v))
         state.update(cur)
-        state.setTimeoutTimestamp(max(cur[1] + gap_ms, 1))
+        # clamp above the current watermark: a borderline-late event
+        # touching stale state (last_ts + gap <= watermark) would
+        # otherwise make Spark throw ("timeout timestamp must be greater
+        # than watermark") and kill the query.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1, 1))
         if closed:
             yield _emit(key, closed)
 

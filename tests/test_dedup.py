@@ -72,3 +72,36 @@ def test_lsh_near_dup_still_found_below_cap(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    # a shingle shared by every doc is dropped once its document
+    # frequency exceeds max_df; pairs only sharing hot shingles vanish,
+    # pairs sharing rare shingles survive with jaccard over the
+    # FILTERED sets (numerator and denominators consistent).
+    rows = [(i, f"common shingle here unique{i} tail{i} word{i}") for i in range(5)]
+    rows += [(10, "common shingle here alpha beta gamma"),
+             (11, "common shingle here alpha beta gamma")]
+    df = _docs(spark, rows)
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01)
+    assert uncapped.filter("doc_a = 0 AND doc_b = 1").count() == 1
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01, max_df=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # docs 0..4 only shared the hot "common shingle here" -> gone
+    assert (0, 1) not in got
+    # docs 10/11 share 3 rare shingles (alpha..gamma window) -> exact 1.0
+    # over the filtered sets (the hot shingle is excluded from both sides)
+    assert got[(10, 11)] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_capped_join_excludes_hot_key_from_sizes(spark):
+    # sizes must be counted over the filtered shingle set: two identical
+    # docs keep jaccard == 1.0 regardless of how many shingles were
+    # dropped by the cap.
+    rows = [(i, "hot hot hot hot rare%d x y" % i) for i in range(4)]
+    rows += [(20, "hot hot hot hot shared suffix words"),
+             (21, "hot hot hot hot shared suffix words")]
+    df = _docs(spark, rows)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=2)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert got[(20, 21)] == pytest.approx(1.0)

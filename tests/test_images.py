@@ -84,3 +84,18 @@ def test_bilinear_downsample_constant_image():
     out = image_ops._bilinear_batch(img, 8, 8)
     assert out.shape == (1, 8, 8, 3)
     assert (out == 77).all()
+
+
+def test_phash_band_bucket_cap_drops_hot_buckets(spark):
+    """The MAX_BAND_BUCKET skew guard: a corpus of identical-phash images
+    collapses every band to one bucket; capping below the corpus size
+    must drop the quadratic self-join entirely, while distinct-phash
+    pairs below the cap still surface."""
+    rows = [(f"i{k:03d}", 0x0123456789ABCDEF) for k in range(8)]
+    rows += [("j000", 0x1111222233334444), ("j001", 0x1111222233334444)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    uncapped = image_ops.phash_near_dup_pairs(df, max_hamming=0)
+    assert uncapped.filter("id_a LIKE 'i%'").count() == 8 * 7 // 2
+    capped = image_ops.phash_near_dup_pairs(df, max_hamming=0, max_bucket=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {("j000", "j001")}  # hot cluster capped out, small one kept

@@ -66,3 +66,23 @@ def test_operator_construction_is_lazy(spark):
     time.sleep(0.2)
     after = _n_jobs(spark)
     assert after == before, f"operator construction launched {after - before} job(s)"
+
+
+def test_intersects_feature_construction_is_lazy(spark):
+    """intersects_feature used to probe feature_type with .first() at
+    plan-construction time (a driver action per call); the dispatcher now
+    unions lazily-filtered branches and must launch zero jobs to build."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import spatial_join
+
+    feats = fixtures.features_table(spark)
+    pts = spark.range(10).select(
+        F.col("id").alias("pid"),
+        (F.lit(51.5) + F.col("id") * 0.001).alias("lat"),
+        (F.lit(-0.1) + F.col("id") * 0.001).alias("lng"),
+    )
+    before = _n_jobs(spark)
+    spatial_join.intersects_feature(pts, feats, point_id="pid")
+    time.sleep(0.2)
+    after = _n_jobs(spark)
+    assert after == before, f"intersects_feature launched {after - before} job(s)"

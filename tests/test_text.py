@@ -1,0 +1,43 @@
+"""Text operators: the vectorized rolling-hash fingerprint must be
+bit-identical to the per-byte Horner fold it replaced (and meaningfully
+faster on long documents)."""
+
+import time
+
+from hypothesis import given, settings, strategies as st
+
+from diagonal_b6_spark.operators.text import _FP_MOD, _FP_BASE, _fingerprint_bytes
+
+
+def _naive(s: str) -> int:
+    h = 0
+    for b in (s or "").encode("utf-8", errors="replace"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+@given(st.text(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_matches_horner_fold(s):
+    assert _fingerprint_bytes(s) == _naive(s)
+
+
+def test_fingerprint_edge_cases():
+    assert _fingerprint_bytes("") == 0
+    assert _fingerprint_bytes(None) == 0
+    assert _fingerprint_bytes("\x00") == 0
+    assert _fingerprint_bytes("\x00a") == ord("a")
+    # beyond the initial 4096-entry power table (exercises extension)
+    long = "z" * 10_000
+    assert _fingerprint_bytes(long) == _naive(long)
+
+
+def test_fingerprint_speedup_on_long_docs():
+    docs = ["word " * 5_000] * 20  # 25k chars each
+    t0 = time.perf_counter()
+    vec = [_fingerprint_bytes(s) for s in docs]
+    t1 = time.perf_counter()
+    naive = [_naive(s) for s in docs]
+    t2 = time.perf_counter()
+    assert vec == naive
+    assert (t2 - t1) / (t1 - t0) >= 5.0, f"speedup only {(t2 - t1) / (t1 - t0):.1f}x"
