@@ -1303,12 +1303,14 @@ def q_graph_paths_to_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.paths_to_reach(routes)
 
 
-def sql_graph_paths_to_reach() -> str:
-    # 24 unrolled relaxation rounds + a d{rounds-1} == d{rounds} parity
-    # guard: if a shortest-path tree ever needs more rounds (another SF),
-    # the oracle raises 'sssp oracle not converged' instead of silently
-    # diverging from the (correct) engine.
-    rounds = 24
+def _sssp_pred_ctes(rounds: int = 24) -> str:
+    """Shared oracle CTE chain for the exact-Dijkstra family: `rounds`
+    unrolled relaxation rounds to convergence, a `conv` parity CTE
+    (d{rounds-1} == d{rounds}; consumers should raise 'sssp oracle not
+    converged' when conv.n > 0 instead of silently diverging at an SF
+    where trees are deeper), and the heap-semantics `pred` rule: among
+    all u with dist(u)+w == dist(v), Dijkstra's final setter is the
+    first-popped achiever = argmin (dist(u), u)."""
     parts = [
         f"d0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS origin, "
         f"CAST(range AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist "
@@ -1324,8 +1326,7 @@ def sql_graph_paths_to_reach() -> str:
         )
     edges = _GRAPH_EDGES_CTE.replace("e AS (SELECT", "e AS MATERIALIZED (SELECT")
     relax = ",\n".join(parts)
-    return f"""
-WITH {edges},
+    return f"""{edges},
 {relax},
 dist AS MATERIALIZED (SELECT origin, node, dist FROM d{rounds}),
 conv AS (SELECT count(*) AS n FROM
@@ -1338,11 +1339,63 @@ pred AS (
       WHERE u.origin = d.origin AND u.dist + e.w = d.dist
       ORDER BY u.dist ASC, u.node ASC LIMIT 1) AS p
   FROM dist d WHERE d.node <> d.origin
-)
+)"""
+
+
+def sql_graph_paths_to_reach() -> str:
+    return f"""
+WITH {_sssp_pred_ctes()}
 SELECT CASE WHEN (SELECT n FROM conv) > 0
             THEN error('sssp oracle not converged') ELSE p END AS src,
        node AS dst, count(*) AS n_paths
 FROM pred WHERE p IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_graph_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accessible-routes: ordered Route/steps rebuild (reference fn
+    graph.go:312-339, BuildRoute b6/graph/graph.go:534-552) over the
+    oracle-verified predecessor trees -- dests are the graph_closest
+    target set (node % 7 == 0).
+
+    Oracle: the sql_graph_paths_to_reach pred rule (first-popped
+    achiever), extended to path enumeration with a recursive backward
+    walk dest -> origin, re-indexed forward."""
+    routes = graph_ops.dijkstra_cogrouped(
+        _graph_origins(spark), _graph_edges(spark, sf_dir)
+    )
+    dests = spark.range(GRAPH_N_NODES).filter(
+        (F.col("id") % 7 == 0) & (F.col("id") > 0)
+    ).select(F.col("id").alias("node"))
+    out = graph_ops.routes_from_pred(routes, dests)
+    return out.select(
+        "origin", "dest", "step_idx", "node", F.col("cum_cost").cast("long").alias("cum_cost")
+    )
+
+
+def sql_graph_routes() -> str:
+    return f"""
+WITH RECURSIVE {_sssp_pred_ctes()},
+dests AS (SELECT CAST(range AS BIGINT) AS dest FROM range({GRAPH_N_NODES})
+          WHERE range % 7 = 0 AND range > 0),
+walk(origin, dest, node, back_idx) AS (
+  SELECT d.origin, t.dest, t.dest AS node, 0 AS back_idx
+  FROM dests t JOIN dist d ON d.node = t.dest
+  UNION ALL
+  SELECT w.origin, w.dest, p.p, w.back_idx + 1
+  FROM walk w JOIN pred p ON p.origin = w.origin AND p.node = w.node
+),
+plen AS (
+  SELECT origin, dest, max(back_idx) AS plen FROM walk GROUP BY 1, 2
+)
+SELECT w.origin, w.dest,
+       CASE WHEN (SELECT n FROM conv) > 0
+            THEN error('sssp oracle not converged')
+            ELSE CAST(l.plen - w.back_idx AS INT) END AS step_idx,
+       w.node, d.dist AS cum_cost
+FROM walk w
+JOIN plen l ON l.origin = w.origin AND l.dest = w.dest
+JOIN dist d ON d.origin = w.origin AND d.node = w.node
 """
 
 
@@ -2176,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_building_access": q_building_access,
     "graph_closest": q_graph_closest,
     "graph_reachable": q_graph_reachable,
+    "graph_routes": q_graph_routes,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
@@ -2193,7 +2247,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # geo_sightline, geo_clip, image_phash_dups; the rest have ORACLES
     # entries and count as fully green gate rows. ---
     "geo_s2_cells": q_geo_s2_cells,
-    "geo_s2_covering": q_geo_s2_covering,
     "geo_convex_hull": q_geo_convex_hull,
     "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
@@ -2207,6 +2260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     # --- past the 50-query gate: alt-plan duplicates + second-tier
     # relational parity (all oracle-checked by the local parity suite) ---
+    "geo_s2_covering": q_geo_s2_covering,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn_grid": q_geo_knn_grid,
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
@@ -2289,6 +2343,7 @@ ORACLES: dict[str, str] = {
     "geo_render_tiles": sql_geo_render_tiles(),
     "embedding_knn_ivf": sql_embedding_knn_ivf(),
     "graph_paths_to_reach": sql_graph_paths_to_reach(),
+    "graph_routes": sql_graph_routes(),
     "geo_path_crossings": sql_geo_path_crossings(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan

@@ -276,6 +276,61 @@ def dijkstra_cogrouped(
     )
 
 
+def routes_from_pred(pred_routes: DataFrame, dests: DataFrame) -> DataFrame:
+    """`accessible-routes` step rebuild (reference fn graph.go:312-339 +
+    BuildRoute b6/graph/graph.go:534-552): for every (origin, dest)
+    pair with dest reachable, emit the ORDERED shortest-path step list
+    origin -> dest as (origin, dest, step_idx, node, cum_cost) rows --
+    step_idx 0 at the origin, cum_cost = shortest-path cost to that step.
+
+    pred_routes: (origin, node, dist, pred) -- the oracle-verified
+    shortest-path-tree output of ``dijkstra_cogrouped``.  dests:
+    DataFrame[node], the destination set (applied to every origin, the
+    accessible-routes shape: routes to every matched feature).
+
+    Fully distributed: the dest set is replicated per origin with a
+    cross join (dests are a query result -- small next to the corpus)
+    and COGROUPED with the origin's tree, so each task walks only one
+    origin's predecessor map and the driver never materializes
+    anything.  The walk is O(sum of path lengths) per origin."""
+    # rename through an alias so the replicated-dest side carries fresh
+    # attribute ids (both cogroup sides derive from pred_routes, which
+    # otherwise trips Spark's ambiguous-self-join detection)
+    origins_only = pred_routes.select(F.col("origin").alias("_rp_origin")).distinct()
+    per_origin_dests = origins_only.crossJoin(dests.select("node")).select(
+        F.col("_rp_origin").alias("origin"), "node"
+    )
+
+    def walk(key, tree: pd.DataFrame, dd: pd.DataFrame) -> pd.DataFrame:
+        pred = dict(zip(tree["node"].astype(int), tree["pred"].astype(int)))
+        dist = dict(zip(tree["node"].astype(int), tree["dist"].astype(float)))
+        out = []
+        for origin, dest in zip(dd["origin"], dd["node"]):
+            dest = int(dest)
+            if dest not in pred:
+                continue  # unreachable within the budget
+            chain = []
+            u = dest
+            while u != -1:
+                chain.append(u)
+                u = pred[u]
+            chain.reverse()
+            for i, node in enumerate(chain):
+                out.append((int(origin), dest, i, node, dist[node]))
+        return pd.DataFrame(
+            out, columns=["origin", "dest", "step_idx", "node", "cum_cost"]
+        )
+
+    return (
+        pred_routes.groupBy("origin")
+        .cogroup(per_origin_dests.groupBy("origin"))
+        .applyInPandas(
+            walk,
+            schema="origin long, dest long, step_idx int, node long, cum_cost double",
+        )
+    )
+
+
 def paths_to_reach(routes: DataFrame) -> DataFrame:
     """Edge-usage counts across all shortest-path trees
     (fn graph.go:451-499): every (pred -> node) edge of every origin's

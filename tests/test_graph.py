@@ -129,3 +129,37 @@ def test_dijkstra_isolated_seed_does_not_crash(spark):
         np.array([1.0, 1.0]),
     ).collect()
     assert [(r.origin, r.node, r.dist) for r in out] == [(0, 10_000, 0.0)]
+
+
+def test_routes_from_pred_step_semantics(spark):
+    """accessible-routes rebuild: every emitted route starts at the
+    origin (step 0, cost 0), ends at the dest with the shortest-path
+    cost, follows pred edges (each step's node is the next step's
+    predecessor), and has strictly increasing cum_cost on positive
+    weights."""
+    from pyspark.sql import functions as F
+
+    edges = catalog._graph_edges(spark, SF)
+    origins = catalog._graph_origins(spark)
+    tree = graph_ops.dijkstra_cogrouped(origins, edges)
+    dests = spark.range(0, 500, 7).filter("id > 0").select(F.col("id").alias("node"))
+    out = graph_ops.routes_from_pred(tree, dests).collect()
+    assert out, "no routes produced"
+
+    dist = {(r.origin, r.node): r.dist for r in tree.collect()}
+    pred = {(r.origin, r.node): r.pred for r in tree.collect()}
+    routes = {}
+    for r in out:
+        routes.setdefault((r.origin, r.dest), []).append(r)
+    for (origin, dest), steps in routes.items():
+        steps.sort(key=lambda r: r.step_idx)
+        assert [s.step_idx for s in steps] == list(range(len(steps)))
+        assert steps[0].node == origin and steps[0].cum_cost == 0.0
+        assert steps[-1].node == dest
+        assert abs(steps[-1].cum_cost - dist[(origin, dest)]) < 1e-9
+        for a, b in zip(steps, steps[1:]):
+            assert pred[(origin, b.node)] == a.node  # follows the tree
+            assert b.cum_cost > a.cum_cost
+    # unreachable dests emit nothing; reachable ones emit exactly once
+    reach = {(o, d) for (o, d) in dist if d % 7 == 0 and d > 0}
+    assert set(routes) == reach
