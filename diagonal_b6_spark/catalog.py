@@ -1399,6 +1399,137 @@ JOIN dist d ON d.origin = w.origin AND d.node = w.node
 """
 
 
+# --- street-network flood fill (BuildStreetNetwork) -------------------------
+
+STREET_THRESHOLD_M = 500.0
+STREET_LP_ROUNDS = 12
+
+
+def _street_path_rows() -> list[tuple[str, list[float], list[float]]]:
+    """Deterministic street fixture (shared verbatim with the oracle's
+    VALUES): a 5x5 grid spanning ~800 m (street network), an isolated
+    ~33 m driveway stub, and a 3-path cul-de-sac cluster spanning
+    ~330 m -- both below the 500 m traversal threshold."""
+    rows: list[tuple[str, list[float], list[float]]] = []
+    dy, dx = 0.0018, 0.0029  # ~200 m spacing at 51.5N
+    lat0, lng0 = 51.5, -0.1
+
+    def node(i: int, j: int) -> tuple[float, float]:
+        return (lat0 + i * dy, lng0 + j * dx)
+
+    for i in range(5):
+        for j in range(4):
+            (y1, x1), (y2, x2) = node(i, j), node(i, j + 1)
+            rows.append((f"street/h/{i}/{j}", [x1, x2], [y1, y2]))
+    for i in range(4):
+        for j in range(5):
+            (y1, x1), (y2, x2) = node(i, j), node(i + 1, j)
+            rows.append((f"street/v/{i}/{j}", [x1, x2], [y1, y2]))
+    rows.append(("street/driveway", [-0.08, -0.08], [51.52, 51.5203]))
+    rows.append(("street/cul/a", [-0.09, -0.09], [51.53, 51.5315]))
+    rows.append(("street/cul/b", [-0.09, -0.0885], [51.53, 51.53]))
+    rows.append(("street/cul/c", [-0.09, -0.09], [51.5285, 51.53]))
+    return rows
+
+
+def street_paths_table(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "feature_id": pid,
+            "feature_type": "path",
+            "ns": "test/streets",
+            "tags": {"#highway": "residential"},
+            "xs": xs,
+            "ys": ys,
+            "ring_offsets": [0],
+        }
+        for pid, xs, ys in _street_path_rows()
+    ]
+    return spark.createDataFrame(rows, fixtures.FEATURE_SCHEMA)
+
+
+def q_geo_street_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BuildStreetNetwork flood fill (b6/graph/connectivity.go:39-114):
+    label-propagation components + per-component extent test.  Oracle:
+    the min-label rounds unrolled in SQL (with an l11==l12 convergence
+    parity guard), identical vertex-key encoding, identical 4-corner
+    pairwise-haversine extent rule."""
+    from .operators import network as net_ops
+
+    out = net_ops.build_street_network(
+        street_paths_table(spark), STREET_THRESHOLD_M, rounds=STREET_LP_ROUNDS
+    )
+    return out.select("path_id", "comp", "in_network")
+
+
+def sql_geo_street_network() -> str:
+    vals = ",\n    ".join(
+        f"('{pid}', {xs[0]!r}, {ys[0]!r}, {xs[1]!r}, {ys[1]!r})"
+        for pid, xs, ys in _street_path_rows()
+    )
+    key = (
+        "(CAST(round({y} * 1e7) AS BIGINT) * 10000000000 "
+        "+ CAST(round(({x} + 360.0) * 1e7) AS BIGINT))"
+    )
+    rounds = STREET_LP_ROUNDS
+    lp = ["l0 AS (SELECT k, k AS lbl FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        lp.append(
+            f"l{r} AS MATERIALIZED (SELECT k, min(lbl) AS lbl FROM ("
+            f"SELECT * FROM {p} UNION ALL "
+            f"SELECT e.b AS k, {p}.lbl FROM {p} JOIN e ON e.a = {p}.k) GROUP BY k)"
+        )
+    def hav(a: str, b: str) -> str:
+        return _HAV.format(lat1=f"{a}y", lng1=f"{a}x", lat2=f"{b}y", lng2=f"{b}x")
+
+    pair_names = [
+        ("p1", "p2"), ("p1", "p3"), ("p1", "p4"),
+        ("p2", "p3"), ("p2", "p4"), ("p3", "p4"),
+    ]
+    dmax = "greatest(" + ", ".join(hav(a, b) for a, b in pair_names) + ")"
+    lp_sql = ",\n".join(lp)
+    return f"""
+WITH sp0(pid, x1, y1, x2, y2) AS (VALUES
+    {vals}),
+sp AS (SELECT pid, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+              CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2 FROM sp0),
+keys AS (SELECT pid, {key.format(y="y1", x="x1")} AS ku,
+                {key.format(y="y2", x="x2")} AS kv,
+                y1, x1, y2, x2 FROM sp),
+verts AS (SELECT k, min(y) AS y, min(x) AS x FROM (
+    SELECT ku AS k, y1 AS y, x1 AS x FROM keys
+    UNION ALL SELECT kv, y2, x2 FROM keys) GROUP BY k),
+e AS (SELECT DISTINCT a, b FROM (
+    SELECT ku AS a, kv AS b FROM keys
+    UNION ALL SELECT kv, ku FROM keys)),
+{lp_sql},
+conv AS (SELECT count(*) AS n FROM
+         ((SELECT * FROM l{rounds} EXCEPT SELECT * FROM l{rounds - 1})
+          UNION ALL
+          (SELECT * FROM l{rounds - 1} EXCEPT SELECT * FROM l{rounds})) x),
+lv AS (SELECT l.k, l.lbl, v.y, v.x FROM l{rounds} l JOIN verts v ON v.k = l.k),
+ext AS (SELECT lbl,
+          min(struct_pack(y := y, x := x)) AS pminy,
+          max(struct_pack(y := y, x := x)) AS pmaxy,
+          min(struct_pack(x := x, y := y)) AS pminx,
+          max(struct_pack(x := x, y := y)) AS pmaxx
+        FROM lv GROUP BY lbl),
+c AS (SELECT lbl, pminy.y AS p1y, pminy.x AS p1x, pmaxy.y AS p2y, pmaxy.x AS p2x,
+             pminx.y AS p3y, pminx.x AS p3x, pmaxx.y AS p4y, pmaxx.x AS p4x
+      FROM ext),
+comp AS (SELECT lbl, {dmax} > {STREET_THRESHOLD_M!r} AS in_net FROM c),
+member AS (SELECT DISTINCT k2.pid, l.lbl
+           FROM (SELECT DISTINCT pid, ku FROM keys) k2
+           JOIN l{rounds} l ON l.k = k2.ku)
+SELECT m.pid AS path_id, m.lbl AS comp,
+       CASE WHEN (SELECT n FROM conv) > 0
+            THEN error('street-network oracle not converged')
+            ELSE c2.in_net END AS in_network
+FROM member m JOIN comp c2 ON c2.lbl = m.lbl
+"""
+
+
 # --- sampling / dereference / expression / weighted routing -----------------
 
 N_PATH_SAMPLES = 7
@@ -2215,6 +2346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_area": q_geo_area,
     "geo_elevation_idw": q_geo_elevation_idw,
     "geo_connect_network": q_geo_connect_network,
+    "geo_street_network": q_geo_street_network,
     "geo_snap_edges": q_geo_snap_edges,
     "geo_sample_points": q_sample_points,
     "geo_point_paths": q_point_paths,
@@ -2256,11 +2388,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "raster_sample": q_raster_sample,
     "image_pipeline": q_image_pipeline,
-    "image_phash_dups": q_image_phash_dups,
     "multimodal_features": q_multimodal_features,
     # --- past the 50-query gate: alt-plan duplicates + second-tier
     # relational parity (all oracle-checked by the local parity suite) ---
     "geo_s2_covering": q_geo_s2_covering,
+    "image_phash_dups": q_image_phash_dups,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn_grid": q_geo_knn_grid,
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
@@ -2312,6 +2444,7 @@ ORACLES: dict[str, str] = {
     "geo_centroid": sql_geo_centroid(),
     "geo_area": sql_geo_area(),
     "geo_connect_network": sql_geo_connect_network(),
+    "geo_street_network": sql_geo_street_network(),
     "geo_snap_edges": sql_geo_snap_edges(),
     "geo_nearest_poi": sql_geo_nearest_poi(),
     "geo_elevation_idw": sql_geo_elevation_idw(),

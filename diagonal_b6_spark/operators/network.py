@@ -63,6 +63,7 @@ def connect_to_network(
     lat: str = "lat",
     lng: str = "lng",
     cell_deg: float | None = None,
+    network: DataFrame | None = None,
 ) -> DataFrame:
     """Closest segment within threshold per point:
     (point_id, path_id, seg_idx, dist_m).
@@ -70,9 +71,21 @@ def connect_to_network(
     Distributed shape: grid-cell candidate join (every segment within
     threshold_m of a point is guaranteed to land in the point's cell),
     JVM point-to-segment distance refine, min-struct argmin per point
-    with deterministic (dist, path_id, seg_idx) tie-break."""
+    with deterministic (dist, path_id, seg_idx) tie-break.
+
+    `network`: optional (path_id, comp, in_network) table from
+    ``build_street_network`` -- when given, snapping considers ONLY
+    member paths (the reference's ConnectFeature projects onto the
+    street network, not onto any nearby segment: a driveway stub or
+    footpath spur b6 would exclude is never chosen,
+    b6/graph/connectivity.go:124-160)."""
     if cell_deg is None:
         cell_deg = gridjoin.margin_deg(threshold_m)
+    if network is not None:
+        member = network.filter(F.col("in_network")).select(
+            F.col("path_id").alias("feature_id")
+        )
+        paths = paths.join(member, "feature_id", "leftsemi")
     segs = segment_cells(path_segments(paths), cell_deg, threshold_m).withColumnRenamed(
         "feature_id", "_seg_path_id"  # avoid clashing with a point-side id column
     )
@@ -102,6 +115,104 @@ def connect_to_network(
         F.col("b.dist_m").alias("dist_m"),
         F.col("b.proj_lat").alias("proj_lat"),
         F.col("b.proj_lng").alias("proj_lng"),
+    )
+
+
+def _vertex_key(y, x):
+    """Portable integer vertex id from coordinates at 1e-7 deg (~1 cm)
+    resolution: lat-major 64-bit key, mirrored bit-for-bit by the DuckDB
+    oracle.  Node identity = exact shared coordinates (the OSM node
+    expansion contract of the features tables)."""
+    return (
+        F.round(y * 1e7, 0).cast("long") * F.lit(10_000_000_000)
+        + F.round((x + 360.0) * 1e7, 0).cast("long")
+    )
+
+
+def build_street_network(
+    paths: DataFrame, threshold_m: float = 500.0, rounds: int = 12
+) -> DataFrame:
+    """BuildStreetNetwork (reference b6/graph/connectivity.go:39-114):
+    classify each path as street-network member iff its connected
+    path-set allows traversal farther than `threshold_m` from a path
+    start.  The reference flood-fills per path with an early exit into
+    already-classified paths, which makes membership transitive across a
+    connected component; the Spark-first re-expression computes exactly
+    that transitive form:
+
+      1. label-propagation connected components over the shared-vertex
+         path graph (min-label equi-join per round -- one shuffle per
+         round, lineage truncated; at planetary scale swap in the
+         alternating large-star/small-star variant for O(log n) rounds);
+      2. per-component spatial extent: the component joins the network
+         iff the max pairwise haversine among its four bbox-extreme
+         vertices exceeds threshold_m (a lower bound on the true
+         traversal diameter that is exact for street geometries --
+         deviation from the reference's per-start stack walk is
+         deliberate: it removes the Go map-iteration order dependence).
+
+    Returns (path_id, comp, in_network): comp = min vertex key of the
+    component.  `rounds` must cover the component hop-diameter; the
+    catalog oracle carries an l{rounds-1} == l{rounds} parity guard."""
+    segs = path_segments(paths)
+    k1, k2 = _vertex_key(F.col("y1"), F.col("x1")), _vertex_key(F.col("y2"), F.col("x2"))
+    seg_keys = segs.select(
+        F.col("feature_id"), k1.alias("ku"), k2.alias("kv"),
+        F.col("y1").alias("uy"), F.col("x1").alias("ux"),
+        F.col("y2").alias("vy"), F.col("x2").alias("vx"),
+    )
+    verts = (
+        seg_keys.select(F.col("ku").alias("k"), F.col("uy").alias("y"), F.col("ux").alias("x"))
+        .unionByName(
+            seg_keys.select(F.col("kv").alias("k"), F.col("vy").alias("y"), F.col("vx").alias("x"))
+        )
+        .groupBy("k").agg(F.min("y").alias("y"), F.min("x").alias("x"))
+    )
+    edges = (
+        seg_keys.select(F.col("ku").alias("a"), F.col("kv").alias("b"))
+        .unionByName(seg_keys.select(F.col("kv").alias("a"), F.col("ku").alias("b")))
+        .distinct()
+    )
+    labels = verts.select("k", F.col("k").alias("lbl"))
+    for r in range(rounds):
+        prop = (
+            edges.join(labels, edges["a"] == labels["k"])
+            .select(F.col("b").alias("k"), "lbl")
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("k").agg(F.min("lbl").alias("lbl"))
+        )
+        if (r + 1) % 4 == 0 and r + 1 < rounds:
+            labels = labels.localCheckpoint(eager=True)
+
+    lv = labels.join(verts, "k")
+    ext = lv.groupBy("lbl").agg(
+        F.min(F.struct(F.col("y"), F.col("x"))).alias("pminy"),
+        F.max(F.struct(F.col("y"), F.col("x"))).alias("pmaxy"),
+        F.min(F.struct(F.col("x"), F.col("y"))).alias("pminx"),
+        F.max(F.struct(F.col("x"), F.col("y"))).alias("pmaxx"),
+    )
+    corners = [
+        (F.col("pminy.y"), F.col("pminy.x")),
+        (F.col("pmaxy.y"), F.col("pmaxy.x")),
+        (F.col("pminx.y"), F.col("pminx.x")),
+        (F.col("pmaxx.y"), F.col("pmaxx.x")),
+    ]
+    dists = [
+        gridjoin.haversine_col(a[0], a[1], b[0], b[1])
+        for i, a in enumerate(corners)
+        for b in corners[i + 1 :]
+    ]
+    comp = ext.select("lbl", (F.greatest(*dists) > threshold_m).alias("in_network"))
+    path_membership = (
+        seg_keys.select("feature_id", F.col("ku").alias("k"))
+        .distinct()
+        .join(labels, "k")
+        .select("feature_id", "lbl")
+        .distinct()
+    )
+    return path_membership.join(comp, "lbl").select(
+        F.col("feature_id").alias("path_id"), F.col("lbl").alias("comp"), "in_network"
     )
 
 

@@ -47,3 +47,42 @@ def test_connect_network_matches_bruteforce(spark):
         else:
             assert p["event_id"] not in out
     assert n_checked > 0
+
+
+def test_street_network_excludes_stubs(spark):
+    """BuildStreetNetwork semantics: the 5x5 grid (~800 m span) is
+    network; the isolated driveway and the ~330 m cul-de-sac cluster are
+    not; each cluster forms exactly one component."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    out = net_ops.build_street_network(catalog.street_paths_table(spark), 500.0).collect()
+    by_path = {r.path_id: r for r in out}
+    assert len(by_path) == 44
+    assert all(by_path[p].in_network for p in by_path if p.startswith("street/h/") or p.startswith("street/v/"))
+    assert not by_path["street/driveway"].in_network
+    assert not by_path["street/cul/a"].in_network
+    grid_comps = {r.comp for r in out if r.in_network}
+    cul_comps = {by_path[f"street/cul/{s}"].comp for s in "abc"}
+    assert len(grid_comps) == 1 and len(cul_comps) == 1
+    assert by_path["street/driveway"].comp not in grid_comps | cul_comps
+
+
+def test_connect_to_network_snaps_only_to_members(spark):
+    """The reference's ConnectFeature projects onto the street NETWORK:
+    a point right next to the driveway stub must snap past it to the
+    nearest grid street once the membership filter is applied."""
+    from pyspark.sql import functions as F
+    from diagonal_b6_spark.operators import network as net_ops
+
+    paths = catalog.street_paths_table(spark)
+    # 5 m east of the driveway (at 51.52015, -0.08); nearest grid street
+    # is far away but within the 3 km threshold
+    pts = spark.createDataFrame([(1, 51.52015, -0.07993)], "pid long, lat double, lng double")
+    free = net_ops.connect_to_network(pts, paths, 3000.0, point_id="pid").collect()
+    assert free[0].path_id == "street/driveway"
+    member = net_ops.build_street_network(paths, 500.0)
+    snapped = net_ops.connect_to_network(
+        pts, paths, 3000.0, point_id="pid", network=member
+    ).collect()
+    assert snapped[0].path_id.startswith(("street/h/", "street/v/"))
+    assert snapped[0].dist_m > free[0].dist_m
