@@ -755,6 +755,79 @@ def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HULL_SAMPLE_MOD = 100  # every 100th event feeds the hull-metrics oracle
+
+
+def q_geo_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-hull summary metrics over a sampled event cloud.  The
+    oracle enumerates hull EDGES directly: a directed pair (a, b) is a
+    CCW hull edge iff every other point is strictly left of it; area
+    (spherical excess, Eriksson) and perimeter are edge-local cyclic
+    sums, so no ring ordering is needed.  O(n^3) in the oracle -> the
+    sampled subset; the engine runs the same two-stage monotone-chain
+    plan it runs on the full cloud.  Generic position (hash-noise
+    coordinates) -- no collinear triples."""
+    pts = (
+        _events_points(spark, sf_dir)
+        .filter(F.col("event_id") % HULL_SAMPLE_MOD == 0)
+        .withColumn("klat", F.expr("(event_id * 2654435761) % 1000003"))
+        .withColumn("klng", F.expr("(event_id * 40503) % 999983"))
+    )
+    # the hull predicate runs on the EXACT integer lattice keys the
+    # fixture coordinates derive from (affine-equivalent plane): lattice
+    # coordinates make collinear hull triples common, and float hulls
+    # are unstable exactly there -- integer cross products are exact in
+    # both engines, so engine and oracle agree on the true hull.
+    out = geo_fn.convex_hull_metrics(pts, key_lat="klat", key_lng="klng")
+    return out.select(
+        "n_vertices",
+        F.round("area_m2", 2).alias("area_m2"),
+        F.round("perimeter_m", 6).alias("perimeter_m"),
+    )
+
+
+def sql_geo_hull_metrics() -> str:
+    # CCW hull edge (a, b) on the EXACT integer lattice plane: no point
+    # strictly right (integer cross < 0 -- exact in both engines), and
+    # maximal over collinear chains (no collinear point beyond either
+    # endpoint; collinear points INSIDE the segment are skipped, which is
+    # exactly what the engine's strict monotone chain produces).  A
+    # degenerate edge set still fails LOUDLY via the cycle guard.
+    cross = "((b.kx - a.kx) * (c.ky - a.ky) - (b.ky - a.ky) * (c.kx - a.kx))"
+    beyond = (
+        "(c.kx < least(a.kx, b.kx) OR c.kx > greatest(a.kx, b.kx) "
+        "OR c.ky < least(a.ky, b.ky) OR c.ky > greatest(a.ky, b.ky))"
+    )
+    hav = _HAV.format(lat1="y1", lng1="x1", lat2="y2", lng2="x2")
+    return f"""
+WITH {_PTS_CTE},
+p AS (SELECT event_id AS id, lat, lng,
+             (event_id * 2654435761) % 1000003 AS ky,
+             (event_id * 40503) % 999983 AS kx
+      FROM pts WHERE event_id % {HULL_SAMPLE_MOD} = 0),
+he AS MATERIALIZED (
+  SELECT a.id AS sid, b.id AS did, a.lng AS x1, a.lat AS y1, b.lng AS x2, b.lat AS y2
+  FROM p a JOIN p b ON a.id <> b.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p c
+    WHERE c.id <> a.id AND c.id <> b.id
+      AND ({cross} < 0 OR ({cross} = 0 AND {beyond})))
+),
+chk AS (SELECT count(*) AS ne, count(DISTINCT sid) AS ns, count(DISTINCT did) AS nd FROM he)
+SELECT
+  CASE WHEN (SELECT ne FROM chk) < 3
+         OR (SELECT ne FROM chk) <> (SELECT ns FROM chk)
+         OR (SELECT ne FROM chk) <> (SELECT nd FROM chk)
+       THEN error('hull oracle: degenerate edge set')
+       ELSE (SELECT ne FROM chk) END AS n_vertices,
+  round(abs(sum((radians(x2) - radians(x1))
+               * (2.0 + sin(radians(y1)) + sin(radians(y2)))) / 2.0)
+        * 6371010.0 * 6371010.0, 2) AS area_m2,
+  round(sum({hav}), 6) AS perimeter_m
+FROM he
+"""
+
+
 def q_geo_render_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVT vector-tile sink over the fixture features.  Oracle covers the
     tile fan-out, per-tile feature counts, and sink non-emptiness (the
@@ -1010,6 +1083,70 @@ def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", F.length("bytes").alias("resized_bytes")
     )
     return stats.join(rt, "image_id").join(rs, "image_id")
+
+
+def q_image_pipeline_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image pipeline restricted to the LOSSLESS formats (raw/bmp):
+    decode -> stats -> resize -> roundtrip, fully oracle-checkable --
+    the fixture pixel value is closed-form modular arithmetic
+    (pix(id,x,y) = ((x*255//(w-1)) + id, (y*255//(h-1)) + id,
+    ((x//4 ^ y//4)&1)*200 + id + id%56) mod 256), so mean/std replay as
+    SQL aggregations over the regenerated pixel grid, and the lossless
+    round-trip invariant pins pixels_ok/caption_ok true.  The lossy DCT
+    path stays in the rows-only image_pipeline key."""
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES).filter(F.col("fmt") != "lossy")
+    stats = image_ops.decode_stats(img).select(
+        "image_id", "fmt", "ok",
+        F.round("mean_r", 4).alias("mean_r"), F.round("std_all", 4).alias("std_all"),
+    )
+    rt = image_ops.roundtrip_check(img).select("image_id", "pixels_ok", "caption_ok")
+    rs = image_ops.resize(img, 16, 16).select(
+        "image_id", F.length("bytes").alias("resized_bytes")
+    )
+    return stats.join(rt, "image_id").join(rs, "image_id")
+
+
+def sql_image_pipeline_lossless() -> str:
+    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
+    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
+    fs = "[" + ", ".join(f"'{f}'" for f in fixtures.FMTS) + "]"
+    return f"""
+WITH imgs AS (
+  SELECT range AS id,
+         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
+         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h,
+         ({fs})[CAST(range % 3 AS INT) + 1] AS fmt
+  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
+),
+px AS (
+  SELECT i.id, i.image_id, i.fmt, i.w, i.h, xs.range AS x, ys.range AS y
+  FROM imgs i, range(64) xs, range(64) ys
+  WHERE xs.range < i.w AND ys.range < i.h
+),
+vals AS (
+  SELECT id, image_id, fmt, w, h,
+    CAST(((x * 255) // (w - 1) + id) % 256 AS DOUBLE) AS r,
+    CAST(((y * 255) // (h - 1) + id) % 256 AS DOUBLE) AS g,
+    CAST(((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS DOUBLE) AS b
+  FROM px
+),
+agg AS (
+  SELECT image_id, any_value(fmt) AS fmt,
+         avg(r) AS mean_r,
+         (sum(r*r) + sum(g*g) + sum(b*b)) / (3 * any_value(w) * any_value(h)) AS m2,
+         (sum(r) + sum(g) + sum(b)) / (3 * any_value(w) * any_value(h)) AS m1
+  FROM vals GROUP BY image_id
+)
+SELECT image_id, fmt, true AS ok,
+       round(mean_r, 4) AS mean_r,
+       round(sqrt(m2 - m1 * m1), 4) AS std_all,
+       true AS pixels_ok, true AS caption_ok,
+       12 + 16 * 16 * 3 AS resized_bytes
+FROM agg
+"""
 
 
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,19 +2516,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # geo_sightline, geo_clip, image_phash_dups; the rest have ORACLES
     # entries and count as fully green gate rows. ---
     "geo_s2_cells": q_geo_s2_cells,
-    "geo_convex_hull": q_geo_convex_hull,
+    "geo_hull_metrics": q_geo_hull_metrics,
     "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
-    "geo_clip": q_geo_clip,
     "graph_paths_to_reach": q_graph_paths_to_reach,
     "doc_fingerprint": q_fingerprint,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "raster_sample": q_raster_sample,
-    "image_pipeline": q_image_pipeline,
+    "image_pipeline_lossless": q_image_pipeline_lossless,
     "multimodal_features": q_multimodal_features,
     # --- past the 50-query gate: alt-plan duplicates + second-tier
     # relational parity (all oracle-checked by the local parity suite) ---
     "geo_s2_covering": q_geo_s2_covering,
+    "geo_convex_hull": q_geo_convex_hull,
+    "geo_clip": q_geo_clip,
+    "image_pipeline": q_image_pipeline,
     "image_phash_dups": q_image_phash_dups,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn_grid": q_geo_knn_grid,
@@ -2473,6 +2612,8 @@ ORACLES: dict[str, str] = {
     "quality_score": sql_quality_score(),
     "doc_fingerprint": sql_fingerprint(),
     "multimodal_features": sql_multimodal_features(),
+    "image_pipeline_lossless": sql_image_pipeline_lossless(),
+    "geo_hull_metrics": sql_geo_hull_metrics(),
     "geo_render_tiles": sql_geo_render_tiles(),
     "embedding_knn_ivf": sql_embedding_knn_ivf(),
     "graph_paths_to_reach": sql_graph_paths_to_reach(),

@@ -203,8 +203,20 @@ def convex_hull(xs, ys):
 
     Returns hull vertex indices in counter-clockwise order.
     """
+    return convex_hull_planar(
+        _norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])),
+        np.asarray(ys, dtype=np.float64),
+    )
+
+
+def convex_hull_planar(xs, ys):
+    """Monotone chain WITHOUT longitude normalization: for coordinates
+    that are already planar -- in particular exact integer lattice keys
+    (values < 2^20, so every cross product is < 2^41 and float64-exact:
+    the hull is then deterministic and exactly oracle-matchable even for
+    collinear lattice triples)."""
     pts = np.stack(
-        [_norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])), np.asarray(ys, dtype=np.float64)],
+        [np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)],
         axis=1,
     )
     order = np.lexsort((pts[:, 1], pts[:, 0]))

@@ -583,6 +583,69 @@ def collect_areas(areas: DataFrame) -> DataFrame:
     )
 
 
+def convex_hull_metrics(
+    points: DataFrame,
+    lat: str = "lat",
+    lng: str = "lng",
+    key_lat: str | None = None,
+    key_lng: str | None = None,
+) -> DataFrame:
+    """Hull summary metrics: (n_vertices, area_m2, perimeter_m) of the
+    convex hull of the point cloud.  Unlike the hull VERTEX SET (whose
+    membership is float-representation-dependent for near-collinear
+    points), spherical-excess area and perimeter are edge-local cyclic
+    sums -- insensitive to vertex-order and near-collinear membership --
+    which makes this form oracle-checkable.  Same two-stage partial-hull
+    plan as ``convex_hull_agg``.
+
+    key_lat/key_lng: optional EXACT integer lattice columns affinely
+    equivalent to lat/lng (e.g. the hash integers a fixture derives its
+    coordinates from).  When given, the hull PREDICATE runs on the keys
+    (integer cross products are float64-exact, so collinear lattice
+    triples resolve deterministically -- the float hull is unstable
+    exactly there) while the metrics are computed from the real
+    coordinates of the chosen ring."""
+    keyed = key_lat is not None
+    cols = {"lat": lat, "lng": lng}
+    if keyed:
+        cols.update({"klat": key_lat, "klng": key_lng})
+    sel = [F.col(v).alias(k) for k, v in cols.items()]
+    schema = "lat double, lng double" + (", klat long, klng long" if keyed else "")
+
+    def hull_idx(pdf: pd.DataFrame) -> np.ndarray:
+        if keyed:
+            return geom.convex_hull_planar(
+                pdf["klng"].to_numpy(np.float64), pdf["klat"].to_numpy(np.float64)
+            )
+        return geom.convex_hull(pdf["lng"].to_numpy(), pdf["lat"].to_numpy())
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pdf.iloc[hull_idx(pdf)]
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        idx = hull_idx(pdf)
+        hx = pdf["lng"].to_numpy()[idx]
+        hy = pdf["lat"].to_numpy()[idx]
+        area = geom.spherical_ring_area_m2(hx, hy)
+        per = float(
+            geom.haversine_m(hy, hx, np.roll(hy, -1), np.roll(hx, -1)).sum()
+        )
+        yield pd.DataFrame(
+            {"n_vertices": [len(idx)], "area_m2": [area], "perimeter_m": [per]}
+        )
+
+    partials = points.select(*sel).mapInPandas(partial, schema=schema)
+    return partials.coalesce(1).mapInPandas(
+        final, "n_vertices int, area_m2 double, perimeter_m double"
+    )
+
+
 def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
     """`convex-hull` over a collection (fn geometry.go:207-232): hull
     vertices in CCW order.  Two-stage at scale: per-partition hulls first
