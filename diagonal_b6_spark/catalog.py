@@ -2519,6 +2519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_hull_metrics": q_geo_hull_metrics,
     "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
+    "geo_clip": q_geo_clip,
     "graph_paths_to_reach": q_graph_paths_to_reach,
     "doc_fingerprint": q_fingerprint,
     "embedding_knn_ivf": q_embedding_knn_ivf,
@@ -2529,7 +2530,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational parity (all oracle-checked by the local parity suite) ---
     "geo_s2_covering": q_geo_s2_covering,
     "geo_convex_hull": q_geo_convex_hull,
-    "geo_clip": q_geo_clip,
     "image_pipeline": q_image_pipeline,
     "image_phash_dups": q_image_phash_dups,
     "geo_pip_salted": q_geo_pip_salted,
