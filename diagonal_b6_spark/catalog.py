@@ -1667,6 +1667,72 @@ FROM member m JOIN comp c2 ON c2.lbl = m.lbl
 """
 
 
+ORDERED_JOIN_PAIRS = [
+    ("street/h/0/0", "street/h/0/1"),  # tail-head: no reversal
+    ("street/h/0/1", "street/h/0/0"),  # head-tail: both reversed
+    ("street/v/0/0", "street/h/0/0"),  # head-head: A reversed
+    ("street/h/0/0", "street/v/0/0"),  # head-head: A reversed (other order)
+    ("street/h/0/0", "street/driveway"),  # disjoint -> ok=false
+]
+
+
+def q_ordered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ordered-join over street-fixture path pairs covering all four
+    reversal branches plus the no-shared-endpoint error case."""
+    paths = street_paths_table(spark)
+    pairs = spark.createDataFrame(ORDERED_JOIN_PAIRS, "id_a string, id_b string")
+    out = geo_fn.ordered_join_paths(paths, pairs)
+    return out.select(
+        "pair_id", "ok",
+        F.transform("xs", lambda v: F.round(v, 9)).alias("xs"),
+        F.transform("ys", lambda v: F.round(v, 9)).alias("ys"),
+    )
+
+
+def sql_ordered_join() -> str:
+    path_vals = ",\n    ".join(
+        f"('{pid}', {xs[0]!r}, {ys[0]!r}, {xs[1]!r}, {ys[1]!r})"
+        for pid, xs, ys in _street_path_rows()
+    )
+    pair_vals = ", ".join(f"('{a}', '{b}')" for a, b in ORDERED_JOIN_PAIRS)
+    return f"""
+WITH sp0(pid, x1, y1, x2, y2) AS (VALUES
+    {path_vals}),
+sp AS (SELECT pid, [CAST(x1 AS DOUBLE), CAST(x2 AS DOUBLE)] AS xs,
+              [CAST(y1 AS DOUBLE), CAST(y2 AS DOUBLE)] AS ys FROM sp0),
+pr(id_a, id_b) AS (VALUES {pair_vals}),
+j AS (
+  SELECT pr.id_a || '|' || pr.id_b AS pair_id,
+         a.xs AS axs, a.ys AS ays, b.xs AS bxs, b.ys AS bys
+  FROM pr JOIN sp a ON a.pid = pr.id_a JOIN sp b ON b.pid = pr.id_b
+),
+br AS (
+  SELECT pair_id, axs, ays, bxs, bys,
+    CASE
+      WHEN axs[-1] = bxs[1] AND ays[-1] = bys[1] THEN 1
+      WHEN axs[-1] = bxs[-1] AND ays[-1] = bys[-1] THEN 2
+      WHEN axs[1] = bxs[1] AND ays[1] = bys[1] THEN 3
+      WHEN axs[1] = bxs[-1] AND ays[1] = bys[-1] THEN 4
+      ELSE 0 END AS branch
+  FROM j
+)
+SELECT pair_id, branch <> 0 AS ok,
+  list_transform(CASE branch
+    WHEN 1 THEN list_concat(axs, bxs[2:])
+    WHEN 2 THEN list_concat(axs, list_reverse(bxs)[2:])
+    WHEN 3 THEN list_concat(list_reverse(axs), bxs[2:])
+    WHEN 4 THEN list_concat(list_reverse(axs), list_reverse(bxs)[2:])
+    ELSE NULL END, v -> round(v, 9)) AS xs,
+  list_transform(CASE branch
+    WHEN 1 THEN list_concat(ays, bys[2:])
+    WHEN 2 THEN list_concat(ays, list_reverse(bys)[2:])
+    WHEN 3 THEN list_concat(list_reverse(ays), bys[2:])
+    WHEN 4 THEN list_concat(list_reverse(ays), list_reverse(bys)[2:])
+    ELSE NULL END, v -> round(v, 9)) AS ys
+FROM br
+"""
+
+
 # --- sampling / dereference / expression / weighted routing -----------------
 
 N_PATH_SAMPLES = 7
@@ -2553,6 +2619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evaluate_feature_args": q_evaluate_feature_args,
     "geo_path_crossings": q_geo_path_crossings,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "ordered_join": q_ordered_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2614,6 +2681,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": sql_multimodal_features(),
     "image_pipeline_lossless": sql_image_pipeline_lossless(),
     "geo_hull_metrics": sql_geo_hull_metrics(),
+    "ordered_join": sql_ordered_join(),
     "geo_render_tiles": sql_geo_render_tiles(),
     "embedding_knn_ivf": sql_embedding_knn_ivf(),
     "graph_paths_to_reach": sql_graph_paths_to_reach(),

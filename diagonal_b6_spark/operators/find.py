@@ -117,3 +117,22 @@ def debug_tokens(features: DataFrame) -> DataFrame:
         "feature_id", F.concat(F.lit("s2:"), F.col("token")).alias("token")
     )
     return tags.unionByName(cells)
+
+
+def count_tag_value(features: DataFrame, key: str) -> DataFrame:
+    """`count-tag-value` (fn features.go:177-189): one (key, value, 1)
+    row per feature carrying the tag -- features without it contribute
+    nothing (the reference returns an empty collection)."""
+    return features.filter(F.col("tags")[key].isNotNull()).select(
+        "feature_id",
+        F.lit(key).alias("k"),
+        F.col("tags")[key].alias("v"),
+        F.lit(1).alias("n"),
+    )
+
+
+def id_to_relation_id(ns, osm_id) -> Column:
+    """`id-to-relation-id` (fn features.go registry): rebase a namespaced
+    id into the relation id space -- in the tabular model, the canonical
+    'relation/<ns>/<id>' feature_id string."""
+    return F.concat_ws("/", F.lit("relation"), ns, osm_id.cast("string"))

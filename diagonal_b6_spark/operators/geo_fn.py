@@ -678,3 +678,88 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
         partial, schema=schema
     )
     return partials.coalesce(1).mapInPandas(final, schema=schema)
+
+
+def ordered_join(pairs: DataFrame, pair_id: str = "pair_id") -> DataFrame:
+    """`ordered-join` (fn features.go:487-520): join two paths into one,
+    reversing either side as needed so the shared endpoint stitches the
+    vertex sequences; ok=false (null geometry) when no endpoint is
+    shared -- the reference errors there.
+
+    pairs: (pair_id, axs, ays, bxs, bys) vertex arrays.  Pure array
+    expressions (element_at/reverse/slice/concat) -- whole-stage
+    codegen, zero shuffles, so it runs per-row at any corpus size.
+    Branch order matches the reference exactly (tail-head, tail-tail,
+    head-head, head-tail)."""
+    def pt(xs, ys, i):
+        return (F.element_at(F.col(xs), i), F.element_at(F.col(ys), i))
+
+    def eq(p, q):
+        return (p[0] == q[0]) & (p[1] == q[1])
+
+    a_first, a_last = pt("axs", "ays", 1), pt("axs", "ays", -1)
+    b_first, b_last = pt("bxs", "bys", 1), pt("bxs", "bys", -1)
+
+    def arr(col, rev):
+        c = F.col(col)
+        return F.reverse(c) if rev else c
+
+    def tail(col, rev):
+        # b's vertex sequence with its (shared) first element dropped
+        c = arr(col, rev)
+        return F.slice(c, 2, F.size(c) - 1)
+
+    def joined(col_a, col_b, rev_a, rev_b):
+        return F.concat(arr(col_a, rev_a), tail(col_b, rev_b))
+
+    branches = [
+        (eq(a_last, b_first), False, False),
+        (eq(a_last, b_last), False, True),
+        (eq(a_first, b_first), True, False),
+        (eq(a_first, b_last), True, True),
+    ]
+    xs_expr, ys_expr = None, None
+    for cond, ra, rb in branches:
+        jx, jy = joined("axs", "bxs", ra, rb), joined("ays", "bys", ra, rb)
+        xs_expr = F.when(cond, jx) if xs_expr is None else xs_expr.when(cond, jx)
+        ys_expr = F.when(cond, jy) if ys_expr is None else ys_expr.when(cond, jy)
+    ok = branches[0][0] | branches[1][0] | branches[2][0] | branches[3][0]
+    return pairs.select(
+        F.col(pair_id),
+        ok.alias("ok"),
+        xs_expr.alias("xs"),
+        ys_expr.alias("ys"),
+    )
+
+
+def ordered_join_paths(
+    paths: DataFrame, pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """ordered-join driven by a pair table of feature ids (the collection
+    form): broadcast-joins the path geometries onto the pairs."""
+    a = paths.select(
+        F.col("feature_id").alias(id_a), F.col("xs").alias("axs"), F.col("ys").alias("ays")
+    )
+    b = paths.select(
+        F.col("feature_id").alias(id_b), F.col("xs").alias("bxs"), F.col("ys").alias("bys")
+    )
+    joined = pairs.join(a, id_a).join(b, id_b).withColumn(
+        "pair_id", F.concat_ws("|", F.col(id_a), F.col(id_b))
+    )
+    return ordered_join(joined)
+
+
+def apply_to_type(features: DataFrame, ftype: str, fn) -> DataFrame:
+    """`apply-to-point`/`-path`/`-area` (fn docs.go:20-22): gate a
+    geometry transform to one feature type -- matching rows go through
+    `fn`, the rest pass unchanged (the wrapped function is identity on
+    other types)."""
+    hit = fn(features.filter(F.col("feature_type") == ftype))
+    return hit.unionByName(features.filter(F.col("feature_type") != ftype))
+
+
+def map_geometries(features: DataFrame, fn) -> DataFrame:
+    """`map-geometries` (fn docs.go:94): apply a geometry->geometry
+    transform to every feature of the collection; compose with
+    ``apply_to_type`` for the reference's apply-to-* gating."""
+    return fn(features)

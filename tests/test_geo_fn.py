@@ -213,3 +213,63 @@ def test_histogram_auto_modes(spark):
     num = spark.createDataFrame([(float(v),) for v in range(100)], "v double")
     got = {r["bucket"]: r["n"] for r in agg_ops.histogram_auto(num, "v", n_buckets=4).collect()}
     assert got == {"0": 25, "1": 25, "2": 25, "3": 25}  # equal-width numeric
+
+
+def test_ordered_join_branches(spark):
+    """All four reversal branches + the error case (reference
+    fn features.go:487-520 branch order)."""
+    from diagonal_b6_spark import catalog
+
+    out = {r["pair_id"]: r for r in catalog.q_ordered_join(spark, SF).collect()}
+    n00, n01, n02 = (-0.1, 51.5), (-0.0971, 51.5), (-0.0942, 51.5)
+    n10 = (-0.1, 51.5018)
+    def ring(r): return list(zip(r["xs"], r["ys"]))
+    assert ring(out["street/h/0/0|street/h/0/1"]) == [n00, n01, n02]
+    assert ring(out["street/h/0/1|street/h/0/0"]) == [n02, n01, n00]
+    assert ring(out["street/v/0/0|street/h/0/0"]) == [n10, n00, n01]
+    assert ring(out["street/h/0/0|street/v/0/0"]) == [n01, n00, n10]
+    bad = out["street/h/0/0|street/driveway"]
+    assert not bad["ok"] and bad["xs"] is None
+
+
+def test_count_tag_value_and_id_to_relation(spark):
+    from pyspark.sql import functions as F
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import find as find_ops
+
+    feats = fixtures.features_table(spark)
+    rows = find_ops.count_tag_value(feats, "#building").collect()
+    assert {(r.feature_id, r.v, r.n) for r in rows} == {
+        ("area/test/1", "yes", 1), ("area/test/2", "yes", 1), ("area/test/5", "hut", 1)
+    }
+    rid = (
+        spark.range(1)
+        .select(find_ops.id_to_relation_id(F.lit("test/fixtures"), F.lit(42)).alias("rid"))
+        .first()["rid"]
+    )
+    assert rid == "relation/test/fixtures/42"
+
+
+def test_apply_to_type_gates_transform(spark):
+    """apply-to-area: the transform touches only areas; points/paths pass
+    through unchanged (reference wraps the fn as identity elsewhere)."""
+    from pyspark.sql import functions as F
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import geo_fn
+
+    feats = fixtures.features_table(spark)
+
+    def centroidize(df):
+        c = geo_fn.with_centroid(df)
+        return c.select(
+            "feature_id", F.lit("point").alias("feature_type"), "ns", "tags",
+            F.array("centroid_lng").alias("xs"), F.array("centroid_lat").alias("ys"),
+            F.array(F.lit(0)).alias("ring_offsets"),
+        )
+
+    out = geo_fn.map_geometries(feats, lambda df: geo_fn.apply_to_type(df, "area", centroidize))
+    got = {r.feature_id: r for r in out.collect()}
+    assert len(got) == feats.count()
+    assert all(len(got[f"area/test/{i}"].xs) == 1 for i in range(1, 6))  # centroidized
+    street = got["path/test/6"]
+    assert street.feature_type == "path" and len(street.xs) == 12  # untouched
