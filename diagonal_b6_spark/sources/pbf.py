@@ -1,0 +1,286 @@
+"""OSM PBF binary ingest (reference: b6/osm/pbf.go; format: the public
+OSM PBF spec, https://wiki.openstreetmap.org/wiki/PBF_Format).
+
+Implemented from the wire format directly -- a minimal protobuf reader
+(varint / zigzag / length-delimited fields) plus the PBF file framing:
+
+    [int32 BE header-len][BlobHeader{type, datasize}][Blob{raw|zlib}] ...
+
+Each OSMData blob is an independently-decompressible PrimitiveBlock, so
+the scale shape is blob-level parallelism: the driver scans ONLY the
+~20-byte BlobHeaders (seek/skip -- O(#blobs) tiny reads, no payload
+touched), builds an (offset, size) index, and executors fetch + decode
+their own byte ranges inside ``mapInPandas``.  A planet file (~1500
+blobs/GB) therefore parallelizes like any splittable format.  Packed
+delta-coded arrays (dense node ids/lats/lons, way refs, relation
+memids) decode via a vectorized numpy varint kernel -- no per-byte
+Python in the hot path.
+
+Output matches the assembly contract of sources/osm.py exactly:
+    nodes(id long, lat double, lon double)
+    ways(id long, refs array<long>, tags map<string,string>)
+    relations(id long, members array<struct<type,ref,role>>,
+              tags map<string,string>)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NANO = 1e-9
+_MEMBER_TYPES = np.array(["node", "way", "relation"])
+
+
+# --- protobuf wire primitives ----------------------------------------------
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
+    """Yield (field_no, wire_type, value) over a protobuf message.
+    Length-delimited values come back as memoryview slices."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        elif wt == 1:
+            v = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        else:  # pragma: no cover - groups are absent from PBF
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, v
+
+
+def decode_packed_varints(data: memoryview) -> np.ndarray:
+    """Vectorized packed-varint decode: one numpy pass over the byte
+    buffer instead of a per-byte Python loop (the dense-node hot path).
+    Returns uint64 values (mod 2^64, the protobuf contract)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if not len(buf):
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((buf & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(len(buf))
+    group = np.searchsorted(ends, idx)
+    pos_in = (idx - starts[group]).astype(np.uint64)
+    contrib = (buf & 0x7F).astype(np.uint64) << (np.uint64(7) * pos_in)
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(vals, group, contrib)
+    return vals
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+# --- PBF framing ------------------------------------------------------------
+
+
+def blob_index(path: str) -> list[tuple[str, int, int]]:
+    """(type, offset, size) per blob, reading ONLY the BlobHeaders."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            hlen = struct.unpack(">I", head)[0]
+            header = memoryview(f.read(hlen))
+            btype, datasize = "", 0
+            for field, _, v in _fields(header):
+                if field == 1:
+                    btype = bytes(v).decode()
+                elif field == 3:
+                    datasize = v
+            out.append((btype, f.tell(), datasize))
+            f.seek(datasize, 1)
+    return out
+
+
+def _decode_blob(raw: bytes) -> memoryview:
+    """Blob{1: raw, 3: zlib_data} -> uncompressed payload."""
+    payload = None
+    for field, _, v in _fields(memoryview(raw)):
+        if field == 1:
+            payload = memoryview(v)
+        elif field == 3:
+            payload = memoryview(zlib.decompress(bytes(v)))
+    if payload is None:
+        raise ValueError("blob carries no supported payload")
+    return payload
+
+
+# --- PrimitiveBlock ---------------------------------------------------------
+
+
+def _string_table(msg: memoryview) -> list[str]:
+    return [bytes(v).decode("utf-8") for field, _, v in _fields(msg) if field == 1]
+
+
+def _tags(keys: np.ndarray, vals: np.ndarray, st: list[str]) -> dict:
+    return {st[int(k)]: st[int(v)] for k, v in zip(keys, vals)}
+
+
+def parse_primitive_block(payload: memoryview) -> dict:
+    """One PrimitiveBlock -> {'nodes': [...], 'ways': [...],
+    'relations': [...]} plain-python rows."""
+    st: list[str] = []
+    groups = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _, v in _fields(payload):
+        if field == 1:
+            st = _string_table(v)
+        elif field == 2:
+            groups.append(v)
+        elif field == 17:
+            granularity = v
+        elif field == 19:
+            lat_off = v
+        elif field == 20:
+            lon_off = v
+    nodes, ways, rels = [], [], []
+    for g in groups:
+        for field, _, v in _fields(g):
+            if field == 2:  # DenseNodes
+                ids = lats = lons = None
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        ids = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                    elif f2 == 8:
+                        lats = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                    elif f2 == 9:
+                        lons = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                if ids is not None:
+                    la = NANO * (lat_off + granularity * lats)
+                    lo = NANO * (lon_off + granularity * lons)
+                    nodes.extend(
+                        (int(i), float(a), float(o)) for i, a, o in zip(ids, la, lo)
+                    )
+            elif field == 1:  # plain Node
+                nid, klat, klon = 0, 0, 0
+                keys = vals = np.zeros(0, dtype=np.uint64)
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        nid = v2
+                    elif f2 == 2:
+                        keys = decode_packed_varints(v2)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(v2)
+                    elif f2 == 8:
+                        klat = int(_unzigzag(np.array([v2], dtype=np.uint64))[0])
+                    elif f2 == 9:
+                        klon = int(_unzigzag(np.array([v2], dtype=np.uint64))[0])
+                nodes.append(
+                    (int(nid), NANO * (lat_off + granularity * klat),
+                     NANO * (lon_off + granularity * klon))
+                )
+            elif field == 3:  # Way
+                wid = 0
+                keys = vals = np.zeros(0, dtype=np.uint64)
+                refs = np.zeros(0, dtype=np.int64)
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = decode_packed_varints(v2)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(v2)
+                    elif f2 == 8:
+                        refs = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                ways.append((int(wid), [int(r) for r in refs], _tags(keys, vals, st)))
+            elif field == 4:  # Relation
+                rid = 0
+                keys = vals = roles = types = np.zeros(0, dtype=np.uint64)
+                memids = np.zeros(0, dtype=np.int64)
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = decode_packed_varints(v2)
+                    elif f2 == 3:
+                        vals = decode_packed_varints(v2)
+                    elif f2 == 8:
+                        roles = decode_packed_varints(v2)
+                    elif f2 == 9:
+                        memids = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                    elif f2 == 10:
+                        types = decode_packed_varints(v2)
+                members = [
+                    {"type": str(_MEMBER_TYPES[int(t)]), "ref": int(m),
+                     "role": st[int(r)]}
+                    for m, t, r in zip(memids, types, roles)
+                ]
+                rels.append((int(rid), members, _tags(keys, vals, st)))
+    return {"nodes": nodes, "ways": ways, "relations": rels}
+
+
+# --- Spark surface ----------------------------------------------------------
+
+_NODE_SCHEMA = "id long, lat double, lon double"
+_WAY_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+_REL_SCHEMA = (
+    "id long, members array<struct<type:string, ref:long, role:string>>, "
+    "tags map<string,string>"
+)
+
+
+def read_pbf(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Distributed PBF decode: driver indexes blob (offset, size) pairs
+    (headers only), executors read + decode their own blobs.  Returns
+    {'nodes', 'ways', 'relations'} DataFrames in the osm.py assembly
+    contract.  `path` must be reachable from executors (posix/NFS; swap
+    the open() for a pyarrow filesystem on object stores)."""
+    index = [
+        (off, size) for btype, off, size in blob_index(path) if btype == "OSMData"
+    ]
+    blobs = spark.createDataFrame(index, "offset long, size long").repartition(
+        max(1, min(len(index), spark.sparkContext.defaultParallelism))
+    )
+
+    def make_decoder(kind: str, schema_cols):
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            with open(path, "rb") as f:
+                for pdf in batches:
+                    rows = []
+                    for off, size in zip(pdf["offset"], pdf["size"]):
+                        f.seek(int(off))
+                        block = parse_primitive_block(_decode_blob(f.read(int(size))))
+                        rows.extend(block[kind])
+                    if rows:
+                        yield pd.DataFrame(rows, columns=schema_cols)
+
+        return decode
+
+    nodes = blobs.mapInPandas(make_decoder("nodes", ["id", "lat", "lon"]), _NODE_SCHEMA)
+    ways = blobs.mapInPandas(make_decoder("ways", ["id", "refs", "tags"]), _WAY_SCHEMA)
+    rels = blobs.mapInPandas(
+        make_decoder("relations", ["id", "members", "tags"]), _REL_SCHEMA
+    )
+    return {"nodes": nodes, "ways": ways, "relations": rels}
