@@ -47,16 +47,27 @@ def points_in_polygon(px, py, xs, ys, ring_offsets):
     Uses the half-open edge rule ((y1 > py) != (y2 > py)) so points never
     double-count a vertex-level crossing.
     """
+    return _points_in_polygon_impl(px, py, xs, ys, ring_offsets, normalize=True)
+
+
+def points_in_polygon_planar(px, py, xs, ys, ring_offsets):
+    """Even-odd PIP WITHOUT longitude normalization: for projected
+    planar coordinates (e.g. shapefile data in a metric CRS, where the
+    mod-360 antimeridian shift would scramble the geometry)."""
+    return _points_in_polygon_impl(px, py, xs, ys, ring_offsets, normalize=False)
+
+
+def _points_in_polygon_impl(px, py, xs, ys, ring_offsets, normalize):
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     offs = list(np.asarray(ring_offsets, dtype=np.int64)) + [len(xs)]
     ref = float(xs[0])
-    pxn = _norm_lng(px, ref)
+    pxn = _norm_lng(px, ref) if normalize else px
     inside = np.zeros(px.shape, dtype=bool)
     for r in range(len(offs) - 1):
-        rx = _norm_lng(xs[offs[r] : offs[r + 1]], ref)
+        rx = _norm_lng(xs[offs[r] : offs[r + 1]], ref) if normalize else xs[offs[r] : offs[r + 1]]
         ry = ys[offs[r] : offs[r + 1]]
         if len(rx) < 3:
             continue
