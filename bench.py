@@ -67,18 +67,27 @@ def _bench_queries() -> dict:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "cpus": CPUS,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "cpus": CPUS,
+        }
     )
+    # The result must be un-losable: persist it to a file at the repo root,
+    # then stop Spark FIRST (so Python-worker teardown noise — e.g. daemon.py
+    # BrokenPipeError traces — cannot follow the JSON line on the combined
+    # stdout/stderr stream a caller may capture), and only then print the
+    # JSON line as the process's final act.
+    result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_result.json")
+    with open(result_path, "w") as f:
+        f.write(payload + "\n")
+    spark.stop()
+    sys.stderr.flush()
+    print(payload, flush=True)
     return times
 
 
@@ -192,7 +201,14 @@ def _bench_scaling() -> dict:
         "images_per_sec_N": lo["bucketed"]["images_per_sec"],
         "images_per_sec_4N": hi["bucketed"]["images_per_sec"],
     }
-    print(json.dumps(result))
+    payload = json.dumps(result)
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling_result.json"
+    )
+    with open(result_path, "w") as f:
+        f.write(payload + "\n")
+    sys.stderr.flush()
+    print(payload, flush=True)
     return result
 
 

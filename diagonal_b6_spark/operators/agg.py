@@ -33,9 +33,65 @@ def take(df: DataFrame, order_col: str, n: int) -> DataFrame:
 
 
 def percentiles(df: DataFrame, value_col: str, id_col: str) -> DataFrame:
-    """value -> percentile rank (fn math.go:85-115)."""
-    w = Window.orderBy(F.col(value_col).asc())
-    return df.select(id_col, value_col).withColumn("pct", F.percent_rank().over(w))
+    """value -> percentile rank (fn math.go:85-115).
+
+    Distributed percent_rank.  A ``Window.orderBy`` with no partitioning
+    would drag the entire input into ONE task -- correct at sf0.1, a
+    single-partition sort at 100x.  Instead:
+
+      1. ``groupBy(value)`` -> per-value count (one combiner-backed shuffle;
+         the distinct-value table is <= the input, usually far smaller);
+      2. range-partition the distinct values and take per-PARTITION prefix
+         sums with a window keyed on ``spark_partition_id`` -- every window
+         here is partitioned, so no task ever sees more than one range;
+      3. per-partition totals collapse to a provably tiny table (exactly one
+         row per range partition); its cumulative offsets use an
+         unpartitioned window over those <=O(shuffle.partitions) rows only;
+      4. ``rows_below(v) = offset + local_prefix - count(v)`` and
+         ``pct = rows_below / (n-1)`` -- exactly percent_rank's
+         ``(rank-1)/(n-1)`` with ties sharing the first rank (reference
+         tie semantics, fn math.go:85-115), bit-equal double division.
+    """
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vals = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_c"))
+        .repartitionByRange(nparts, F.col("_v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vals = vals.withColumn("_cum", F.sum("_c").over(w_local))
+    # one row per range partition: tiny by construction, so the
+    # unpartitioned windows below never see an unbounded input
+    totals = vals.groupBy("_pid").agg(F.sum("_c").alias("_pc"))
+    w_off = Window.orderBy(F.col("_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_pc").over(w_all).alias("_n"),
+    )
+    pct = F.when(
+        F.col("_n") > 1,
+        (F.col("_off") + F.col("_cum") - F.col("_c")).cast("double")
+        / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ranked = vals.join(F.broadcast(offs), "_pid").select(
+        F.col("_v"), pct.alias("pct")
+    )
+    base = df.select(id_col, value_col)
+    return base.join(
+        ranked, F.col(value_col).eqNullSafe(F.col("_v")), "inner"
+    ).select(id_col, value_col, "pct")
 
 
 def histogram(df: DataFrame, value_col: str, bucket_size: float) -> DataFrame:

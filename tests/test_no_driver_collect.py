@@ -86,3 +86,63 @@ def test_intersects_feature_construction_is_lazy(spark):
     time.sleep(0.2)
     after = _n_jobs(spark)
     assert after == before, f"intersects_feature launched {after - before} job(s)"
+
+
+def _single_partition_exchanges_are_bounded(plan: str) -> list[str]:
+    """Return violations: 'Exchange SinglePartition' nodes whose subtree
+    reaches a FileScan with no aggregation in between.  A single-partition
+    exchange is the physical footprint of an unpartitioned global sort or
+    window; it is only scale-safe when the data crossing it has already
+    been collapsed by an aggregate (e.g. per-range-partition totals)."""
+    import re
+
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else -1
+
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        agg_seen = False
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if 0 <= dj <= d:
+                break
+            if "Aggregate" in lines[j]:
+                agg_seen = True
+            if "FileScan" in lines[j] and not agg_seen:
+                bad.append(line.strip())
+                break
+    return bad
+
+
+def test_percentiles_has_no_unbounded_single_partition(spark, tmp_path):
+    """percentiles used to be a global unpartitioned Window -- the whole
+    input sorted in ONE task (round-3 VERDICT 'What's wrong #2').  The
+    distributed rewrite may still use SinglePartition exchanges, but only
+    over pre-aggregated (per-range-partition) tiny tables."""
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    path = str(tmp_path / "vals.parquet")
+    spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    ).write.parquet(path)
+    df = agg_ops.percentiles(spark.read.parquet(path), "v", "k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = _single_partition_exchanges_are_bounded(plan)
+    assert not bad, f"unbounded single-partition exchange(s): {bad}"
+    # and the distributed result still IS percent_rank
+    from pyspark.sql import Window
+
+    expect = (
+        spark.read.parquet(path)
+        .select("k", "v")
+        .withColumn("pct", F.percent_rank().over(Window.orderBy(F.col("v").asc())))
+    )
+    got = {(r["k"], r["v"]): r["pct"] for r in df.collect()}
+    for r in expect.collect():
+        assert got[(r["k"], r["v"])] == r["pct"]
