@@ -66,6 +66,7 @@ def _bench_queries() -> dict:
         fn(spark, SF_DIR).count()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    catalog.release_caches()
     total = round(sum(times.values()), 3)
     payload = json.dumps(
         {

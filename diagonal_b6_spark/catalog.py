@@ -2213,8 +2213,39 @@ sh AS (
 )"""
 
 
+_LIVE_CACHES: list = []
+
+
+def _register_cache(handle: DataFrame) -> None:
+    """At most one live operator cache across catalog calls: the gate and
+    bench invoke these wrappers repeatedly in one session, and a persisted
+    table whose consumer is lazy would otherwise stay pinned for the whole
+    session (round-3 VERDICT #7).  Each new registration frees the
+    previous one; `release_caches()` frees the last."""
+    release_caches()
+    _LIVE_CACHES.append(handle)
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_ops.minhash_lsh_pairs(_docs_with_dupes(spark, sf_dir), "doc_id", "text")
+    from pyspark import StorageLevel
+
+    pairs, bands = dedup_ops.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        "doc_id",
+        "text",
+        storage=StorageLevel.MEMORY_AND_DISK,
+        return_bands=True,
+    )
+    _register_cache(bands)
+    return pairs
 
 
 def sql_minhash_lsh() -> str:

@@ -151,7 +151,9 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
+    storage=None,
+    return_bands: bool = False,
+):
     """Candidate near-duplicate pairs via LSH banding: N_BANDS bands x
     BAND_ROWS rows.  A pair collides if any band's signature slice matches
     exactly (shingle -> minhash -> band -> bucket-join; the standard
@@ -162,14 +164,21 @@ def minhash_lsh_pairs(
     O(bucket^2) pairs; with 16 independent bands, genuinely-similar pairs
     still collide in another band.  The cap bounds the join at
     max_bucket^2 rows per bucket -- the skew guard this operator needs at
-    corpus scale."""
-    # the bands table is read three times (bucket sizing + both self-join
-    # sides); persist it so the shingle->md5->128-min signature pipeline
-    # runs ONCE instead of three times (measured 2.4x on the sf0.1 bench).
-    # MEMORY_AND_DISK: 16 rows/doc, spills instead of recomputing at scale.
-    from pyspark import StorageLevel
+    corpus scale.
 
-    bands = lsh_band_keys_arrow(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    Cache lifetime: the bands table is read three times (bucket sizing +
+    both self-join sides).  Pass ``storage`` (e.g.
+    ``StorageLevel.MEMORY_AND_DISK``) to persist it so the
+    shingle->minhash pipeline runs ONCE instead of three times (measured
+    2.4x on the sf0.1 bench).  THE CALLER OWNS THE CACHE: the result is
+    lazy, so the persist must outlive this call -- pass
+    ``return_bands=True`` to get ``(pairs, bands)`` and call
+    ``bands.unpersist()`` once the pairs are materialized.  With the
+    default ``storage=None`` nothing is pinned and the signature pipeline
+    recomputes per consumer (correct, ~2.4x slower)."""
+    bands = lsh_band_keys_arrow(df, id_col, text_col, n)
+    if storage is not None:
+        bands = bands.persist(storage)
     small = (
         bands.groupBy("bucket")
         .agg(F.count("*").alias("_bn"))
@@ -183,10 +192,8 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    # the result is lazy, so the cache must outlive this call; expose the
-    # handle so callers can `out._cached_bands.unpersist()` once the result
-    # is materialized (otherwise the cache is pinned for the session).
-    out._cached_bands = bands
+    if return_bands:
+        return out, bands
     return out
 
 
