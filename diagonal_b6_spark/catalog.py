@@ -868,8 +868,13 @@ FROM cover GROUP BY tile_x, tile_y
 
 
 def q_geo_sightline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Viewshed per probe origin vs fixture buildings (rows-only; closed
-    forms pinned in tests/test_sightline.py)."""
+    """Viewshed per probe origin vs fixture buildings.  Oracle-backed:
+    the angular sweep is closed-form trig (720 ray-segment minima +
+    polar area), so DuckDB replays the whole thing -- candidate
+    prefilter (point-segment distance <= 1.05r), per-bin nearest
+    intersection, and the polar area sum -- from the same VALUES
+    geometry.  Exact polygon boundaries stay pinned in
+    tests/test_sightline.py."""
     from .operators import sightline as sl_ops
 
     origins = _probes(spark).select(
@@ -878,10 +883,108 @@ def q_geo_sightline(spark: SparkSession, sf_dir: str) -> DataFrame:
     buildings = fixtures.features_table(spark).filter(
         F.col("tags")["#building"].isNotNull()
     )
-    out = sl_ops.sightline(origins, buildings, radius_m=300.0)
+    out = sl_ops.sightline(origins, buildings, radius_m=1500.0)
     return out.select(
         "origin_id", F.round("visible_area_m2", 1).alias("visible_area_m2"), "n_edges"
     )
+
+
+def sql_geo_sightline() -> str:
+    """Replay of operators/sightline.sweep_visibility: same local
+    equirectangular frame (M_PER_DEG = 111195.0 in the sweep; the
+    prefilter's gridjoin constant differs in the 5th decimal and is
+    mirrored separately), same hit thresholds, same polar area form."""
+    from .operators import gridjoin
+
+    radius = 1500.0
+    pad = 1.05 * radius  # Python double, inlined exactly
+    n_bins = 720
+    building_fids = ", ".join(
+        f"'{f['feature_id']}'"
+        for f in fixtures.feature_rows()
+        if "#building" in f["tags"] and f["feature_type"] == "area"
+    )
+    m_pre = repr(gridjoin.M_PER_DEG)
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+{_PROBES_CTE},
+seg AS (
+  SELECT a.fid, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM rv a JOIN rv b
+    ON b.fid = a.fid AND b.ring = a.ring AND b.k = (a.k + 1) % a.n
+  WHERE a.fid IN ({building_fids})
+),
+pe AS (
+  -- probe x edge in gridjoin.point_segment_dist_col's frame (its
+  -- M_PER_DEG differs from the sweep's 111195.0 in the 5th decimal)
+  SELECT p.probe_id, p.plat, p.plng, s.x1, s.y1, s.x2, s.y2,
+         (((s.x1 - p.plng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
+           * (cos(radians(p.plat)) * {m_pre}) AS ax,
+         (((s.x2 - p.plng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0)
+           * (cos(radians(p.plat)) * {m_pre}) AS bx,
+         (s.y1 - p.plat) * {m_pre} AS ay,
+         (s.y2 - p.plat) * {m_pre} AS by_
+  FROM probes p CROSS JOIN seg s
+),
+pd AS (
+  SELECT *, bx - ax AS dx, by_ - ay AS dy,
+         (bx - ax) * (bx - ax) + (by_ - ay) * (by_ - ay) AS seg2
+  FROM pe
+),
+pt AS (
+  SELECT *, least(1.0, greatest(0.0,
+             CASE WHEN seg2 > 0 THEN -(ax * dx + ay * dy) / seg2
+                  ELSE 0.0 END)) AS tt
+  FROM pd
+),
+cand AS (
+  -- survivors of the prefilter, re-projected into the sweep's frame
+  -- with _viewshed_one's exact association: kx = 111195.0 * cos(lat);
+  -- edge endpoints project FIRST, the edge vector is their difference
+  SELECT probe_id,
+         (x1 - plng) * (111195.0 * cos(radians(plat))) AS sx,
+         (y1 - plat) * 111195.0 AS sy,
+         (x2 - plng) * (111195.0 * cos(radians(plat)))
+           - (x1 - plng) * (111195.0 * cos(radians(plat))) AS ex,
+         (y2 - plat) * 111195.0 - (y1 - plat) * 111195.0 AS ey
+  FROM pt
+  WHERE sqrt((ax + tt * dx) * (ax + tt * dx)
+           + (ay + tt * dy) * (ay + tt * dy)) <= {pad!r}
+),
+ne AS (SELECT probe_id, CAST(count(*) AS INT) AS n_edges FROM cand GROUP BY probe_id),
+bins AS (SELECT range AS bin, range * ((2 * pi()) / {n_bins}) AS theta FROM range({n_bins})),
+hits AS (
+  SELECT c.probe_id, b.bin,
+         (c.sx * c.ey - c.sy * c.ex) / (cos(b.theta) * c.ey - sin(b.theta) * c.ex) AS t
+  FROM cand c CROSS JOIN bins b
+  WHERE abs(cos(b.theta) * c.ey - sin(b.theta) * c.ex) > 1e-12
+    AND (c.sx * c.ey - c.sy * c.ex) / (cos(b.theta) * c.ey - sin(b.theta) * c.ex) > 1e-9
+    AND (c.sx * sin(b.theta) - c.sy * cos(b.theta)) / (cos(b.theta) * c.ey - sin(b.theta) * c.ex) >= 0.0
+    AND (c.sx * sin(b.theta) - c.sy * cos(b.theta)) / (cos(b.theta) * c.ey - sin(b.theta) * c.ex) <= 1.0
+),
+rbin AS (
+  SELECT p.probe_id, b.bin, least(coalesce(min(h.t), {radius!r}), {radius!r}) AS r
+  FROM probes p CROSS JOIN bins b
+  LEFT JOIN hits h ON h.probe_id = p.probe_id AND h.bin = b.bin
+  GROUP BY p.probe_id, b.bin
+),
+nxt AS (
+  SELECT probe_id, bin, r,
+         coalesce(lead(r) OVER (PARTITION BY probe_id ORDER BY bin),
+                  first_value(r) OVER (PARTITION BY probe_id ORDER BY bin)) AS rn
+  FROM rbin
+),
+area AS (
+  SELECT probe_id, 0.5 * sum(r * rn) * sin((2.0 * pi()) / {n_bins}) AS a
+  FROM nxt GROUP BY probe_id
+)
+SELECT p.probe_id AS origin_id,
+       round(area.a, 1) AS visible_area_m2,
+       coalesce(ne.n_edges, 0) AS n_edges
+FROM probes p
+LEFT JOIN area ON area.probe_id = p.probe_id
+LEFT JOIN ne ON ne.probe_id = p.probe_id
+"""
 
 
 def q_geo_nearest_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2718,6 +2821,7 @@ ORACLES: dict[str, str] = {
     "graph_paths_to_reach": sql_graph_paths_to_reach(),
     "graph_routes": sql_graph_routes(),
     "geo_path_crossings": sql_geo_path_crossings(),
+    "geo_sightline": sql_geo_sightline(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
