@@ -2669,6 +2669,188 @@ def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         key; equality pinned in pytest) and second-tier relational
 #         parity ops -- all still oracle-checked locally by
 #         tests/test_oracle_parity.py, which runs the FULL registry.
+# --- binary ingest round-trips (PBF / shapefile gate keys) ------------------
+
+N_PBF_WAYS = 500
+_PBF_HIGHWAYS = ["residential", "primary", "footway"]
+
+
+def _pbf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic .osm.pbf derived from the events table: every event
+    is a dense node at its LAT/LNG_SQL position; ways group events by
+    event_id % N_PBF_WAYS (refs ascending) with highway/name tags; a few
+    relations reference the first ways (decode exercised, not asserted
+    here -- relation assembly is pinned in tests/test_pbf.py).  Built
+    once per sf under /tmp; the operator under test is the DISTRIBUTED
+    sources/pbf.read_pbf, not this driver-side fixture encode."""
+    import os
+
+    import numpy as np
+
+    from .sources import pbf_encode
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/pbf_fixture_{sfname}_w{N_PBF_WAYS}.osm.pbf"
+    if os.path.exists(path):
+        return path
+    pdf = _events_points(spark, sf_dir).toPandas()
+    order = np.argsort(pdf["event_id"].to_numpy())
+    ids = pdf["event_id"].to_numpy()[order]
+    lats = pdf["lat"].to_numpy()[order]
+    lons = pdf["lng"].to_numpy()[order]
+    ways = []
+    mod = ids % N_PBF_WAYS
+    for w in range(N_PBF_WAYS):
+        refs = ids[mod == w]
+        if len(refs):
+            ways.append(
+                (w, [int(r) for r in refs],
+                 {"highway": _PBF_HIGHWAYS[w % 3], "name": f"way-{w}"})
+            )
+    rels = [
+        (r, [{"type": "way", "ref": (r * 7) % N_PBF_WAYS, "role": "outer"}],
+         {"type": "multipolygon"})
+        for r in range(5)
+    ]
+    tmp = path + ".tmp"
+    pbf_encode.write_pbf(tmp, (ids, lats, lons), ways, rels)
+    os.replace(tmp, path)
+    return path
+
+
+def q_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PBF wire-format round-trip: encode the events table into dense
+    nodes + tagged ways (driver-side fixture), decode DISTRIBUTED via
+    read_pbf, then join ways back to their nodes.  The oracle replays
+    everything from the parquet events table -- way membership, tag
+    strings, ref counts, and the coordinate quantization (stored
+    integer units via floor(u + 0.5), exact in both engines), so dense
+    delta decode, string tables, and blob parallelism are all
+    value-checked."""
+    from .sources import pbf as pbf_src
+
+    t = pbf_src.read_pbf(spark, _pbf_fixture(spark, sf_dir))
+    unit = F.lit(100 * 1e-9)
+    nodes = t["nodes"].select(
+        F.col("id").alias("ref"),
+        F.floor(F.col("lat") / unit + F.lit(0.5)).alias("lat_u"),
+        F.floor(F.col("lon") / unit + F.lit(0.5)).alias("lon_u"),
+    )
+    w = t["ways"].select(
+        F.col("id").alias("way_id"),
+        F.size("refs").alias("n_refs"),
+        F.col("tags")["highway"].alias("highway"),
+        F.explode("refs").alias("ref"),
+    )
+    return (
+        w.join(nodes, "ref")
+        .groupBy("way_id", "n_refs", "highway")
+        .agg(F.sum("lat_u").alias("lat_u_sum"), F.sum("lon_u").alias("lon_u_sum"))
+    )
+
+
+def sql_pbf_roundtrip() -> str:
+    hws = ", ".join(f"'{h}'" for h in _PBF_HIGHWAYS)
+    return f"""
+WITH {_PTS_CTE},
+u AS (
+  SELECT event_id, event_id % {N_PBF_WAYS} AS way_id,
+         CAST(floor(lat / (100 * 1.0e-9) + 0.5) AS BIGINT) AS lat_u,
+         CAST(floor(lng / (100 * 1.0e-9) + 0.5) AS BIGINT) AS lon_u
+  FROM pts)
+SELECT way_id, CAST(count(*) AS INT) AS n_refs,
+       ([{hws}])[CAST(way_id % 3 AS INT) + 1] AS highway,
+       CAST(sum(lat_u) AS BIGINT) AS lat_u_sum,
+       CAST(sum(lon_u) AS BIGINT) AS lon_u_sum
+FROM u GROUP BY way_id
+"""
+
+
+SHP_GRID = 5
+
+
+def _shp_cells() -> list[tuple]:
+    """Closed-form SHP_GRID x SHP_GRID rectangle grid with centered
+    rectangular holes over the event extent:
+    (name, x0, x1, y0, y1, hx0, hx1, hy0, hy1)."""
+    # origin offset by an odd fraction so no cell edge coincides with the
+    # events origin (event 0 sits exactly at (51.50, -0.16); edge-exact
+    # points are where even-odd and strict-range semantics differ)
+    cells = []
+    for i in range(SHP_GRID * SHP_GRID):
+        gx, gy = i % SHP_GRID, i // SHP_GRID
+        x0 = -0.159317 + gx * 0.02
+        x1 = x0 + 0.018
+        y0 = 51.500741 + gy * 0.016
+        y1 = y0 + 0.0144
+        cells.append(
+            (f"cell-{i}", x0, x1, y0, y1,
+             x0 + 0.0045, x1 - 0.0045, y0 + 0.0036, y1 - 0.0036)
+        )
+    return cells
+
+
+def _shapefile_fixture() -> str:
+    from .sources import shapefile as shp_src
+
+    import os
+
+    import hashlib
+
+    digest = hashlib.md5(repr(_shp_cells()).encode()).hexdigest()[:8]
+    base = f"/tmp/shp_fixture_grid_{digest}"
+    if not os.path.exists(base + ".shp"):
+        recs, rows = [], []
+        for name, x0, x1, y0, y1, hx0, hx1, hy0, hy1 in _shp_cells():
+            outer = [(x0, y0), (x0, y1), (x1, y1), (x1, y0)]
+            hole = [(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1)]
+            recs.append((5, shp_src.polygon_content([outer, hole])))
+            rows.append({"NAME": name})
+        tmpbase = base + "_tmp"
+        shp_src.write_shapefile(tmpbase, recs, fields=[("NAME", 16)], rows=rows)
+        for ext in (".shp", ".shx", ".dbf"):
+            os.replace(tmpbase + ext, base + ext)
+    return base + ".shp"
+
+
+def q_shapefile_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile ingest round-trip: a closed-form polygon-with-hole grid
+    written as .shp/.shx/.dbf, decoded DISTRIBUTED via read_shapefile
+    (ring nesting + dbf attributes), then fed to the standard PIP
+    containment join against the events points.  The oracle replays the
+    rectangles-with-holes containment as pure range predicates."""
+    from .sources import shapefile as shp_src
+
+    feats = shp_src.read_shapefile(spark, _shapefile_fixture())
+    pts = cover_ops.with_point_cells(_events_points(spark, sf_dir))
+    out = spatial_join.containment_join_broadcast(pts, feats, point_id="event_id")
+    names = feats.select(
+        "feature_id", F.col("tags")["NAME"].alias("name")
+    )
+    return (
+        out.join(names, "feature_id")
+        .groupBy("name")
+        .agg(F.count("*").alias("n_pts"))
+    )
+
+
+def sql_shapefile_pip() -> str:
+    rows = ",\n    ".join(
+        f"('{n}', {x0!r}, {x1!r}, {y0!r}, {y1!r}, {hx0!r}, {hx1!r}, {hy0!r}, {hy1!r})"
+        for n, x0, x1, y0, y1, hx0, hx1, hy0, hy1 in _shp_cells()
+    )
+    return f"""
+WITH {_PTS_CTE},
+cells(name, x0, x1, y0, y1, hx0, hx1, hy0, hy1) AS (VALUES
+    {rows})
+SELECT c.name AS name, count(*) AS n_pts
+FROM pts p JOIN cells c
+  ON p.lng > c.x0 AND p.lng < c.x1 AND p.lat > c.y0 AND p.lat < c.y1
+ AND NOT (p.lng > c.hx0 AND p.lng < c.hx1 AND p.lat > c.hy0 AND p.lat < c.hy1)
+GROUP BY c.name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -2696,7 +2878,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_sssp": q_graph_sssp,
     "graph_sssp_weighted": q_graph_sssp_weighted,
     "graph_building_access": q_building_access,
-    "graph_closest": q_graph_closest,
     "graph_reachable": q_graph_reachable,
     "graph_routes": q_graph_routes,
     "dedup_exact": q_dedup_exact,
@@ -2704,19 +2885,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_simhash,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "token_count": q_token_count,
-    "language_score": q_language_score,
-    "quality_score": q_quality_score,
     "embedding_knn": q_embedding_knn,
-    "image_captions": q_image_captions,
-    "image_meta": q_image_meta,
     "events_hourly": q_events_hourly,
     # --- family representatives: oracle-backed + rows-only mixed.
     # Gate position 1-50 is LOAD-BEARING (the driver checks exactly the
-    # first 50 keys).  Truly rows-only here: geo_s2_cells, geo_s2_covering,
-    # geo_sightline, geo_clip, image_phash_dups; the rest have ORACLES
-    # entries and count as fully green gate rows. ---
-    "geo_s2_cells": q_geo_s2_cells,
+    # first 50 keys).  Composition rule (round-3 ADVICE): every operator
+    # family's ORIGINAL representative stays in the window even when it
+    # is rows-only (geo_s2_covering, geo_clip, geo_convex_hull,
+    # image_pipeline's lossy path, image_phash_dups -- all genuinely
+    # non-SQL kernels, each pinned by local tests), with the
+    # oracle-backed variants ALONGSIDE them, not replacing them.  Keys
+    # pushed past the gate to make room (image_captions, image_meta,
+    # language_score, quality_score, graph_closest, geo_s2_cells) stay
+    # fully oracle-checked by tests/test_oracle_parity.py over the
+    # whole registry. ---
+    "geo_s2_covering": q_geo_s2_covering,
     "geo_hull_metrics": q_geo_hull_metrics,
+    "geo_convex_hull": q_geo_convex_hull,
     "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
     "geo_clip": q_geo_clip,
@@ -2724,14 +2909,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "raster_sample": q_raster_sample,
+    "image_pipeline": q_image_pipeline,
     "image_pipeline_lossless": q_image_pipeline_lossless,
+    "image_phash_dups": q_image_phash_dups,
     "multimodal_features": q_multimodal_features,
+    "pbf_roundtrip": q_pbf_roundtrip,
+    "shapefile_pip": q_shapefile_pip,
     # --- past the 50-query gate: alt-plan duplicates + second-tier
     # relational parity (all oracle-checked by the local parity suite) ---
-    "geo_s2_covering": q_geo_s2_covering,
-    "geo_convex_hull": q_geo_convex_hull,
-    "image_pipeline": q_image_pipeline,
-    "image_phash_dups": q_image_phash_dups,
+    "geo_s2_cells": q_geo_s2_cells,
+    "image_captions": q_image_captions,
+    "image_meta": q_image_meta,
+    "language_score": q_language_score,
+    "quality_score": q_quality_score,
+    "graph_closest": q_graph_closest,
     "geo_pip_salted": q_geo_pip_salted,
     "geo_knn_grid": q_geo_knn_grid,
     "embedding_knn_ivf_exact": q_embedding_knn_ivf_exact,
@@ -2822,6 +3013,8 @@ ORACLES: dict[str, str] = {
     "graph_routes": sql_graph_routes(),
     "geo_path_crossings": sql_geo_path_crossings(),
     "geo_sightline": sql_geo_sightline(),
+    "pbf_roundtrip": sql_pbf_roundtrip(),
+    "shapefile_pip": sql_shapefile_pip(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,

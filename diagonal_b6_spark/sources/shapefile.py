@@ -259,3 +259,66 @@ def read_shapefile(spark: SparkSession, shp_path: str) -> DataFrame:
                     yield pd.DataFrame(rows, columns=cols)
 
     return recs.mapInPandas(decode, FEATURE_SCHEMA)
+
+
+# --- writer (interchange/export utility + gate-fixture builder) -------------
+
+
+def _shp_header(shape_type: int, total_words: int) -> bytes:
+    h = struct.pack(">I20x", 9994) + struct.pack(">I", total_words)
+    h += struct.pack("<2i", 1000, shape_type)
+    h += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    return h
+
+
+def polygon_content(rings: list, shape_type: int = 5) -> bytes:
+    """Polygon record content: rings auto-closed; callers supply ESRI
+    winding (outer CW, holes CCW) or rely on the reader's winding-proof
+    nesting."""
+    closed = [list(r) + [r[0]] for r in rings]
+    npts = sum(len(r) for r in closed)
+    c = struct.pack("<i", shape_type) + struct.pack("<4d", 0, 0, 0, 0)
+    c += struct.pack("<2i", len(closed), npts)
+    off = 0
+    for r in closed:
+        c += struct.pack("<i", off)
+        off += len(r)
+    for r in closed:
+        for x, y in r:
+            c += struct.pack("<2d", x, y)
+    return c
+
+
+def point_content(x: float, y: float) -> bytes:
+    return struct.pack("<i2d", 1, x, y)
+
+
+def write_shapefile(base: str, records: list, fields=None, rows=None) -> None:
+    """Write .shp/.shx/.dbf.  records: [(shape_type, content_bytes)]
+    built via polygon_content/point_content; fields: [(NAME, width)];
+    rows: per-record attribute dicts.  Driver-side by design -- like
+    PBF export this is an interchange extract, not a corpus sink."""
+    recs, idx, pos = b"", b"", 100
+    for i, (_, content) in enumerate(records):
+        recs += struct.pack(">2I", i + 1, len(content) // 2) + content
+        idx += struct.pack(">2I", pos // 2, len(content) // 2)
+        pos += 8 + len(content)
+    st = records[0][0] if records else 0
+    with open(base + ".shp", "wb") as f:
+        f.write(_shp_header(st, pos // 2) + recs)
+    with open(base + ".shx", "wb") as f:
+        f.write(_shp_header(st, (100 + len(idx)) // 2) + idx)
+    fields = fields or [("NAME", 16)]
+    rows = rows or [{"NAME": f"rec{i + 1}"} for i in range(len(records))]
+    rec_size = 1 + sum(length for _, length in fields)
+    head = struct.pack("<B3xI2H20x", 3, len(rows), 33 + 32 * len(fields), rec_size)
+    for name, length in fields:
+        head += struct.pack("<11sBI2B14x", name.encode(), ord("C"), 0, length, 0)
+    head += b"\x0d"
+    body = b""
+    for r in rows:
+        body += b" "
+        for name, length in fields:
+            body += str(r.get(name, "")).ljust(length)[:length].encode("latin-1")
+    with open(base + ".dbf", "wb") as f:
+        f.write(head + body + b"\x1a")

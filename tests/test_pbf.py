@@ -184,3 +184,81 @@ def test_pbf_feeds_way_assembly(spark, tmp_path):
     assert len(feats["path/osm/10"]["xs"]) == 3
     # coordinates survive the granularity encoding at nano precision
     assert feats["path/osm/10"]["ys"][0] == pytest.approx(51.535, abs=1e-7)
+
+
+# --- package encoder (sources/pbf_encode.py) --------------------------------
+
+
+def test_encoder_varints_match_scalar():
+    from diagonal_b6_spark.sources import pbf_encode
+
+    rng = np.random.default_rng(11)
+    vals = np.array(
+        [0, 1, 127, 128, (1 << 64) - 1] + [int(v) for v in rng.integers(0, 1 << 62, 500)],
+        dtype=np.uint64,
+    )
+    assert pbf_encode.encode_varints(vals) == b"".join(_varint(int(v)) for v in vals)
+
+
+def test_encoder_zigzag_matches_scalar():
+    from diagonal_b6_spark.sources import pbf_encode
+
+    vals = np.array([0, -1, 1, -2, 2**40, -(2**40), 2**62, -(2**62)], dtype=np.int64)
+    assert [int(z) for z in pbf_encode.zigzag(vals)] == [_zigzag(int(v)) for v in vals]
+
+
+def test_package_encoder_roundtrip(spark, tmp_path):
+    """write_pbf -> read_pbf round trip, multi-blob nodes."""
+    from diagonal_b6_spark.sources import pbf_encode
+
+    p = str(tmp_path / "enc.pbf")
+    ids = np.arange(1, 21, dtype=np.int64)
+    lats = 51.5 + 0.0001 * ids
+    lons = -0.125 + 0.0001 * ids
+    pbf_encode.write_pbf(p, (ids, lats, lons), WAYS, RELS, nodes_per_blob=7)
+    idx = pbf.blob_index(p)
+    assert [t for t, _, _ in idx] == ["OSMHeader"] + ["OSMData"] * 4  # 3 node + 1 way blob
+    t = pbf.read_pbf(spark, p)
+    nodes = sorted(tuple(r) for r in t["nodes"].collect())
+    assert len(nodes) == 20
+    for (nid, la, lo), want_id in zip(nodes, ids):
+        assert nid == want_id
+        assert la == pytest.approx(51.5 + 0.0001 * want_id, abs=1e-7)
+        assert lo == pytest.approx(-0.125 + 0.0001 * want_id, abs=1e-7)
+    ways = {r["id"]: r for r in t["ways"].collect()}
+    assert ways[10]["refs"] == [1, 2, 3]
+    assert dict(ways[11]["tags"]) == {"building": "yes"}
+    rels = {r["id"]: r for r in t["relations"].collect()}
+    assert [(m["type"], m["ref"], m["role"]) for m in rels[20]["members"]] == [
+        ("way", 10, "outer"), ("node", 5, "admin_centre")
+    ]
+
+
+def test_encoder_export_guard():
+    from diagonal_b6_spark.sources import pbf_encode
+
+    big = np.zeros(pbf_encode.MAX_EXPORT_NODES + 1, dtype=np.int64)
+    try:
+        pbf_encode.write_pbf("/tmp/never.pbf", (big, big, big))
+        assert False, "guard did not fire"
+    except ValueError as e:
+        assert "corpus sink" in str(e)
+
+
+def test_blob_codec_rejection_and_lzma():
+    import lzma
+
+    from diagonal_b6_spark.sources.pbf import _decode_blob
+
+    body = b"hello osm"
+    # field 4 (lzma), wiretype 2
+    enc = lzma.compress(body)
+    blob = b"\x22" + _varint(len(enc)) + enc
+    assert bytes(_decode_blob(blob)) == body
+    # field 6 (lz4) must be rejected BY NAME at decode time
+    blob = b"\x32" + _varint(4) + b"\x00\x00\x00\x00"
+    try:
+        _decode_blob(blob)
+        assert False, "lz4 blob not rejected"
+    except ValueError as e:
+        assert "lz4" in str(e) and "field 6" in str(e)
