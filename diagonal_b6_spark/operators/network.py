@@ -130,7 +130,8 @@ def _vertex_key(y, x):
 
 
 def build_street_network(
-    paths: DataFrame, threshold_m: float = 500.0, rounds: int = 12
+    paths: DataFrame, threshold_m: float = 500.0, rounds: int = 12,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """BuildStreetNetwork (reference b6/graph/connectivity.go:39-114):
     classify each path as street-network member iff its connected
@@ -152,8 +153,15 @@ def build_street_network(
          deliberate: it removes the Go map-iteration order dependence).
 
     Returns (path_id, comp, in_network): comp = min vertex key of the
-    component.  `rounds` must cover the component hop-diameter; the
-    catalog oracle carries an l{rounds-1} == l{rounds} parity guard."""
+    component.  Label propagation is CONVERGENCE-CHECKED in the engine:
+    every 4 rounds (at the lineage-truncation checkpoint, where the
+    labels are materialized anyway) a one-row probe counts labels still
+    shrinking; the loop exits early at the fixpoint -- which real street
+    graphs with hop diameters far above `rounds` need -- and raises if
+    `max_rounds` (default 8 x rounds) passes without convergence rather
+    than silently fragmenting components.  `rounds` is the expected
+    diameter hint, not a hard cap; the catalog oracle additionally
+    carries its own l{rounds-1} == l{rounds} parity guard."""
     segs = path_segments(paths)
     k1, k2 = _vertex_key(F.col("y1"), F.col("x1")), _vertex_key(F.col("y2"), F.col("x2"))
     seg_keys = segs.select(
@@ -174,16 +182,40 @@ def build_street_network(
         .distinct()
     )
     labels = verts.select("k", F.col("k").alias("lbl"))
-    for r in range(rounds):
-        prop = (
-            edges.join(labels, edges["a"] == labels["k"])
-            .select(F.col("b").alias("k"), "lbl")
+    limit = max_rounds if max_rounds is not None else 8 * rounds
+    done, converged = 0, False
+    while done < limit:
+        batch = min(4, limit - done)
+        prev = labels
+        for _ in range(batch):
+            prop = (
+                edges.join(labels, edges["a"] == labels["k"])
+                .select(F.col("b").alias("k"), "lbl")
+            )
+            labels = (
+                labels.unionByName(prop).groupBy("k").agg(F.min("lbl").alias("lbl"))
+            )
+        labels = labels.localCheckpoint(eager=True)
+        done += batch
+        # min-label is monotone non-increasing: an unchanged batch is the
+        # fixpoint.  Both sides are checkpointed, so the probe is a cheap
+        # two-scan join, not a recompute.
+        still_shrinking = (
+            labels.alias("n")
+            .join(prev.alias("p"), "k")
+            .where(F.col("n.lbl") < F.col("p.lbl"))
+            .limit(1)
+            .count()
         )
-        labels = (
-            labels.unionByName(prop).groupBy("k").agg(F.min("lbl").alias("lbl"))
+        if still_shrinking == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"street-network label propagation still changing after {limit} "
+            f"rounds; component hop-diameter exceeds max_rounds -- raise "
+            f"max_rounds or switch to the large-star/small-star variant"
         )
-        if (r + 1) % 4 == 0 and r + 1 < rounds:
-            labels = labels.localCheckpoint(eager=True)
 
     lv = labels.join(verts, "k")
     ext = lv.groupBy("lbl").agg(

@@ -86,3 +86,42 @@ def test_connect_to_network_snaps_only_to_members(spark):
     ).collect()
     assert snapped[0].path_id.startswith(("street/h/", "street/v/"))
     assert snapped[0].dist_m > free[0].dist_m
+
+
+def _chain_paths(spark, n_segs: int, seg_deg: float = 0.001):
+    """A single west-east chain of n_segs 2-point paths, each sharing an
+    endpoint with the next: hop diameter == n_segs."""
+    rows = [
+        {
+            "feature_id": f"chain/{i}",
+            "feature_type": "path",
+            "ns": "test",
+            "tags": {"highway": "residential"},
+            "xs": [i * seg_deg, (i + 1) * seg_deg],
+            "ys": [51.5, 51.5],
+            "ring_offsets": [0],
+        }
+        for i in range(n_segs)
+    ]
+    return spark.createDataFrame(rows, fixtures.FEATURE_SCHEMA)
+
+
+def test_street_network_converges_past_rounds_hint(spark):
+    """ADVICE r3: hop diameter (40) far above the rounds hint (12) must
+    NOT fragment -- the convergence loop keeps going to the fixpoint, so
+    the chain is one component and (being ~2.8 km long) in-network."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    out = net_ops.build_street_network(_chain_paths(spark, 40), 500.0, rounds=12).collect()
+    assert len(out) == 40
+    assert len({r.comp for r in out}) == 1
+    assert all(r.in_network for r in out)
+
+
+def test_street_network_raises_past_max_rounds(spark):
+    from diagonal_b6_spark.operators import network as net_ops
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        net_ops.build_street_network(
+            _chain_paths(spark, 40), 500.0, rounds=2, max_rounds=8
+        ).collect()
