@@ -124,14 +124,39 @@ def blob_index(path: str) -> list[tuple[str, int, int]]:
     return out
 
 
+# Blob compression fields beyond raw(1)/zlib(3), per fileformat.proto.
+_BLOB_CODECS = {4: "lzma", 5: "bzip2 (deprecated)", 6: "lz4", 7: "zstd"}
+
+
 def _decode_blob(raw: bytes) -> memoryview:
-    """Blob{1: raw, 3: zlib_data} -> uncompressed payload."""
+    """Blob{1: raw, 3: zlib_data, 4-7: other codecs} -> uncompressed
+    payload.  zstd is decoded when the zstandard module is available
+    (newer planet extracts use it); lzma via the stdlib; lz4/bzip2 are
+    rejected by name rather than with a generic error."""
     payload = None
     for field, _, v in _fields(memoryview(raw)):
         if field == 1:
             payload = memoryview(v)
         elif field == 3:
             payload = memoryview(zlib.decompress(bytes(v)))
+        elif field == 4:
+            import lzma
+
+            payload = memoryview(lzma.decompress(bytes(v)))
+        elif field == 7:
+            try:
+                import zstandard
+            except ImportError as e:
+                raise ValueError(
+                    "blob is zstd-compressed (Blob field 7) but the "
+                    "zstandard module is not installed"
+                ) from e
+            payload = memoryview(zstandard.ZstdDecompressor().decompress(bytes(v)))
+        elif field in _BLOB_CODECS:
+            raise ValueError(
+                f"blob uses unsupported compression {_BLOB_CODECS[field]} "
+                f"(Blob field {field})"
+            )
     if payload is None:
         raise ValueError("blob carries no supported payload")
     return payload
