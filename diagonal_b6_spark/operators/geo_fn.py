@@ -296,6 +296,47 @@ def s2_polygon(df: DataFrame, cell_col: str = "cell") -> DataFrame:
     return df.withColumn("corners", _corners(F.col(cell_col)))
 
 
+def s2_center(df: DataFrame, token_col: str = "token") -> DataFrame:
+    """`s2-center` (fn s2.go:62-65): token -> cell-center point, added as
+    center_lat/center_lng columns.  Vectorized over Arrow batches."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [T.StructField("lat", T.DoubleType()), T.StructField("lng", T.DoubleType())]
+        )
+    )
+    def _center(tok: pd.Series) -> pd.DataFrame:
+        ids = cm.token_to_id(tok.to_numpy())
+        lat, lng = cm.cell_center_latlng(ids)
+        return pd.DataFrame({"lat": lat, "lng": lng})
+
+    c = _center(F.col(token_col))
+    return df.withColumn("center_lat", c["lat"]).withColumn("center_lng", c["lng"])
+
+
+def s2_points(
+    features: DataFrame,
+    min_level: int = 1,
+    max_level: int = cm.MAX_INDEX_LEVEL,
+    max_cells: int = cm.MAX_COVERING_CELLS,
+) -> DataFrame:
+    """`s2-points` (fn s2.go:13-28): distinct covering-cell centroids,
+    keyed by token -- the covering dedups across the input features like
+    the reference's cell set."""
+    cov = s2_covering(features, max_cells=max_cells, max_level=max_level)
+    return (
+        cov.where(F.col("level") >= min_level)
+        .select("token", "center_lat", "center_lng")
+        .distinct()
+    )
+
+
+def s2_grid(features: DataFrame, level: int) -> DataFrame:
+    """`s2-grid` (fn s2.go:31-45): fixed-level covering tokens, distinct
+    and orderable by token like the reference's sorted collection."""
+    return s2_covering(features, fixed_level=level).select("token").distinct()
+
+
 # --- tiles -------------------------------------------------------------------
 
 

@@ -144,3 +144,31 @@ def to_geojson(features: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"feature_id": ids, "geojson": docs})
 
     return features.mapInPandas(encode, schema="feature_id string, geojson string")
+
+
+# --- named-operator wrappers (fn geojson.go surfaces) ------------------------
+
+
+def read_geojson_file(spark: SparkSession, path: str, ns: str = "geojson") -> DataFrame:
+    """`parse-geojson-file` (fn geojson.go:69-99): one FeatureCollection
+    document -> features.  A collection is a single JSON value, so the
+    parse is driver-side by nature; corpus-scale input is newline-
+    delimited and belongs to read_geojson_lines."""
+    with open(path) as f:
+        return parse_geojson(spark, f.read(), ns=ns)
+
+
+def import_geojson(world: DataFrame, geojson_features: DataFrame) -> DataFrame:
+    """`import-geojson` / `import-geojson-file` (fn geojson.go:102-141):
+    add parsed geojson features to the world -- colliding ids override,
+    the AddFeatures change semantics."""
+    from ..operators import change
+
+    return change.add_features(world, geojson_features)
+
+
+def geojson_areas(geojson_features: DataFrame) -> DataFrame:
+    """`geojson-areas` (fn geojson.go:143-156): just the area features
+    of a parsed geojson table (the reference keeps valid polygons only;
+    parse already drops malformed rings)."""
+    return geojson_features.where(F.col("feature_type") == "area")

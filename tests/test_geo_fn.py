@@ -273,3 +273,60 @@ def test_apply_to_type_gates_transform(spark):
     assert all(len(got[f"area/test/{i}"].xs) == 1 for i in range(1, 6))  # centroidized
     street = got["path/test/6"]
     assert street.feature_type == "path" and len(street.xs) == 12  # untouched
+
+
+def test_s2_center_points_grid_wrappers(spark):
+    """s2-center / s2-points / s2-grid named wrappers (fn s2.go:13-65):
+    center is the decoded cell centroid; points are the distinct covering
+    centroids; grid is the distinct fixed-level token set."""
+    from diagonal_b6_spark.kernels import cellmath as cm
+
+    feats = fixtures.features_table(spark).where(F.col("feature_type") == "area").limit(3)
+    cov = geo_fn.s2_covering(feats)
+    centered = geo_fn.s2_center(cov.select("token", "center_lat", "center_lng")).collect()
+    assert len(centered) > 0
+    for r in centered:
+        # wrapper's token->center decode equals the covering's own center
+        assert r["center_lat"] == pytest.approx(r["center_lat"], abs=0)
+        cid = cm.token_to_id(r["token"])
+        lat, lng = cm.cell_center_latlng(cid)
+        assert r["center_lat"] == pytest.approx(float(lat[0]), abs=1e-12)
+        assert r["center_lng"] == pytest.approx(float(lng[0]), abs=1e-12)
+
+    pts = geo_fn.s2_points(feats).collect()
+    toks = {r["token"] for r in pts}
+    assert toks == {r["token"] for r in cov.select("token").distinct().collect()}
+    assert len(pts) == len(toks)  # keyed by token, deduped
+
+    lvl = 16
+    grid = {r["token"] for r in geo_fn.s2_grid(feats, lvl).collect()}
+    assert grid and all(int(cm.level(cm.token_to_id(t))[0]) == lvl for t in grid)
+
+
+def test_geojson_wrappers_roundtrip(spark, tmp_path):
+    """parse-geojson-file / import-geojson / geojson-areas compositions
+    (fn geojson.go:69-156)."""
+    import json
+
+    from diagonal_b6_spark.sources import geojson as gj
+
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"name": "pt"},
+             "geometry": {"type": "Point", "coordinates": [-0.1, 51.5]}},
+            {"type": "Feature", "properties": {"name": "sq"},
+             "geometry": {"type": "Polygon", "coordinates": [
+                 [[-0.1, 51.5], [-0.1, 51.51], [-0.09, 51.51], [-0.09, 51.5], [-0.1, 51.5]]]}},
+        ],
+    }
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(doc))
+    parsed = gj.read_geojson_file(spark, str(p), ns="imp")
+    assert parsed.count() == 2
+    areas = gj.geojson_areas(parsed).collect()
+    assert len(areas) == 1 and dict(areas[0].tags)["name"] == "sq"
+    world = fixtures.features_table(spark)
+    merged = gj.import_geojson(world, parsed)
+    assert merged.count() == world.count() + 2
+    assert merged.where(F.col("ns") == "imp").count() == 2
