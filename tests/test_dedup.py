@@ -105,3 +105,28 @@ def test_ngram_jaccard_capped_join_excludes_hot_key_from_sizes(spark):
     capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=2)
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
     assert got[(20, 21)] == pytest.approx(1.0)
+
+
+def test_cache_registry_same_key_keeps_plan_cache():
+    """Re-registering the SAME query key must keep the original handle
+    (Spark caches match by analyzed plan; unpersisting the old handle
+    would drop the shared entry under the new one), while a different
+    key releases everything else."""
+    from diagonal_b6_spark import catalog
+
+    class H:
+        def __init__(self):
+            self.released = 0
+
+        def unpersist(self):
+            self.released += 1
+
+    catalog.release_caches()
+    a, b, c = H(), H(), H()
+    catalog._register_cache("k1", a)
+    catalog._register_cache("k1", b)  # warm-up -> timed-run repeat
+    assert catalog._LIVE_CACHES["k1"] is a and a.released == 0
+    catalog._register_cache("k2", c)
+    assert a.released == 1 and list(catalog._LIVE_CACHES) == ["k2"]
+    catalog.release_caches()
+    assert c.released == 1 and not catalog._LIVE_CACHES
