@@ -131,7 +131,7 @@ def _vertex_key(y, x):
 
 def build_street_network(
     paths: DataFrame, threshold_m: float = 500.0, rounds: int = 12,
-    max_rounds: int | None = None,
+    max_rounds: int | None = None, algorithm: str = "labelprop",
 ) -> DataFrame:
     """BuildStreetNetwork (reference b6/graph/connectivity.go:39-114):
     classify each path as street-network member iff its connected
@@ -161,7 +161,14 @@ def build_street_network(
     `max_rounds` (default 8 x rounds) passes without convergence rather
     than silently fragmenting components.  `rounds` is the expected
     diameter hint, not a hard cap; the catalog oracle additionally
-    carries its own l{rounds-1} == l{rounds} parity guard."""
+    carries its own l{rounds-1} == l{rounds} parity guard.
+
+    algorithm: 'labelprop' (default -- O(diameter) rounds, the right
+    cost for city-scale extracts) or 'star' -- the alternating
+    large-star/small-star algorithm (operators/components.py, Kiveris
+    et al. 2014), O(log n) rounds independent of diameter, for
+    planetary graphs.  Both converge to the identical labeling (comp =
+    min vertex key), pinned by test_street_network_star_equals_labelprop."""
     segs = path_segments(paths)
     k1, k2 = _vertex_key(F.col("y1"), F.col("x1")), _vertex_key(F.col("y2"), F.col("x2"))
     seg_keys = segs.select(
@@ -181,6 +188,14 @@ def build_street_network(
         .unionByName(seg_keys.select(F.col("kv").alias("a"), F.col("ku").alias("b")))
         .distinct()
     )
+    if algorithm == "star":
+        from . import components
+
+        cc = components.connected_components(edges, "a", "b")
+        labels = verts.select("k").join(cc, "k", "left").select(
+            "k", F.coalesce("lbl", "k").alias("lbl")
+        )
+        return _street_network_from_labels(labels, verts, seg_keys, threshold_m)
     labels = verts.select("k", F.col("k").alias("lbl"))
     limit = max_rounds if max_rounds is not None else 8 * rounds
     done, converged = 0, False
@@ -214,9 +229,16 @@ def build_street_network(
         raise ValueError(
             f"street-network label propagation still changing after {limit} "
             f"rounds; component hop-diameter exceeds max_rounds -- raise "
-            f"max_rounds or switch to the large-star/small-star variant"
+            f"max_rounds or switch to algorithm='star'"
         )
+    return _street_network_from_labels(labels, verts, seg_keys, threshold_m)
 
+
+def _street_network_from_labels(
+    labels: DataFrame, verts: DataFrame, seg_keys: DataFrame, threshold_m: float
+) -> DataFrame:
+    """Per-component extent rule + path membership, shared by both
+    component algorithms."""
     lv = labels.join(verts, "k")
     ext = lv.groupBy("lbl").agg(
         F.min(F.struct(F.col("y"), F.col("x"))).alias("pminy"),

@@ -125,3 +125,35 @@ def test_street_network_raises_past_max_rounds(spark):
         net_ops.build_street_network(
             _chain_paths(spark, 40), 500.0, rounds=2, max_rounds=8
         ).collect()
+
+
+def test_street_network_star_equals_labelprop(spark):
+    """The O(log n) large-star/small-star path must produce the identical
+    (path_id, comp, in_network) labeling as min-label propagation, on the
+    street fixture AND on a chain whose diameter exceeds the hint."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    for paths in (catalog.street_paths_table(spark), _chain_paths(spark, 40)):
+        lp = sorted(tuple(r) for r in net_ops.build_street_network(paths, 500.0).collect())
+        st = sorted(
+            tuple(r)
+            for r in net_ops.build_street_network(paths, 500.0, algorithm="star").collect()
+        )
+        assert st == lp
+
+
+def test_connected_components_closed_forms(spark):
+    """Stars converge to min-rooted components on shapes label-prop finds
+    hard: a long chain, two disjoint cliques, an isolated self-loop-free
+    pair."""
+    from diagonal_b6_spark.operators import components
+
+    chain = [(i, i + 1) for i in range(100, 160)]        # 61 nodes, one comp
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    pair = [(999, 998)]
+    e = spark.createDataFrame(chain + clique + pair, "a long, b long")
+    got = {r["k"]: r["lbl"] for r in components.connected_components(e).collect()}
+    assert all(got[i] == 100 for i in range(100, 161))
+    assert all(got[i] == 0 for i in range(5))
+    assert got[998] == 998 and got[999] == 998
+    assert len(got) == 61 + 5 + 2
