@@ -2863,6 +2863,62 @@ GROUP BY c.name
 """
 
 
+
+
+HEX_RES = 13
+
+
+def q_geo_hex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hex index assignment (operators/hexgrid.py): events ->
+    aperture-4 axial hex cells at HEX_RES, aggregated per hex.  Pure
+    whole-stage-codegen column math; the oracle replays mercator +
+    fractional axial + cube rounding verbatim in SQL."""
+    from .operators import hexgrid
+
+    pts = hexgrid.with_hex_cells(_events_points(spark, sf_dir), HEX_RES)
+    return pts.groupBy("hex_id", "hex_q", "hex_r").agg(
+        F.count("*").alias("n_pts"), F.min("event_id").alias("min_event")
+    )
+
+
+def sql_geo_hex_cover() -> str:
+    import math
+
+    size = 1024.0 / (8.0 * (2.0 ** HEX_RES))
+    c = math.sqrt(3.0) / 3.0
+    return f"""
+WITH {_PTS_CTE},
+xy AS (
+  SELECT event_id,
+         (lng + 180.0) / 360.0 * 1024.0 AS x,
+         (1.0 - ln(tan(radians(greatest(-85.05112878, least(lat, 85.05112878))))
+                   + 1.0 / cos(radians(greatest(-85.05112878, least(lat, 85.05112878)))))
+                / {math.pi!r}) / 2.0 * 1024.0 AS y
+  FROM pts),
+frac AS (
+  SELECT event_id,
+         ({c!r} * x - y / 3.0) / {size!r} AS qf,
+         (2.0 / 3.0 * y) / {size!r} AS rf
+  FROM xy),
+rnd AS (
+  SELECT event_id, qf, rf, -qf - rf AS sf,
+         floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr, floor(-qf - rf + 0.5) AS rs
+  FROM frac),
+ax AS (
+  SELECT event_id,
+         CAST(CASE WHEN abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf)
+                   THEN -rr - rs ELSE rq END AS BIGINT) AS hex_q,
+         CAST(CASE WHEN NOT (abs(rq - qf) > abs(rr - rf) AND abs(rq - qf) > abs(rs - sf))
+                        AND abs(rr - rf) > abs(rs - sf)
+                   THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r
+  FROM rnd)
+SELECT CAST({HEX_RES} AS BIGINT) * 67108864 * 67108864
+         + (hex_q + 33554432) * 67108864 + (hex_r + 33554432) AS hex_id,
+       hex_q, hex_r, count(*) AS n_pts, min(event_id) AS min_event
+FROM ax GROUP BY hex_q, hex_r
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -2957,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_path_crossings": q_geo_path_crossings,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "ordered_join": q_ordered_join,
+    "geo_hex_cover": q_geo_hex_cover,
 }
 
 ORACLES: dict[str, str] = {
@@ -3027,6 +3084,7 @@ ORACLES: dict[str, str] = {
     "geo_sightline": sql_geo_sightline(),
     "pbf_roundtrip": sql_pbf_roundtrip(),
     "shapefile_pip": sql_shapefile_pip(),
+    "geo_hex_cover": sql_geo_hex_cover(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
