@@ -2919,6 +2919,50 @@ FROM ax GROUP BY hex_q, hex_r
 """
 
 
+
+
+HEX_NN_RES = 13
+HEX_NN_RADIUS_M = 250.0
+
+
+def q_geo_hex_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-bucketed large-large proximity join (operators/hexgrid.py
+    hex_nearest): nearest other event within 250 m, candidates from the
+    7-cell disk equi-join (radius < the 328 m ground inradius of res-13
+    hexes at the events extent, so the disk is complete).  The oracle
+    replays the semantics directly -- argmin haversine over all pairs
+    within radius -- WITHOUT the hex pruning, proving the bucketing
+    drops nothing."""
+    from .operators import hexgrid
+
+    pts = _events_points(spark, sf_dir)
+    out = hexgrid.hex_nearest(
+        pts, pts, HEX_NN_RES, HEX_NN_RADIUS_M,
+        point_id="event_id", other_id="event_id", max_abs_lat=51.58,
+    )
+    return out.select(
+        "event_id",
+        F.col("nn_id").alias("nn_event"),
+        F.round("nn_dist_m", 3).alias("nn_dist_m"),
+    )
+
+
+def sql_geo_hex_nearest() -> str:
+    hav = _HAV.format(lat1="a.lat", lng1="a.lng", lat2="b.lat", lng2="b.lng")
+    return f"""
+WITH {_PTS_CTE},
+d AS (
+  SELECT a.event_id, b.event_id AS nn_event, {hav} AS dist,
+         row_number() OVER (PARTITION BY a.event_id
+                            ORDER BY {hav} ASC, b.event_id ASC) AS rn
+  FROM pts a JOIN pts b ON a.event_id <> b.event_id
+  WHERE {hav} <= {HEX_NN_RADIUS_M!r}
+)
+SELECT event_id, nn_event, round(dist, 3) AS nn_dist_m
+FROM d WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -3014,6 +3058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
+    "geo_hex_nearest": q_geo_hex_nearest,
 }
 
 ORACLES: dict[str, str] = {
@@ -3085,6 +3130,7 @@ ORACLES: dict[str, str] = {
     "pbf_roundtrip": sql_pbf_roundtrip(),
     "shapefile_pip": sql_shapefile_pip(),
     "geo_hex_cover": sql_geo_hex_cover(),
+    "geo_hex_nearest": sql_geo_hex_nearest(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,

@@ -108,3 +108,62 @@ def explode_hex_disk(points: DataFrame, res: int) -> DataFrame:
         .drop("_o")
         .withColumn("nbr_id", hex_id_col(res, F.col("nbr_q"), F.col("nbr_r")))
     )
+
+
+def hex_inradius_ground_m(res: int, abs_lat_deg: float) -> float:
+    """Ground-meter hex inradius at `res` and latitude (mercator hexes
+    cover fewer ground meters toward the poles)."""
+    size_units = HEX_SCALE / (8.0 * (2.0 ** res))
+    inr_deg = size_units * math.sqrt(3.0) / 2.0 / HEX_SCALE * 360.0
+    return inr_deg * math.pi / 180.0 * 6_371_000.0 * math.cos(math.radians(abs_lat_deg))
+
+
+def hex_nearest(
+    points: DataFrame,
+    others: DataFrame,
+    res: int,
+    radius_m: float,
+    point_id: str,
+    other_id: str,
+    max_abs_lat: float = 66.0,
+) -> DataFrame:
+    """Nearest `other` within `radius_m` of each point -- the hex-bucketed
+    large-large proximity join.  Both sides carry (id, lat, lng); others
+    explode to their 7-cell disk, points stay single-cell, so the join is
+    a plain equi-join on hex id with exactly 7x fan-out on ONE side (a
+    square 3x3 grid pays 9x).  Correctness bound: the 1-ring of a hex
+    covers every point within the hex INRADIUS of the cell, so radius_m
+    must not exceed the ground inradius at the data's extreme latitude --
+    checked eagerly against `max_abs_lat`, which callers set to their
+    data's bound."""
+    limit = hex_inradius_ground_m(res, max_abs_lat)
+    if radius_m > limit:
+        raise ValueError(
+            f"radius_m={radius_m} exceeds the hex inradius {limit:.1f} m at "
+            f"lat {max_abs_lat} (res {res}); candidates outside the 7-cell "
+            f"disk would be missed -- lower res or radius_m"
+        )
+    o = others.select(
+        F.col(other_id).alias("_oid"), F.col("lat"), F.col("lng")
+    )
+    cand = explode_hex_disk(o, res).select(
+        "_oid", F.col("lat").alias("_olat"), F.col("lng").alias("_olng"), "nbr_id"
+    )
+    p = with_hex_cells(points, res).select(
+        point_id, "lat", "lng", F.col("hex_id").alias("nbr_id")
+    )
+    from .knn import _haversine_col
+
+    d = _haversine_col(F.col("lat"), F.col("lng"), F.col("_olat"), F.col("_olng"))
+    pairs = (
+        p.join(cand, "nbr_id")
+        .where(F.col(point_id) != F.col("_oid"))
+        .select(point_id, d.alias("_d"), F.col("_oid"))
+        .where(F.col("_d") <= F.lit(radius_m))
+    )
+    best = pairs.groupBy(point_id).agg(F.min(F.struct("_d", "_oid")).alias("_b"))
+    return best.select(
+        point_id,
+        F.col("_b._oid").alias("nn_id"),
+        F.col("_b._d").alias("nn_dist_m"),
+    )

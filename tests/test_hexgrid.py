@@ -77,3 +77,38 @@ def test_hex_cover_oracle_sf001(spark):
     want = sorted(tuple(w[i] for i in idx) for w in cur.fetchall())
     assert got == want
     assert len(got) > 50  # plural hexes, not one blob
+
+
+def test_hex_nearest_radius_guard():
+    with pytest.raises(ValueError, match="inradius"):
+        hexgrid.hex_nearest(None, None, 13, 500.0, "a", "b", max_abs_lat=51.58)
+
+
+def test_hex_nearest_matches_bruteforce(spark):
+    """The 7-disk equi-join must find the exact same bounded nearest
+    neighbor as an unpruned cross join (completeness of the 1-ring)."""
+    pts = catalog._events_points(spark, "/root/testdata/sf0.001")
+    got = {
+        r["event_id"]: (r["nn_id"], round(r["nn_dist_m"], 6))
+        for r in hexgrid.hex_nearest(
+            pts, pts, 13, 250.0, "event_id", "event_id", max_abs_lat=51.58
+        ).collect()
+    }
+    pdf = pts.toPandas()
+    lat = np.radians(pdf["lat"].to_numpy())
+    lng = np.radians(pdf["lng"].to_numpy())
+    ids = pdf["event_id"].to_numpy()
+    R = 6371000.0 * 2
+    want = {}
+    for i in range(len(ids)):
+        dlat, dlng = lat - lat[i], lng - lng[i]
+        h = np.sin(dlat / 2) ** 2 + np.cos(lat[i]) * np.cos(lat) * np.sin(dlng / 2) ** 2
+        d = R * np.arcsin(np.sqrt(h))
+        d[i] = np.inf
+        j = int(np.argmin(d))
+        if d[j] <= 250.0:
+            want[int(ids[i])] = (int(ids[j]), round(float(d[j]), 6))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-3)
