@@ -2447,6 +2447,86 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
 """
 
 
+def _emb_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus synthetic near-duplicates: every 10th vector gets
+    a copy at vec_id + 1e6 with a deterministic per-dimension perturbation
+    (pure rational arithmetic so the DuckDB oracle injects the SAME
+    doubles; base floats cast to double so the union is homogeneous).
+    Perturbed copies land at cosine ~0.99 vs their base while the
+    natural pairwise max in this table is ~0.51 -- a 0.09+ margin on
+    both sides of the 0.9 threshold (bit-robustness verified at
+    sf0.001/sf0.01)."""
+    emb = fixtures.testdata(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + ((F.col("vec_id") * 31 + i) % 19 - 9).cast("double") * F.lit(0.002),
+    )
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), pert.alias("embedding")
+    )
+    return base.unionByName(dup)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.embedding_cosine_pairs(
+        _emb_with_dupes(spark, sf_dir), "vec_id", "embedding", dim=64, threshold=0.9
+    )
+
+
+def sql_dedup_embedding_cosine() -> str:
+    # Replays the full hyperplane banding: same plane formula
+    # (emb_plane_weight), same bucket encoding, same hot-bucket cap,
+    # same exact-cosine refine.  Sign bits and the 0.9 threshold both
+    # have float margins >= 2e-5 / 0.095 on this data (checked), so
+    # summation-order differences between engines cannot flip a row.
+    b, r = dedup_ops.EMB_BANDS, dedup_ops.EMB_ROWS
+    stride = dedup_ops._EMB_BUCKET_STRIDE
+    cap = dedup_ops.EMB_MAX_BUCKET
+    return f"""
+WITH dims AS (SELECT d FROM range(64) t(d)),
+base AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+         FROM embeddings, dims),
+e AS (
+  SELECT vec_id, d, x FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, d,
+         x + CAST(((vec_id * 31 + d) % 19 - 9) AS DOUBLE) * 0.002 AS x
+  FROM base WHERE vec_id % 10 = 0
+),
+planes AS (
+  SELECT p, d,
+         (((p * 73856093 + d * 19349663) * 1103515245) % 2147483647)
+           / 2147483647.0 - 0.5 AS w
+  FROM range({b * r}) t(p), dims
+),
+proj AS (SELECT e.vec_id, planes.p, sum(e.x * planes.w) AS proj
+         FROM e JOIN planes ON e.d = planes.d GROUP BY e.vec_id, planes.p),
+sig AS (SELECT vec_id, p // {r} AS band,
+               sum(CASE WHEN proj > 0 THEN (1 << (p % {r})) ELSE 0 END) AS s
+        FROM proj GROUP BY vec_id, p // {r}),
+bk AS (SELECT vec_id, band * {stride} + s AS bucket FROM sig),
+small AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= {cap}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE a.bucket IN (SELECT bucket FROM small)),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY vec_id),
+dotp AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dp
+         FROM cand c
+         JOIN e ea ON ea.vec_id = c.id_a
+         JOIN e eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+         GROUP BY c.id_a, c.id_b)
+SELECT d.id_a, d.id_b FROM dotp d
+JOIN nrm na ON na.vec_id = d.id_a
+JOIN nrm nb ON nb.vec_id = d.id_b
+WHERE d.dp / (na.nrm * nb.nrm) >= 0.9
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fixtures.testdata(spark, sf_dir, "documents")
     return text_ops.token_count(d, "doc_id", "text")
@@ -3056,6 +3136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evaluate_feature_args": q_evaluate_feature_args,
     "geo_path_crossings": q_geo_path_crossings,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3133,6 +3214,7 @@ ORACLES: dict[str, str] = {
     "geo_hex_nearest": sql_geo_hex_nearest(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
+    "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
     # doc_fingerprint, embedding_knn_lsh
 }

@@ -130,3 +130,63 @@ def test_cache_registry_same_key_keeps_plan_cache():
     assert a.released == 1 and list(catalog._LIVE_CACHES) == ["k2"]
     catalog.release_caches()
     assert c.released == 1 and not catalog._LIVE_CACHES
+
+
+# --- embedding-cosine near-dup (hyperplane LSH bands + exact refine) ---
+
+
+def _vecs(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_embedding_cosine_identical_vectors_pair(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.standard_normal((5, dim))
+    rows = [(i, base[i]) for i in range(5)] + [(100 + i, base[i]) for i in range(5)]
+    out = dedup.embedding_cosine_pairs(
+        _vecs(spark, rows, dim), dim=dim, threshold=0.999
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # identical copies share every band signature and have cosine 1.0
+    assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_embedding_cosine_threshold_excludes_dissimilar(spark):
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal to a
+    out = dedup.embedding_cosine_pairs(
+        _vecs(spark, [(1, a), (2, a), (3, b)], dim), dim=dim, threshold=0.9
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_embedding_cosine_hot_bucket_cap(spark):
+    # 10 identical vectors all land in the same bucket in every band;
+    # with max_bucket below the bucket size the self-join must be pruned
+    dim = 8
+    v = [1.0] * dim
+    rows = [(i, v) for i in range(10)]
+    out = dedup.embedding_cosine_pairs(
+        _vecs(spark, rows, dim), dim=dim, threshold=0.5, max_bucket=5
+    )
+    assert out.count() == 0
+
+
+def test_embedding_cosine_plane_weights_deterministic_and_bounded(spark):
+    ws = [dedup.emb_plane_weight(p, d) for p in range(32) for d in range(64)]
+    assert all(-0.5 <= w < 0.5 for w in ws)
+    # regenerating gives identical values (pure arithmetic, no RNG state)
+    assert ws == [dedup.emb_plane_weight(p, d) for p in range(32) for d in range(64)]
+    # and they are well-spread (not degenerate)
+    import numpy as np
+
+    assert abs(float(np.mean(ws))) < 0.05
+    assert float(np.std(ws)) > 0.2

@@ -34,10 +34,19 @@ def test_fingerprint_edge_cases():
 
 def test_fingerprint_speedup_on_long_docs():
     docs = ["word " * 5_000] * 20  # 25k chars each
-    t0 = time.perf_counter()
-    vec = [_fingerprint_bytes(s) for s in docs]
-    t1 = time.perf_counter()
-    naive = [_naive(s) for s in docs]
-    t2 = time.perf_counter()
+
+    def timed(fn):
+        # best-of-3: a single run can be inflated arbitrarily by CPU
+        # contention from a concurrent Spark suite on the same host
+        best = float("inf")
+        out = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = [fn(s) for s in docs]
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
+    vec, t_vec = timed(_fingerprint_bytes)
+    naive, t_naive = timed(_naive)
     assert vec == naive
-    assert (t2 - t1) / (t1 - t0) >= 5.0, f"speedup only {(t2 - t1) / (t1 - t0):.1f}x"
+    assert t_naive / t_vec >= 5.0, f"speedup only {t_naive / t_vec:.1f}x"
