@@ -1702,6 +1702,22 @@ def q_geo_street_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("path_id", "comp", "in_network")
 
 
+def q_geo_street_network_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BuildStreetNetwork semantics on the O(log n) physical path:
+    alternating large-star/small-star connected components (Kiveris et
+    al. 2014, operators/components.py) instead of O(diameter) label
+    propagation.  Both converge to the min vertex key per component, so
+    the labelprop oracle SQL verifies this plan unchanged -- the key
+    exists precisely to put the planetary-scale algorithm under the
+    value-parity gate, not just a pinned pytest."""
+    from .operators import network as net_ops
+
+    out = net_ops.build_street_network(
+        street_paths_table(spark), STREET_THRESHOLD_M, algorithm="star"
+    )
+    return out.select("path_id", "comp", "in_network")
+
+
 def sql_geo_street_network() -> str:
     vals = ",\n    ".join(
         f"('{pid}', {xs[0]!r}, {ys[0]!r}, {xs[1]!r}, {ys[1]!r})"
@@ -3137,6 +3153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_path_crossings": q_geo_path_crossings,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "geo_street_network_star": q_geo_street_network_star,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3215,6 +3232,7 @@ ORACLES: dict[str, str] = {
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
+    "geo_street_network_star": sql_geo_street_network(),  # labels identical by construction
     # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
     # doc_fingerprint, embedding_knn_lsh
 }
