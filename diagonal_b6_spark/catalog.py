@@ -2751,13 +2751,65 @@ WHERE rank <= 5
 """
 
 
+_LSH_PLANE_BASE = 64  # plane index offset: decorrelates from the dedup bands
+
+
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant (recall<1 by design -> rows-only check)."""
+    """ANN variant: recall<1 by design, but with arithmetic-generated
+    hyperplanes (dedup.emb_plane_weight, offset _LSH_PLANE_BASE) the
+    bucketing is DETERMINISTIC and the oracle replays it exactly --
+    promoted from rows-only to full value parity.  Sign margins
+    (min |proj| >= 9e-6) and within-bucket rank gaps (>= 3e-3 cosine)
+    verified at sf0.001/sf0.01, so cross-engine float noise cannot
+    flip a bucket bit or a rank."""
     emb = fixtures.testdata(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return sim_ops.cosine_topk_lsh(emb, probes, 5, dim=64)
+    planes = [
+        [dedup_ops.emb_plane_weight(_LSH_PLANE_BASE + p, d) for d in range(64)]
+        for p in range(8)
+    ]
+    out = sim_ops.cosine_topk_lsh(emb, probes, 5, dim=64, planes=planes)
+    return out.select("probe_id", "rank", "vec_id")
+
+
+def sql_embedding_knn_lsh() -> str:
+    b = _LSH_PLANE_BASE
+    dot = (
+        "list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)), "
+        "list_transform({b}, x -> CAST(x AS DOUBLE)))"
+    )
+    cos = (
+        dot.format(a="pv.embedding", b="vv.embedding")
+        + " / (sqrt(" + dot.format(a="pv.embedding", b="pv.embedding") + ") * sqrt("
+        + dot.format(a="vv.embedding", b="vv.embedding") + "))"
+    )
+    return f"""
+WITH dims AS (SELECT d FROM range(64) t(d)),
+e AS (SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x FROM embeddings, dims),
+planes AS (
+  SELECT p, d,
+         (((p * 73856093 + d * 19349663) * 1103515245) % 2147483647)
+           / 2147483647.0 - 0.5 AS w
+  FROM range({b}, {b + 8}) t(p), dims
+),
+proj AS (SELECT e.vec_id, planes.p, sum(e.x * planes.w) AS proj
+         FROM e JOIN planes ON e.d = planes.d GROUP BY e.vec_id, planes.p),
+sig AS (SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1 << (p - {b})) ELSE 0 END) AS s
+        FROM proj GROUP BY vec_id),
+cand AS (SELECT p.vec_id AS probe_id, v.vec_id AS vec_id
+         FROM sig p JOIN sig v ON p.s = v.s AND v.vec_id != p.vec_id
+         WHERE p.vec_id < 10),
+scored AS (SELECT c.probe_id, c.vec_id, {cos} AS cos
+           FROM cand c
+           JOIN embeddings pv ON pv.vec_id = c.probe_id
+           JOIN embeddings vv ON vv.vec_id = c.vec_id),
+r AS (SELECT probe_id, vec_id,
+        row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT probe_id, rank, vec_id FROM r WHERE rank <= 5
+"""
 
 
 # --- registry ----------------------------------------------------------------
@@ -3233,6 +3285,9 @@ ORACLES: dict[str, str] = {
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
     "geo_street_network_star": sql_geo_street_network(),  # labels identical by construction
-    # rows-only (non-SQL-expressible): geo_s2_cells, geo_s2_cell_count,
-    # doc_fingerprint, embedding_knn_lsh
+    "embedding_knn_lsh": sql_embedding_knn_lsh(),
+    # rows-only (non-SQL-expressible kernels, each pinned by closed-form
+    # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
+    # image_pipeline (lossy), image_phash_dups, geo_s2_cells,
+    # debug_tokens, collect_areas
 }

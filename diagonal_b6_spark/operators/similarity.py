@@ -215,12 +215,18 @@ def cosine_topk_lsh(
     vec_id: str = "vec_id",
     probe_id: str = "probe_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: equi-join on hyperplane signature, exact cosine
     re-rank inside the bucket.  Recall < 1 by construction (candidates
     limited to the probe's bucket) -- the 100TB-scale path where the
-    cross join is infeasible; multi-probe across bands raises recall."""
-    planes = _hyperplanes(dim, n_planes)
+    cross join is infeasible; multi-probe across bands raises recall.
+
+    `planes` overrides the default seeded-numpy hyperplanes; passing
+    arithmetic-generated planes (dedup.emb_plane_weight) makes the whole
+    bucketing SQL-replayable, which the oracle key uses."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes)
     v = vectors.withColumn("_bkt", lsh_bucket_col(F.col(vec_col), planes)).alias("v")
     p = probes.withColumn("_bkt", lsh_bucket_col(F.col(vec_col), planes)).alias("p")
     cand = v.join(F.broadcast(p), F.col("v._bkt") == F.col("p._bkt"))
