@@ -1259,6 +1259,37 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ops.phash_near_dup_pairs(img, max_hamming=0)
 
 
+def sql_image_phash_dups() -> str:
+    """Independent closed-form oracle for the banded phash join.
+
+    The fixture images are generated by pure arithmetic (kernels/
+    imagecodec.pix_batch): channel r offsets by id, g by id, b by
+    id + id%56, all mod 256, over a shape determined by id%16.  Two
+    images therefore have BYTE-IDENTICAL pixel buffers iff they share
+    (w, h, id%256, (id+id%56)%256) -- and with max_hamming=0 the
+    engine's FNV-1a banding returns exactly the equal-buffer pairs
+    unless FNV collides (it does not on this input: 1792 distinct
+    hashes == the 1792 closed-form classes; lcm(256,56)=1792).  The
+    oracle derives the pairs from the generator arithmetic alone --
+    no hash replay -- so it independently verifies the entire
+    pixel->phash->band->join path.  The engine's 1024-per-band bucket
+    cap never binds here (max observed band bucket: 10)."""
+    return f"""
+WITH imgs AS (
+  SELECT range AS id,
+         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+         CAST(range % 16 AS INT) AS shape_k,
+         CAST(range % 256 AS INT) AS rg_off,
+         CAST((range % 256 + range % 56) % 256 AS INT) AS b_off
+  FROM range(4000)
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b, CAST(0 AS INT) AS hamming
+FROM imgs a JOIN imgs b
+  ON a.shape_k = b.shape_k AND a.rg_off = b.rg_off AND a.b_off = b.b_off
+  AND a.image_id < b.image_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature-extract + video frame-sampling in one query (merged
     for the 50-query gate; deterministic fake codecs, real Arrow
@@ -3286,8 +3317,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
     "geo_street_network_star": sql_geo_street_network(),  # labels identical by construction
     "embedding_knn_lsh": sql_embedding_knn_lsh(),
+    "image_phash_dups": sql_image_phash_dups(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
-    # image_pipeline (lossy), image_phash_dups, geo_s2_cells,
-    # debug_tokens, collect_areas
+    # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
 }
