@@ -2442,6 +2442,59 @@ WHERE a.bucket IN (SELECT bucket FROM small)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that closes the dedup pipeline: near-dup PAIRS (minhash
+    LSH) -> connected components over the pair graph -> one canonical
+    keeper (min doc_id) per duplicate cluster.  A corpus-scale pipeline
+    keeps `keeper` rows and drops the rest; pairs alone cannot express
+    that decision once clusters exceed two documents (a~b, b~c must
+    collapse to ONE keeper even though a~c never collided).
+
+    Components run on the large-star/small-star operator
+    (operators/components.py, O(log n) rounds) -- the planetary-scale
+    path -- and the oracle replays min-label propagation to fixpoint,
+    which by the operator's contract yields the identical labeling."""
+    from .operators import components as comp_ops
+
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir), "doc_id", "text"
+    )
+    labels = comp_ops.connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("k").alias("doc_id"), F.col("lbl").alias("keeper")
+    )
+
+
+def sql_dedup_clusters(rounds: int = 8) -> str:
+    lp = ["l0 AS (SELECT k, k AS lbl FROM verts)"]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        lp.append(
+            f"l{r} AS MATERIALIZED (SELECT k, min(lbl) AS lbl FROM ("
+            f"SELECT * FROM {p} UNION ALL "
+            f"SELECT e.b AS k, {p}.lbl FROM {p} JOIN e ON e.a = {p}.k) GROUP BY k)"
+        )
+    lp_sql = ",\n".join(lp)
+    return f"""
+WITH pairs AS (
+{sql_minhash_lsh()}
+),
+verts AS (SELECT doc_a AS k FROM pairs UNION SELECT doc_b FROM pairs),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+{lp_sql},
+conv AS (SELECT count(*) AS n FROM
+         ((SELECT * FROM l{rounds} EXCEPT SELECT * FROM l{rounds - 1})
+          UNION ALL
+          (SELECT * FROM l{rounds - 1} EXCEPT SELECT * FROM l{rounds})) x)
+SELECT l.k AS doc_id,
+       CASE WHEN (SELECT n FROM conv) > 0
+            THEN error('dedup-clusters oracle not converged')
+            ELSE l.lbl END AS keeper
+FROM l{rounds} l
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fixtures.testdata(spark, sf_dir, "documents")
     return dedup_ops.simhash(d, "doc_id", "text", bits=16)
@@ -3237,6 +3290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "geo_street_network_star": q_geo_street_network_star,
+    "dedup_clusters": q_dedup_clusters,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3318,6 +3372,7 @@ ORACLES: dict[str, str] = {
     "geo_street_network_star": sql_geo_street_network(),  # labels identical by construction
     "embedding_knn_lsh": sql_embedding_knn_lsh(),
     "image_phash_dups": sql_image_phash_dups(),
+    "dedup_clusters": sql_dedup_clusters(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
