@@ -786,7 +786,7 @@ def q_geo_hull_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_geo_hull_metrics() -> str:
+def _hull_edges_ctes() -> str:
     # CCW hull edge (a, b) on the EXACT integer lattice plane: no point
     # strictly right (integer cross < 0 -- exact in both engines), and
     # maximal over collinear chains (no collinear point beyond either
@@ -798,9 +798,7 @@ def sql_geo_hull_metrics() -> str:
         "(c.kx < least(a.kx, b.kx) OR c.kx > greatest(a.kx, b.kx) "
         "OR c.ky < least(a.ky, b.ky) OR c.ky > greatest(a.ky, b.ky))"
     )
-    hav = _HAV.format(lat1="y1", lng1="x1", lat2="y2", lng2="x2")
-    return f"""
-WITH {_PTS_CTE},
+    return f"""{_PTS_CTE},
 p AS (SELECT event_id AS id, lat, lng,
              (event_id * 2654435761) % 1000003 AS ky,
              (event_id * 40503) % 999983 AS kx
@@ -813,7 +811,13 @@ he AS MATERIALIZED (
     WHERE c.id <> a.id AND c.id <> b.id
       AND ({cross} < 0 OR ({cross} = 0 AND {beyond})))
 ),
-chk AS (SELECT count(*) AS ne, count(DISTINCT sid) AS ns, count(DISTINCT did) AS nd FROM he)
+chk AS (SELECT count(*) AS ne, count(DISTINCT sid) AS ns, count(DISTINCT did) AS nd FROM he)"""
+
+
+def sql_geo_hull_metrics() -> str:
+    hav = _HAV.format(lat1="y1", lng1="x1", lat2="y2", lng2="x2")
+    return f"""
+WITH {_hull_edges_ctes()}
 SELECT
   CASE WHEN (SELECT ne FROM chk) < 3
          OR (SELECT ne FROM chk) <> (SELECT ns FROM chk)
@@ -824,6 +828,42 @@ SELECT
                * (2.0 + sin(radians(y1)) + sin(radians(y2)))) / 2.0)
         * 6371010.0 * 6371010.0, 2) AS area_m2,
   round(sum({hav}), 6) AS perimeter_m
+FROM he
+"""
+
+
+def q_geo_hull_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull VERTEX coordinates of the sampled event cloud, with the hull
+    predicate on the exact integer lattice keys (same prep as
+    q_geo_hull_metrics, same two-stage partial-hull plan as the
+    full-cloud geo_convex_hull key).  Vertex MEMBERSHIP is exactly what
+    a float hull cannot pin down at collinear triples -- on the lattice
+    it is deterministic, so the oracle enumerates hull edges O(n^3) and
+    emits each edge's source vertex.  Complements geo_hull_metrics
+    (which checks the edge-local sums but not WHICH points made the
+    hull) and upgrades hull verification from rows-only to full value
+    parity."""
+    pts = (
+        _events_points(spark, sf_dir)
+        .filter(F.col("event_id") % HULL_SAMPLE_MOD == 0)
+        .withColumn("klat", F.expr("(event_id * 2654435761) % 1000003"))
+        .withColumn("klng", F.expr("(event_id * 40503) % 999983"))
+    )
+    out = geo_fn.convex_hull_vertices(pts, key_lat="klat", key_lng="klng")
+    return out.select(
+        F.round("lat", 9).alias("lat"), F.round("lng", 9).alias("lng")
+    )
+
+
+def sql_geo_hull_vertices() -> str:
+    return f"""
+WITH {_hull_edges_ctes()}
+SELECT round(y1, 9) AS lat,
+       CASE WHEN (SELECT ne FROM chk) < 3
+              OR (SELECT ne FROM chk) <> (SELECT ns FROM chk)
+              OR (SELECT ne FROM chk) <> (SELECT nd FROM chk)
+            THEN error('hull oracle: degenerate edge set')
+            ELSE round(x1, 9) END AS lng
 FROM he
 """
 
@@ -2465,7 +2505,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_dedup_clusters(rounds: int = 8) -> str:
+def _dedup_label_ctes(rounds: int = 8) -> str:
+    """WITH-body replaying min-label propagation to fixpoint over the
+    minhash near-dup pair graph; exposes l{rounds} (k, lbl) and conv (n
+    = labels still moving — callers must guard on it).  pairs/verts/e
+    MATERIALIZED: each is referenced by every one of the unrolled
+    label-prop rounds, and an inlined (non-materialized) CTE would
+    re-run the whole minhash pipeline once per reference."""
     lp = ["l0 AS (SELECT k, k AS lbl FROM verts)"]
     for r in range(1, rounds + 1):
         p = f"l{r - 1}"
@@ -2475,23 +2521,57 @@ def sql_dedup_clusters(rounds: int = 8) -> str:
             f"SELECT e.b AS k, {p}.lbl FROM {p} JOIN e ON e.a = {p}.k) GROUP BY k)"
         )
     lp_sql = ",\n".join(lp)
-    return f"""
-WITH pairs AS (
+    return f"""pairs AS MATERIALIZED (
 {sql_minhash_lsh()}
 ),
-verts AS (SELECT doc_a AS k FROM pairs UNION SELECT doc_b FROM pairs),
-e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+verts AS MATERIALIZED (SELECT doc_a AS k FROM pairs UNION SELECT doc_b FROM pairs),
+e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs),
 {lp_sql},
 conv AS (SELECT count(*) AS n FROM
          ((SELECT * FROM l{rounds} EXCEPT SELECT * FROM l{rounds - 1})
           UNION ALL
-          (SELECT * FROM l{rounds - 1} EXCEPT SELECT * FROM l{rounds})) x)
+          (SELECT * FROM l{rounds - 1} EXCEPT SELECT * FROM l{rounds})) x)"""
+
+
+def sql_dedup_clusters(rounds: int = 8) -> str:
+    return f"""
+WITH {_dedup_label_ctes(rounds)}
 SELECT l.k AS doc_id,
        CASE WHEN (SELECT n FROM conv) > 0
             THEN error('dedup-clusters oracle not converged')
             ELSE l.lbl END AS keeper
 FROM l{rounds} l
+"""
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after dedup — the decision dedup_clusters makes,
+    APPLIED: cluster members drop to their canonical keeper, everything
+    else passes through.  pairs -> star components -> one anti-join
+    (operators/dedup.apply_dedup); at corpus scale the loser side is
+    tiny and broadcasts, so the corpus itself is never shuffled."""
+    from .operators import components as comp_ops
+
+    docs = _docs_with_dupes(spark, sf_dir)
+    pairs = dedup_ops.minhash_lsh_pairs(docs, "doc_id", "text")
+    labels = comp_ops.connected_components(pairs, "doc_a", "doc_b")
+    return dedup_ops.apply_dedup(docs, labels).select("doc_id")
+
+
+def sql_dedup_apply(rounds: int = 8) -> str:
+    return f"""
+WITH {_dedup_label_ctes(rounds)},
+alldocs AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id % 10 = 0
+)
+SELECT CASE WHEN (SELECT n FROM conv) > 0
+            THEN error('dedup-apply oracle not converged')
+            ELSE d.doc_id END AS doc_id
+FROM alldocs d
+WHERE d.doc_id NOT IN (SELECT k FROM l{rounds} WHERE k <> lbl)
 """
 
 
@@ -3291,6 +3371,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "geo_street_network_star": q_geo_street_network_star,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
+    "geo_hull_vertices": q_geo_hull_vertices,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3373,6 +3455,8 @@ ORACLES: dict[str, str] = {
     "embedding_knn_lsh": sql_embedding_knn_lsh(),
     "image_phash_dups": sql_image_phash_dups(),
     "dedup_clusters": sql_dedup_clusters(),
+    "dedup_apply": sql_dedup_apply(),
+    "geo_hull_vertices": sql_geo_hull_vertices(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

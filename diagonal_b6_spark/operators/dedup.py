@@ -371,3 +371,25 @@ def embedding_cosine_pairs(
         .filter(cos >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )
+
+
+def apply_dedup(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_k: str = "k",
+    label_lbl: str = "lbl",
+) -> DataFrame:
+    """The corpus AFTER near-dup removal: every duplicate-cluster member
+    except the cluster's canonical keeper (its minimum id — the
+    component label) is dropped; documents in no cluster pass through
+    untouched.  `labels` is connected_components() output over the
+    near-dup pair graph.
+
+    One anti-join on the id: the loser side is bounded by the number of
+    documents that collided in ANY near-dup pair — tiny relative to the
+    corpus — so AQE broadcasts it and the corpus is never shuffled."""
+    losers = labels.where(F.col(label_k) != F.col(label_lbl)).select(
+        F.col(label_k).alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -687,6 +687,55 @@ def convex_hull_metrics(
     )
 
 
+def convex_hull_vertices(
+    points: DataFrame,
+    lat: str = "lat",
+    lng: str = "lng",
+    key_lat: str = "klat",
+    key_lng: str = "klng",
+) -> DataFrame:
+    """Hull VERTEX rows (lat, lng) with the hull predicate running on
+    EXACT integer lattice keys (see ``convex_hull_metrics``): integer
+    cross products are float64-exact, so vertex MEMBERSHIP — unstable
+    under float arithmetic exactly at collinear triples — is
+    deterministic and oracle-checkable.  The keys must be affinely
+    equivalent to (lat, lng) (e.g. the hash integers a fixture derives
+    its coordinates from), so the key hull's vertex set IS the
+    coordinate hull's vertex set.  Same two-stage partial-hull plan as
+    ``convex_hull_agg``: per-partition hulls shrink each partition to
+    its own hull vertices, then the union (tiny) is hulled once."""
+    sel = [
+        F.col(lat).alias("lat"),
+        F.col(lng).alias("lng"),
+        F.col(key_lat).alias("klat"),
+        F.col(key_lng).alias("klng"),
+    ]
+    schema = "lat double, lng double, klat long, klng long"
+
+    def hull_idx(pdf: pd.DataFrame) -> np.ndarray:
+        return geom.convex_hull_planar(
+            pdf["klng"].to_numpy(np.float64), pdf["klat"].to_numpy(np.float64)
+        )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pdf.iloc[hull_idx(pdf)]
+
+    def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        idx = hull_idx(pdf)
+        yield pd.DataFrame(
+            {"lat": pdf["lat"].to_numpy()[idx], "lng": pdf["lng"].to_numpy()[idx]}
+        )
+
+    partials = points.select(*sel).mapInPandas(partial, schema=schema)
+    return partials.coalesce(1).mapInPandas(final, "lat double, lng double")
+
+
 def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> DataFrame:
     """`convex-hull` over a collection (fn geometry.go:207-232): hull
     vertices in CCW order.  Two-stage at scale: per-partition hulls first
