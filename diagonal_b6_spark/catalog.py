@@ -2063,6 +2063,167 @@ def q_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dyadic lattice for the rect-subclass boolean-op oracles: every
+# coordinate is an integer multiple of 2^-10 deg (window edges 2^-11),
+# edge lengths are powers of two times the unit, so every intermediate
+# the clip kernel computes -- lattice differences, intersection params
+# (m * 2^-k), shoelace products (< 2^53 significand) -- is float64-EXACT
+# and the closed-form SQL overlap matches bit-for-bit.
+_ULAT = 1.0 / 1024.0
+_CLIP_WX1 = -0.25 + 256.5 * _ULAT
+_CLIP_WY1 = 51.25 + 256.5 * _ULAT
+_CLIP_WX2 = _CLIP_WX1 + 512.0 * _ULAT
+_CLIP_WY2 = _CLIP_WY1 + 512.0 * _ULAT
+
+
+def q_geo_clip_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL Foster/GH clip kernel (kernels/clip.py — same code
+    path as geo_clip, reference b6/geometry/foster.go) driven over an
+    SQL-checkable subclass: one axis-aligned dyadic-lattice rectangle
+    per event, clipped against a fixed half-lattice window.  The kernel
+    does not special-case rectangles — it runs its full traversal — but
+    on this input every intersection coordinate is float64-exact, so the
+    clipped area equals the closed-form overlap BIT-EXACTLY once scaled
+    to its integer lattice count (area * 2^22).  Upgrades the boolean-op
+    family from rows-only (geo_clip) to full value parity."""
+    e = F.col("event_id")
+    u = F.lit(_ULAT)
+    x1 = F.lit(-0.25) + ((e % 64) * 32 + (e * 7) % 16) * u
+    y1 = F.lit(51.25) + ((F.floor(e / 64) % 64) * 32 + (e * 11) % 16) * u
+    w = F.pow(F.lit(2.0), (e % 3) + 2) * u
+    h = F.pow(F.lit(2.0), (F.floor(e / 3) % 3) + 2) * u
+    rects = fixtures.testdata(spark, sf_dir, "events").select(
+        e.cast("string").alias("feature_id"),
+        F.array(x1, x1 + w, x1 + w, x1).alias("xs"),
+        F.array(y1, y1, y1 + h, y1 + h).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+    wx = [_CLIP_WX1, _CLIP_WX2, _CLIP_WX2, _CLIP_WX1]
+    wy = [_CLIP_WY1, _CLIP_WY1, _CLIP_WY2, _CLIP_WY2]
+    out = geo_fn.clip_to_window(rects, wx, wy, "intersection")
+    return out.select(
+        F.col("feature_id").cast("long").alias("event_id"),
+        F.size("xs").alias("n_vertices"),
+        F.round(F.col("area_deg2") * F.lit(4194304.0), 0).alias("area_scaled"),
+    )
+
+
+def sql_geo_clip_rect() -> str:
+    u = repr(_ULAT)
+    return f"""
+WITH r AS (
+  SELECT event_id,
+         -0.25 + ((event_id % 64) * 32 + (event_id * 7) % 16) * {u} AS x1,
+         51.25 + (((event_id // 64) % 64) * 32 + (event_id * 11) % 16) * {u} AS y1,
+         pow(2.0, (event_id % 3) + 2) * {u} AS w,
+         pow(2.0, ((event_id // 3) % 3) + 2) * {u} AS h
+  FROM events),
+o AS (
+  SELECT event_id,
+         greatest(0.0, least(x1 + w, {_CLIP_WX2!r}) - greatest(x1, {_CLIP_WX1!r}))
+       * greatest(0.0, least(y1 + h, {_CLIP_WY2!r}) - greatest(y1, {_CLIP_WY1!r})) AS a
+  FROM r)
+SELECT event_id, 4 AS n_vertices, round(a * 4194304.0, 0) AS area_scaled
+FROM o WHERE a > 0.0
+"""
+
+
+def q_collect_areas_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect-areas union semantics under a FULL value oracle: groups of
+    three dyadic-lattice rectangles (chain / split / all-disjoint layouts
+    cycling with the group id) folded by the real GH-union kernel via
+    collect_areas_by, emitting per-group piece count + union area.  The
+    oracle replays the union closed-form in SQL: 2D inclusion-exclusion
+    for the area and overlap-graph component counting for the pieces.
+    Union-kernel intersection points can be 1 ulp off the lattice (non-
+    power-of-two intermediate edge lengths), so the scaled area is
+    rounded to its integer lattice count (quantum 2^-20 deg^2 >> 1e-18
+    worst-case kernel error) rather than claiming bit parity."""
+    e = F.col("event_id")
+    u = F.lit(_ULAT)
+    g = F.floor(e / 3)
+    j = e % 3
+    s = g % 3
+    xoff = (
+        j * 3
+        + F.when((j == 1) & (s == 2), 15).otherwise(0)
+        + F.when(j == 2, s * 20).otherwise(0)
+    )
+    x1 = F.lit(-0.25) + ((g % 64) * 64 + xoff) * u
+    y1 = F.lit(51.25) + ((F.floor(g / 64) % 64) * 64 + j * 3) * u
+    w = F.pow(F.lit(2.0), j + 2) * u
+    rects = fixtures.testdata(spark, sf_dir, "events").select(
+        g.alias("group_id"),
+        F.array(x1, x1 + w, x1 + w, x1).alias("xs"),
+        F.array(y1, y1, y1 + w, y1 + w).alias("ys"),
+    )
+    out = geo_fn.collect_areas_by(rects, "group_id")
+    return out.select(
+        "group_id",
+        "n_pieces",
+        F.round(F.col("area_deg2") * F.lit(1048576.0), 0).alias("area_scaled"),
+    )
+
+
+def sql_collect_areas_rect() -> str:
+    u = repr(_ULAT)
+
+    def ov(a: str, b: str) -> str:
+        return (
+            f"coalesce(greatest(0.0, least({a}x2, {b}x2) - greatest({a}x1, {b}x1))"
+            f" * greatest(0.0, least({a}y2, {b}y2) - greatest({a}y1, {b}y1)), 0.0)"
+        )
+
+    triple = (
+        "coalesce(greatest(0.0, least(ax2, bx2, cx2) - greatest(ax1, bx1, cx1))"
+        " * greatest(0.0, least(ay2, by2, cy2) - greatest(ay1, by1, cy1)), 0.0)"
+    )
+    return f"""
+WITH r AS (
+  SELECT event_id // 3 AS g, event_id % 3 AS j,
+         -0.25 + (((event_id // 3) % 64) * 64
+                  + (event_id % 3) * 3
+                  + CASE WHEN event_id % 3 = 1 AND (event_id // 3) % 3 = 2 THEN 15 ELSE 0 END
+                  + CASE WHEN event_id % 3 = 2 THEN ((event_id // 3) % 3) * 20 ELSE 0 END) * {u} AS x1,
+         51.25 + ((((event_id // 3) // 64) % 64) * 64 + (event_id % 3) * 3) * {u} AS y1,
+         pow(2.0, (event_id % 3) + 2) * {u} AS w
+  FROM events),
+rr AS (SELECT g, j, x1, y1, x1 + w AS x2, y1 + w AS y2 FROM r),
+p AS (
+  -- a group may have fewer than 3 rects (events count not divisible by
+  -- 3): least/greatest IGNORE nulls, so a missing rect must become an
+  -- EMPTY rectangle (x1 = +inf sentinel, x2 = -inf sentinel), not null
+  SELECT g, count(*) AS cnt, sum((x2 - x1) * (y2 - y1)) AS sum_area,
+         coalesce(max(CASE WHEN j = 0 THEN x1 END), 1e9) AS ax1,
+         coalesce(max(CASE WHEN j = 0 THEN y1 END), 1e9) AS ay1,
+         coalesce(max(CASE WHEN j = 0 THEN x2 END), -1e9) AS ax2,
+         coalesce(max(CASE WHEN j = 0 THEN y2 END), -1e9) AS ay2,
+         coalesce(max(CASE WHEN j = 1 THEN x1 END), 1e9) AS bx1,
+         coalesce(max(CASE WHEN j = 1 THEN y1 END), 1e9) AS by1,
+         coalesce(max(CASE WHEN j = 1 THEN x2 END), -1e9) AS bx2,
+         coalesce(max(CASE WHEN j = 1 THEN y2 END), -1e9) AS by2,
+         coalesce(max(CASE WHEN j = 2 THEN x1 END), 1e9) AS cx1,
+         coalesce(max(CASE WHEN j = 2 THEN y1 END), 1e9) AS cy1,
+         coalesce(max(CASE WHEN j = 2 THEN x2 END), -1e9) AS cx2,
+         coalesce(max(CASE WHEN j = 2 THEN y2 END), -1e9) AS cy2
+  FROM rr GROUP BY g),
+ov AS (
+  SELECT g, cnt, sum_area,
+         {ov('a', 'b')} AS oab, {ov('a', 'c')} AS oac, {ov('b', 'c')} AS obc,
+         {triple} AS oabc
+  FROM p)
+SELECT g AS group_id,
+       CAST(cnt
+            - CASE WHEN oab > 0 THEN 1 ELSE 0 END
+            - CASE WHEN oac > 0 THEN 1 ELSE 0 END
+            - CASE WHEN obc > 0 THEN 1 ELSE 0 END
+            + CASE WHEN oab > 0 AND oac > 0 AND obc > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_pieces,
+       round((sum_area - oab - oac - obc + oabc) * 1048576.0, 0) AS area_scaled
+FROM ov
+"""
+
+
 def q_point_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """point-paths: paths through each vertex location (packed-layout
     dereference join)."""
@@ -3373,6 +3534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "geo_hull_vertices": q_geo_hull_vertices,
+    "geo_clip_rect": q_geo_clip_rect,
+    "collect_areas_rect": q_collect_areas_rect,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3457,6 +3620,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": sql_dedup_clusters(),
     "dedup_apply": sql_dedup_apply(),
     "geo_hull_vertices": sql_geo_hull_vertices(),
+    "geo_clip_rect": sql_geo_clip_rect(),
+    "collect_areas_rect": sql_collect_areas_rect(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

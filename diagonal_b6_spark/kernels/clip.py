@@ -214,8 +214,15 @@ def _clip_once(sx, sy, cx, cy, op: str):
                 break
         ring = ring[:-1] if len(ring) > 1 and ring[0] == ring[-1] else ring
         if len(ring) >= 3:
-            xs = np.array([p[0] for p in ring])
-            ys = np.array([p[1] for p in ring])
+            # an intersection point enters the ring twice (its subject-
+            # list and clip-list copies share coordinates) whenever the
+            # traversal passes through rather than terminates on it --
+            # collapse exact consecutive/wraparound duplicates
+            xs, ys = _dedupe_ring(
+                np.array([p[0] for p in ring]), np.array([p[1] for p in ring])
+            )
+            if len(xs) < 3:
+                continue
             # traversal pieces are outer boundaries (holes only arise in
             # the no-intersection containment branch); normalize to CCW
             # so signed-area summation over a result list is meaningful

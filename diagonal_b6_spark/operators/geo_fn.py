@@ -624,6 +624,40 @@ def collect_areas(areas: DataFrame) -> DataFrame:
     )
 
 
+def collect_areas_by(areas: DataFrame, group_col: str = "group_id") -> DataFrame:
+    """Grouped boolean union — `collect-areas` per key (the GROUP BY form
+    of ``collect_areas``; same kernels/clip.py GH-union fold, reference
+    foster.go's area accumulation).  Input rows carry one OUTER ring
+    each (xs, ys); output is one row per group: the number of disjoint
+    union pieces and the total union area (deg^2, planar shoelace).
+
+    One shuffle on the group key; the union fold runs locally per group
+    (groups are small by construction — a group is one feature
+    collection, not the corpus), so this scales as a plain aggregation."""
+    from ..kernels import clip as clip_kernel
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [
+            (np.asarray(r.xs, dtype=np.float64), np.asarray(r.ys, dtype=np.float64))
+            for r in pdf.itertuples(index=False)
+        ]
+        merged = clip_kernel.union_all(rings)
+        area = float(sum(abs(clip_kernel.ring_area(xs, ys)) for xs, ys in merged))
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_pieces": [len(merged)],
+                "area_deg2": [area],
+            }
+        )
+
+    return (
+        areas.select(group_col, "xs", "ys")
+        .groupBy(group_col)
+        .applyInPandas(fold, f"{group_col} long, n_pieces int, area_deg2 double")
+    )
+
+
 def convex_hull_metrics(
     points: DataFrame,
     lat: str = "lat",

@@ -100,3 +100,24 @@ def test_union_all_disjoint_passthrough():
     out = C.union_all(rings)
     assert len(out) == 2
     assert sum(abs(C.ring_area(xs, ys)) for xs, ys in out) == pytest.approx(2.0)
+
+
+def test_output_ring_has_no_duplicate_vertices():
+    """Regression: an intersection point enters the traversal twice (its
+    subject-list and clip-list copies share coordinates); the output
+    ring must collapse exact consecutive/wraparound duplicates.  The
+    dyadic-lattice rect x window case below used to emit 5 vertices."""
+    import numpy as np
+
+    u = 1.0 / 1024.0
+    sx = np.array([512, 516, 516, 512], float) * u - 0.25
+    sy = 51.25 + np.array([256, 256, 272, 272], float) * u
+    wx = np.array([256.5, 768.5, 768.5, 256.5]) * u - 0.25
+    wy = 51.25 + np.array([256.5, 256.5, 768.5, 768.5]) * u
+    out = C.clip(sx, sy, wx, wy, "intersection")
+    assert len(out) == 1
+    xs, ys = out[0]
+    assert len(xs) == 4
+    pts = list(zip(xs.tolist(), ys.tolist()))
+    assert len(set(pts)) == 4
+    assert abs(C.ring_area(xs, ys)) == pytest.approx(4 * 15.5 * u * u)

@@ -330,3 +330,25 @@ def test_geojson_wrappers_roundtrip(spark, tmp_path):
     merged = gj.import_geojson(world, parsed)
     assert merged.count() == world.count() + 2
     assert merged.where(F.col("ns") == "imp").count() == 2
+
+
+def test_collect_areas_by_groups(spark):
+    """Grouped boolean union: a chain group merges to one piece with the
+    inclusion-exclusion area; a disjoint group keeps two pieces."""
+    rows = [
+        # group 0: two overlapping unit-ish squares [0,2]x[0,2] & [1,3]x[0,2]
+        (0, [0.0, 2.0, 2.0, 0.0], [0.0, 0.0, 2.0, 2.0]),
+        (0, [1.0, 3.0, 3.0, 1.0], [0.0, 0.0, 2.0, 2.0]),
+        # group 1: two disjoint squares
+        (1, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+        (1, [5.0, 6.0, 6.0, 5.0], [5.0, 5.0, 6.0, 6.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "group_id long, xs array<double>, ys array<double>"
+    )
+    out = {
+        r["group_id"]: (r["n_pieces"], r["area_deg2"])
+        for r in geo_fn.collect_areas_by(df, "group_id").collect()
+    }
+    assert out[0][0] == 1 and out[0][1] == pytest.approx(6.0)
+    assert out[1][0] == 2 and out[1][1] == pytest.approx(2.0)
