@@ -1292,6 +1292,64 @@ FROM agg
 """
 
 
+def q_image_lossy_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossy (DCT + quant) ENCODER under a value oracle: per-image
+    checksum of the stored quantized DC coefficients vs the closed-form
+    pixel generator replayed in SQL (operators/images.lossy_dc_checksum
+    has the math).  Complements image_pipeline_lossless (bit-exact
+    raw/bmp path) and the PSNR>=40 round-trip pytest (decoder), so every
+    leg of the image codec family is now independently verified."""
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES)
+    return image_ops.lossy_dc_checksum(img)
+
+
+def sql_image_lossy_dc() -> str:
+    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
+    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
+    return f"""
+WITH imgs AS (
+  SELECT range AS id,
+         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
+         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
+  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 = 2
+),
+px AS (
+  SELECT i.id, i.image_id, i.w, i.h, xs.range AS x, ys.range AS y
+  FROM imgs i, range(64) xs, range(64) ys
+  WHERE xs.range < i.w AND ys.range < i.h
+),
+vals AS (
+  SELECT id, image_id, x // 8 AS bx, y // 8 AS by,
+    ((x * 255) // (w - 1) + id) % 256 AS r,
+    ((y * 255) // (h - 1) + id) % 256 AS g,
+    ((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS b
+  FROM px
+),
+blocks AS (
+  SELECT image_id, bx, by, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+  FROM vals GROUP BY image_id, bx, by
+),
+ch AS (
+  SELECT image_id, sr - 8192 AS s FROM blocks
+  UNION ALL SELECT image_id, sg - 8192 FROM blocks
+  UNION ALL SELECT image_id, sb - 8192 FROM blocks
+),
+q AS (
+  SELECT image_id, s, ((s % 32) + 32) % 32 = 16 AS is_half
+  FROM ch
+)
+SELECT image_id,
+       count(*) AS n_blocks,
+       count(*) FILTER (WHERE NOT is_half) AS n_checked,
+       CAST(sum(CAST(round(s / 32.0, 0) AS BIGINT)) FILTER (WHERE NOT is_half)
+            AS BIGINT) AS dc_sum
+FROM q GROUP BY image_id
+"""
+
+
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import images as image_ops
 
@@ -3536,6 +3594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_hull_vertices": q_geo_hull_vertices,
     "geo_clip_rect": q_geo_clip_rect,
     "collect_areas_rect": q_collect_areas_rect,
+    "image_lossy_dc": q_image_lossy_dc,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3622,6 +3681,7 @@ ORACLES: dict[str, str] = {
     "geo_hull_vertices": sql_geo_hull_vertices(),
     "geo_clip_rect": sql_geo_clip_rect(),
     "collect_areas_rect": sql_collect_areas_rect(),
+    "image_lossy_dc": sql_image_lossy_dc(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -125,6 +125,59 @@ def _bilinear_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def lossy_dc_checksum(images: DataFrame) -> DataFrame:
+    """Per-image checksum of the lossy encoder's quantized DC
+    coefficients (kernels/imagecodec.encode_lossy: 8x8 orthonormal
+    DCT-II, uniform step 4, per-channel int16 planes behind zlib).
+
+    For an orthonormal 2D DCT the DC term is sum(block)/8, so each
+    stored DC equals round((sum(pixels) - 64*128) / 32) -- a pure
+    integer function of the ORIGINAL pixels, replayable in SQL from the
+    fixture's closed-form pixel generator.  Blocks whose exact quotient
+    lands ON the rounding half (sum - 8192 == 16 mod 32) are excluded
+    from the checksum by BOTH engines: there the encoder's float path
+    (~1e-12 off the exact half) rounds in a direction the exact
+    arithmetic cannot predict.  Excluded blocks stay covered by the
+    PSNR>=40 round-trip pytest, which is insensitive to half-step
+    rounding direction.
+
+    Output: (image_id, n_blocks = 3 * blocks/image, n_checked, dc_sum).
+    Map-side only -- the bytes column never crosses a shuffle."""
+    import zlib
+
+    schema = "image_id string, n_blocks long, n_checked long, dc_sum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                nby, nbx = r.h // 8, r.w // 8
+                raw = np.frombuffer(zlib.decompress(r.bytes[12:]), dtype=np.int16)
+                dc = (
+                    raw.reshape(3, nby, nbx, 8, 8)[:, :, :, 0, 0].astype(np.int64)
+                )
+                img = ic.pix(int(r.image_id[3:]), int(r.w), int(r.h)).astype(np.int64)
+                bs = (
+                    img.transpose(2, 0, 1)
+                    .reshape(3, nby, 8, nbx, 8)
+                    .sum(axis=(2, 4))
+                )
+                sprime = bs - 64 * 128
+                mask = (sprime % 32) != 16
+                out.append(
+                    (r.image_id, 3 * nby * nbx, int(mask.sum()), int(dc[mask].sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_blocks", "n_checked", "dc_sum"]
+            )
+
+    return (
+        images.filter(F.col("fmt") == "lossy")
+        .select("image_id", "bytes", "w", "h")
+        .mapInPandas(run, schema)
+    )
+
+
 def phash_bands(images: DataFrame, n_bands: int = 4) -> DataFrame:
     """Explode each 64-bit phash into (band_idx, band_value) rows -- pure
     JVM bit math, the LSH-banding index side."""
