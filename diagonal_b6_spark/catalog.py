@@ -1350,6 +1350,61 @@ FROM q GROUP BY image_id
 """
 
 
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Center-crop + horizontal-flip augmentation over the lossless
+    formats, value-verified end to end: the oracle replays the crop box
+    and the flip-sensitive position-weighted checksum from the
+    closed-form pixel generator (x' -> cw-1-(x-x0) coordinate map), so
+    a wrong crop origin, a missed flip, or a single wrong pixel all
+    hash-mismatch.  The lossy path runs the same operator but is
+    excluded here (decoded pixels are not SQL-predictable)."""
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES).filter(F.col("fmt") != "lossy")
+    return image_ops.augment_center_crop_flip(img, frac=0.5)
+
+
+def sql_image_augment() -> str:
+    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
+    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
+    return f"""
+WITH imgs AS (
+  SELECT range AS id,
+         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
+         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
+  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
+),
+geom AS (
+  SELECT id, image_id, w, h,
+         w // 2 AS cw, h // 2 AS ch,
+         (w - w // 2) // 2 AS x0, (h - h // 2) // 2 AS y0
+  FROM imgs
+),
+px AS (
+  SELECT g.id, g.image_id, g.w, g.h, g.cw, g.ch, g.x0, g.y0,
+         xs.range AS x, ys.range AS y
+  FROM geom g, range(64) xs, range(64) ys
+  WHERE xs.range >= g.x0 AND xs.range < g.x0 + g.cw
+    AND ys.range >= g.y0 AND ys.range < g.y0 + g.ch
+),
+vals AS (
+  SELECT image_id, cw, ch,
+    ((x * 255) // (w - 1) + id) % 256 AS r,
+    ((y * 255) // (h - 1) + id) % 256 AS g,
+    ((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS b,
+    cw - (x - x0) AS wx, (y - y0) + 1 AS wy
+  FROM px
+)
+SELECT image_id,
+       CAST(any_value(cw) AS INT) AS new_w,
+       CAST(any_value(ch) AS INT) AS new_h,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum((r + 2 * g + 3 * b) * wx * wy) AS BIGINT) AS wsum
+FROM vals GROUP BY image_id
+"""
+
+
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import images as image_ops
 
@@ -3595,6 +3650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_clip_rect": q_geo_clip_rect,
     "collect_areas_rect": q_collect_areas_rect,
     "image_lossy_dc": q_image_lossy_dc,
+    "image_augment": q_image_augment,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3682,6 +3738,7 @@ ORACLES: dict[str, str] = {
     "geo_clip_rect": sql_geo_clip_rect(),
     "collect_areas_rect": sql_collect_areas_rect(),
     "image_lossy_dc": sql_image_lossy_dc(),
+    "image_augment": sql_image_augment(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -178,6 +178,40 @@ def lossy_dc_checksum(images: DataFrame) -> DataFrame:
     )
 
 
+def augment_center_crop_flip(images: DataFrame, frac: float = 0.5) -> DataFrame:
+    """Training-pipeline augmentation: decode -> center-crop to
+    (frac*w, frac*h) -> horizontal flip, emitting crop geometry and two
+    integer checksums of the AUGMENTED pixels: the cropped red-channel
+    sum (flip-invariant: pins the crop box and values) and a
+    position-weighted sum ((r + 2g + 3b) * (x'+1) * (y'+1) over flipped
+    coordinates: pins the flip direction -- any linear functional of
+    the pixels is SQL-replayable on the closed-form fixture by mapping
+    x' -> cw-1-(x-x0)).  Map-side only; bytes never cross a shuffle.
+    Real augmentation sinks would re-encode `crop` instead of
+    checksumming -- the geometry/indexing path is identical."""
+    schema = "image_id string, new_w int, new_h int, sum_r long, wsum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = ic.decode(r.bytes, r.fmt).astype(np.int64)
+                cw, ch = int(r.w * frac), int(r.h * frac)
+                x0, y0 = (int(r.w) - cw) // 2, (int(r.h) - ch) // 2
+                crop = img[y0 : y0 + ch, x0 : x0 + cw, :][:, ::-1, :]
+                wx = np.arange(1, cw + 1, dtype=np.int64)[None, :]
+                wy = np.arange(1, ch + 1, dtype=np.int64)[:, None]
+                v = crop[:, :, 0] + 2 * crop[:, :, 1] + 3 * crop[:, :, 2]
+                out.append(
+                    (r.image_id, cw, ch, int(crop[:, :, 0].sum()), int((v * wx * wy).sum()))
+                )
+            yield pd.DataFrame(
+                out, columns=["image_id", "new_w", "new_h", "sum_r", "wsum"]
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, schema)
+
+
 def phash_bands(images: DataFrame, n_bands: int = 4) -> DataFrame:
     """Explode each 64-bit phash into (band_idx, band_value) rows -- pure
     JVM bit math, the LSH-banding index side."""
