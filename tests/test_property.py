@@ -166,3 +166,82 @@ def test_clip_difference_partitions_subject(seed_a, seed_b, dx, dy):
     inter = area(C.clip(ax, ay, bx, by, "intersection"))
     diff = signed(C.clip(ax, ay, bx, by, "difference"))
     assert diff + inter == pytest.approx(a, rel=1e-6, abs=1e-9)
+
+
+# --- boolean-op kernels vs closed-form rectangle arithmetic -----------------
+
+from diagonal_b6_spark.kernels import clip as clip_kernel
+
+_coord = st.integers(min_value=0, max_value=40)
+_side = st.integers(min_value=1, max_value=24)
+
+
+def _rect_ring(x1, y1, w, h):
+    xs = np.array([x1, x1 + w, x1 + w, x1], dtype=np.float64)
+    ys = np.array([y1, y1, y1 + h, y1 + h], dtype=np.float64)
+    return xs, ys
+
+
+def _overlap(a, b):
+    w = min(a[0] + a[2], b[0] + b[2]) - max(a[0], b[0])
+    h = min(a[1] + a[3], b[1] + b[3]) - max(a[1], b[1])
+    return max(0.0, w) * max(0.0, h)
+
+
+_rect = st.tuples(_coord, _coord, _side, _side)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_rect, _rect)
+def test_clip_intersection_matches_closed_form(ra, rb):
+    """GH clip of ANY two integer-lattice rects (shared edges, corner
+    touches, containment included -- the degeneracy-perturbation path
+    runs here) matches the closed-form overlap to perturbation noise."""
+    out = clip_kernel.clip(*_rect_ring(*ra), *_rect_ring(*rb), "intersection")
+    got = sum(abs(clip_kernel.ring_area(xs, ys)) for xs, ys in out)
+    assert got == pytest.approx(_overlap(ra, rb), abs=1e-4)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_rect, _rect)
+def test_clip_union_difference_partition(ra, rb):
+    """area(union) == A + B - overlap and area(difference) == A - overlap
+    for every rect pair, degenerate contacts included."""
+    a = float(ra[2] * ra[3])
+    b = float(rb[2] * rb[3])
+    ov = _overlap(ra, rb)
+    un = clip_kernel.clip(*_rect_ring(*ra), *_rect_ring(*rb), "union")
+    # union pieces: sum of signed areas (difference emits CW holes)
+    got_u = sum(abs(clip_kernel.ring_area(xs, ys)) for xs, ys in un)
+    assert got_u == pytest.approx(a + b - ov, abs=1e-4)
+    df = clip_kernel.clip(*_rect_ring(*ra), *_rect_ring(*rb), "difference")
+    got_d = sum(clip_kernel.ring_area(xs, ys) for xs, ys in df)
+    assert got_d == pytest.approx(a - ov, abs=1e-4)
+
+
+@settings(max_examples=75, deadline=None)
+@given(st.lists(_rect, min_size=1, max_size=5))
+def test_union_all_bounded_by_inclusion_exclusion(rects):
+    """union_all total area: >= max single rect, <= sum of rects, and
+    exact vs inclusion-exclusion when no triple overlaps exist."""
+    rings = [_rect_ring(*r) for r in rects]
+    out = clip_kernel.union_all(rings)
+    got = sum(abs(clip_kernel.ring_area(xs, ys)) for xs, ys in out)
+    areas = [float(r[2] * r[3]) for r in rects]
+    assert got <= sum(areas) + 1e-4
+    assert got >= max(areas) - 1e-4
+    # exact check when the overlap structure is pairwise-only
+    triple = any(
+        _overlap(a, b) > 0 and _overlap(b, c) > 0 and _overlap(a, c) > 0
+        and min(a[0] + a[2], b[0] + b[2], c[0] + c[2]) > max(a[0], b[0], c[0])
+        and min(a[1] + a[3], b[1] + b[3], c[1] + c[3]) > max(a[1], b[1], c[1])
+        for i, a in enumerate(rects)
+        for j, b in enumerate(rects)
+        for c in rects[j + 1:]
+        if i < j
+    )
+    if not triple and len(rects) <= 3:
+        expect = sum(areas) - sum(
+            _overlap(a, b) for i, a in enumerate(rects) for b in rects[i + 1:]
+        )
+        assert got == pytest.approx(expect, abs=1e-3)
