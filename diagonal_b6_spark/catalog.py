@@ -1405,6 +1405,90 @@ FROM vals GROUP BY image_id
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bilinear resize kernel under a FULL value oracle (lossless
+    formats): resize to 16x16, re-encode raw, decode, checksum -- the
+    oracle replays source-position math, the 4-corner weighted sum
+    (dyadic-exact for the fixture dims), and numpy's round-half-even,
+    per output pixel, from the closed-form generator.  Closes the last
+    value-unverified image op (resize was previously shape-checked
+    only)."""
+    from .operators import images as image_ops
+
+    img = fixtures.images_table(spark, N_CATALOG_IMAGES).filter(F.col("fmt") != "lossy")
+    return image_ops.resize_checksum(img, 16, 16)
+
+
+def sql_image_resize(out_w: int = 16, out_h: int = 16) -> str:
+    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
+    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
+    return f"""
+WITH imgs AS (
+  SELECT range AS id,
+         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
+         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
+         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
+  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
+),
+grid AS (
+  SELECT i.id, i.image_id, i.w, i.h, xs.range AS dx, ys.range AS dy,
+         (xs.range + 0.5) * i.w / {out_w}.0 - 0.5 AS sxf,
+         (ys.range + 0.5) * i.h / {out_h}.0 - 0.5 AS syf
+  FROM imgs i, range({out_w}) xs, range({out_h}) ys
+),
+-- the 4 bilinear corners as rows; x1/y1 clamp to the last pixel (only
+-- reached with weight 0 at these dims, kept for kernel fidelity)
+corners AS (
+  SELECT id, image_id, w, h, dx, dy,
+         CAST(floor(sxf) AS BIGINT) AS sx, CAST(floor(syf) AS BIGINT) AS sy,
+         (1 - (sxf - floor(sxf))) * (1 - (syf - floor(syf))) AS wt
+  FROM grid
+  UNION ALL
+  SELECT id, image_id, w, h, dx, dy,
+         least(CAST(floor(sxf) AS BIGINT) + 1, w - 1), CAST(floor(syf) AS BIGINT),
+         (sxf - floor(sxf)) * (1 - (syf - floor(syf)))
+  FROM grid
+  UNION ALL
+  SELECT id, image_id, w, h, dx, dy,
+         CAST(floor(sxf) AS BIGINT), least(CAST(floor(syf) AS BIGINT) + 1, h - 1),
+         (1 - (sxf - floor(sxf))) * (syf - floor(syf))
+  FROM grid
+  UNION ALL
+  SELECT id, image_id, w, h, dx, dy,
+         least(CAST(floor(sxf) AS BIGINT) + 1, w - 1),
+         least(CAST(floor(syf) AS BIGINT) + 1, h - 1),
+         (sxf - floor(sxf)) * (syf - floor(syf))
+  FROM grid
+),
+interp AS (
+  SELECT image_id, dx, dy,
+         sum(wt * (((sx * 255) // (w - 1) + id) % 256)) AS vr,
+         sum(wt * (((sy * 255) // (h - 1) + id) % 256)) AS vg,
+         sum(wt * (((xor(sx // 4, sy // 4) & 1) * 200 + id + id % 56) % 256)) AS vb
+  FROM corners GROUP BY image_id, dx, dy
+),
+-- numpy rounds half to EVEN; away from the half, plain round agrees.
+-- weighted sums are exact multiples of 1/16, so the half test is exact.
+rounded AS (
+  SELECT image_id, dx, dy,
+         CASE WHEN vr - floor(vr) = 0.5
+              THEN CAST(floor(vr) AS BIGINT) + CAST(floor(vr) AS BIGINT) % 2
+              ELSE CAST(round(vr, 0) AS BIGINT) END AS r,
+         CASE WHEN vg - floor(vg) = 0.5
+              THEN CAST(floor(vg) AS BIGINT) + CAST(floor(vg) AS BIGINT) % 2
+              ELSE CAST(round(vg, 0) AS BIGINT) END AS g,
+         CASE WHEN vb - floor(vb) = 0.5
+              THEN CAST(floor(vb) AS BIGINT) + CAST(floor(vb) AS BIGINT) % 2
+              ELSE CAST(round(vb, 0) AS BIGINT) END AS b
+  FROM interp
+)
+SELECT image_id,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum((r + 2 * g + 3 * b) * (dx + 1) * (dy + 1)) AS BIGINT) AS wsum
+FROM rounded GROUP BY image_id
+"""
+
+
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import images as image_ops
 
@@ -3651,6 +3735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collect_areas_rect": q_collect_areas_rect,
     "image_lossy_dc": q_image_lossy_dc,
     "image_augment": q_image_augment,
+    "image_resize": q_image_resize,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3739,6 +3824,7 @@ ORACLES: dict[str, str] = {
     "collect_areas_rect": sql_collect_areas_rect(),
     "image_lossy_dc": sql_image_lossy_dc(),
     "image_augment": sql_image_augment(),
+    "image_resize": sql_image_resize(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -125,6 +125,33 @@ def _bilinear_batch(imgs: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def resize_checksum(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """resize() -> raw re-encode -> decode -> integer checksums of the
+    RESIZED pixels (red-channel sum + the position-weighted layout sum,
+    same functionals as augment_center_crop_flip).  For the fixture
+    dims every bilinear weight is dyadic ({0, .25, .5, .75}) and every
+    weighted sum float64-exact, so numpy's round-half-even is
+    deterministic and the whole resize kernel is SQL-replayable with an
+    explicit banker's-rounding expression -- a FULL value oracle of the
+    interpolation path, not just output-shape checks."""
+    schema = "image_id string, sum_r long, wsum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wx = np.arange(1, out_w + 1, dtype=np.int64)[None, :]
+        wy = np.arange(1, out_h + 1, dtype=np.int64)[:, None]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = ic.decode(r.bytes, r.fmt).astype(np.int64)
+                v = img[:, :, 0] + 2 * img[:, :, 1] + 3 * img[:, :, 2]
+                out.append(
+                    (r.image_id, int(img[:, :, 0].sum()), int((v * wx * wy).sum()))
+                )
+            yield pd.DataFrame(out, columns=["image_id", "sum_r", "wsum"])
+
+    return resize(images, out_w, out_h).mapInPandas(run, schema)
+
+
 def lossy_dc_checksum(images: DataFrame) -> DataFrame:
     """Per-image checksum of the lossy encoder's quantized DC
     coefficients (kernels/imagecodec.encode_lossy: 8x8 orthonormal
