@@ -158,6 +158,33 @@ FROM pts, zooms
 """
 
 
+def q_geo_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup z14 -> z10: one corpus shuffle at the base
+    zoom, then parent//2 aggregation of the shrinking tile table per
+    level (pipeline.tile_pyramid_rollup).  The oracle computes EVERY
+    level independently from the raw points (floor-div composition
+    makes them equal), so it verifies the rollup rather than replaying
+    it."""
+    from .pipeline import tile_assignments, tile_pyramid_rollup
+
+    pts = _events_points(spark, sf_dir).withColumnRenamed("event_id", "image_id")
+    base = tile_assignments(pts, zooms=(14,))
+    return tile_pyramid_rollup(base, base_zoom=14, min_zoom=10)
+
+
+def sql_geo_tile_pyramid() -> str:
+    return f"""
+WITH {_PTS_CTE},
+zooms(zoom, n) AS (VALUES (10, 1024.0), (11, 2048.0), (12, 4096.0), (13, 8192.0), (14, 16384.0))
+SELECT zoom,
+  CAST(floor((lng + 180.0) / 360.0 * n) AS BIGINT) AS tile_x,
+  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * n) AS BIGINT) AS tile_y,
+  count(*) AS n
+FROM pts, zooms
+GROUP BY 1, 2, 3
+"""
+
+
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _events_points(spark, sf_dir)
     out = knn_ops.knn_bruteforce(pts, _probes(spark), KNN_K, point_id="event_id")
@@ -3736,6 +3763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_lossy_dc": q_image_lossy_dc,
     "image_augment": q_image_augment,
     "image_resize": q_image_resize,
+    "geo_tile_pyramid": q_geo_tile_pyramid,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3825,6 +3853,7 @@ ORACLES: dict[str, str] = {
     "image_lossy_dc": sql_image_lossy_dc(),
     "image_augment": sql_image_augment(),
     "image_resize": sql_image_resize(),
+    "geo_tile_pyramid": sql_geo_tile_pyramid(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -46,6 +46,37 @@ def tile_assignments(images: DataFrame, zooms: tuple[int, ...] = (12, 16)) -> Da
     return out
 
 
+def tile_pyramid_rollup(
+    assignments: DataFrame, base_zoom: int, min_zoom: int
+) -> DataFrame:
+    """Per-tile counts at every level min_zoom..base_zoom from a single
+    base-zoom assignment table -- the tile-serving pre-aggregation
+    (b6/tiles.go renders per-tile; a 10^12-image deployment serves
+    coarse zooms from rollups, never rescanning the corpus).
+
+    Scale shape: ONE corpus-sized shuffle (the base-zoom groupBy); each
+    coarser level aggregates the PREVIOUS level's tile table (parent =
+    child // 2 -- floor-div composes, so level z-1 from level z equals
+    level z-1 from raw points), which shrinks ~4x per step, so the loop
+    over zoom levels is bounded driver-side control flow over
+    ever-smaller aggregates, not repeated corpus scans."""
+    level = assignments.groupBy("zoom", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = level
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        level = (
+            level.groupBy(
+                (F.col("tile_x") / 2).cast("long").alias("tile_x"),
+                (F.col("tile_y") / 2).cast("long").alias("tile_y"),
+            )
+            .agg(F.sum("n").alias("n"))
+            .select(F.lit(z).alias("zoom"), "tile_x", "tile_y", "n")
+        )
+        out = out.unionByName(level)
+    return out
+
+
 def containment_pipeline(
     spark: SparkSession,
     images: DataFrame,
