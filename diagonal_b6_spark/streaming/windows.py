@@ -89,6 +89,45 @@ def tile_throughput(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join within a bounded arrival window: each
+    left row pairs with right rows carrying the same key whose event
+    time lands in [left_ts, left_ts + max_delay] -- the canonical
+    image+caption pairing job (captions trail their images by bounded
+    skew; an unbounded join would hold infinite state).  Watermarks on
+    BOTH sides plus the time-range condition let Spark expire state, so
+    per-executor state stays finite at 10^12-row scale.  Works
+    identically on batch frames (no watermark, same join condition) --
+    the batch==stream equivalence test keys on that."""
+    lt, rt = f"__l_{left_ts}", f"__r_{right_ts}"
+    lf = left.withColumn(lt, F.col(left_ts).cast("timestamp"))
+    rf = right.withColumn(rt, F.col(right_ts).cast("timestamp"))
+    if lf.isStreaming:
+        lf = lf.withWatermark(lt, watermark)
+    if rf.isStreaming:
+        rf = rf.withWatermark(rt, watermark)
+    lf = lf.alias("l")
+    rf = rf.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{rt}") >= F.col(f"l.{lt}"))
+        & (F.col(f"r.{rt}") <= F.col(f"l.{lt}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lf.join(rf, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{lt}").alias("left_ts"),
+        F.col(f"r.{rt}").alias("right_ts"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, spark=None, output_mode: str = "complete"
 ) -> DataFrame:

@@ -119,3 +119,44 @@ def test_stateful_sessionization(spark, tmp_path_factory):
     r = got[(1, 3)]
     assert r["total_value"] == pytest.approx(6.0)
     assert r["session_end"] - r["session_start"] == 10 * 60 * 1000
+
+
+@pytest.fixture(scope="module")
+def captions_stream_dir(spark, tmp_path_factory):
+    """A 'captions' stream derived from events: each caption trails its
+    image by (event_id % 3) minutes, so a 90-second join window admits
+    exactly the event_id % 3 in {0, 1} rows."""
+    d = str(tmp_path_factory.mktemp("captions_stream"))
+    ev = fixtures.testdata(spark, SF, "events")
+    caps = ev.select(
+        "event_id",
+        (F.col("ts").cast("timestamp")
+         + F.expr("make_interval(0, 0, 0, 0, 0, event_id % 3, 0)")).alias("ts"),
+    )
+    caps.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_interval_join_equals_batch(spark, events_stream_dir, captions_stream_dir):
+    batch_l = fixtures.testdata(spark, SF, "events")
+    batch_r = spark.read.parquet(captions_stream_dir)
+    want = sorted(
+        tuple(r)
+        for r in sw.stream_interval_join(
+            batch_l, batch_r, key="event_id", max_delay="90 seconds"
+        ).collect()
+    )
+    # delays are 0/1/2 min: the 90 s window keeps exactly ids % 3 in {0, 1}
+    n_events = batch_l.count()
+    assert len(want) == sum(1 for i in range(n_events) if i % 3 in (0, 1))
+
+    sl = _stream(spark, events_stream_dir)
+    sr = spark.readStream.schema(batch_r.schema).parquet(captions_stream_dir)
+    got_df = sw.run_stream_to_memory(
+        sw.stream_interval_join(sl, sr, key="event_id", max_delay="90 seconds"),
+        "interval_join",
+        spark,
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
