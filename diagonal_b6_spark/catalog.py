@@ -2766,6 +2766,68 @@ _DOCS_DUP_CTE = """docs AS (
 )"""
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (operators/sampling.deterministic_split): split = pure function of
+    md5(salt:doc_id) mod 10000, shuffle-free and partitioning-invariant
+    -- resharding or cluster resizing can never leak a doc across the
+    split boundary.  The oracle replays the hash byte-for-byte in
+    DuckDB; the nested-sample key below shares the same bucket math."""
+    from .operators import sampling as sampling_ops
+
+    d = fixtures.testdata(spark, sf_dir, "documents")
+    out = sampling_ops.deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
+def sql_corpus_split() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 5% corpus sample (operators/sampling.deterministic_sample)
+    plus the NESTED-sample property surfaced in the output: the 1%
+    sample with the same salt must be a subset of the 5% one (scaling-
+    law subsets), so the key emits in_1pct alongside membership and the
+    oracle recomputes both thresholds from the same hash."""
+    from .operators import sampling as sampling_ops
+
+    d = fixtures.testdata(spark, sf_dir, "documents")
+    picked = sampling_ops.deterministic_sample(d, "doc_id", 0.05)
+    one = sampling_ops.deterministic_sample(d, "doc_id", 0.01).select(
+        "doc_id", F.lit(True).alias("in_1pct")
+    )
+    return (
+        picked.join(one, "doc_id", "left")
+        .select("doc_id", F.coalesce("in_1pct", F.lit(False)).alias("in_1pct"))
+    )
+
+
+def sql_corpus_sample() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket < 100 AS in_1pct
+FROM b WHERE bucket < 500
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_duplicates(_docs_with_dupes(spark, sf_dir), "doc_id", "text")
 
@@ -3764,6 +3826,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_augment": q_image_augment,
     "image_resize": q_image_resize,
     "geo_tile_pyramid": q_geo_tile_pyramid,
+    "corpus_split": q_corpus_split,
+    "corpus_sample": q_corpus_sample,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3854,6 +3918,8 @@ ORACLES: dict[str, str] = {
     "image_augment": sql_image_augment(),
     "image_resize": sql_image_resize(),
     "geo_tile_pyramid": sql_geo_tile_pyramid(),
+    "corpus_split": sql_corpus_split(),
+    "corpus_sample": sql_corpus_sample(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
