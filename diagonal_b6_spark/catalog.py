@@ -185,6 +185,49 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash keys (precision 8) for every event point, plus the
+    precision-5 PREFIX relation (a geohash's prefix IS its ancestor
+    cell -- the property that makes it a hierarchical join key).  The
+    engine side is one pure-codegen column expression
+    (operators/cover.geohash_col, pinned against the published
+    u4pruydq test vector); the oracle replays quantize -> interleave ->
+    base32 bit-for-bit in SQL."""
+    pts = _events_points(spark, sf_dir)
+    gh = cover_ops.geohash_col(8)
+    return pts.select(
+        "event_id", gh.alias("gh8"), F.substring(gh, 1, 5).alias("gh5")
+    )
+
+
+def sql_geo_geohash(precision: int = 8) -> str:
+    nbits = 5 * precision
+    lngbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    terms = [
+        f"(((x >> {lngbits - 1 - i}) & 1) << {nbits - 1 - 2 * i})"
+        for i in range(lngbits)
+    ] + [
+        f"(((y >> {latbits - 1 - i}) & 1) << {nbits - 2 - 2 * i})"
+        for i in range(latbits)
+    ]
+    chars = " || ".join(
+        f"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((v >> {5 * (precision - 1 - k)}) & 31) AS INT) + 1, 1)"
+        for k in range(precision)
+    )
+    return f"""
+WITH {_PTS_CTE},
+q AS (
+  SELECT event_id,
+         greatest(0, least(CAST(floor((lng + 180.0) / 360.0 * {float(1 << lngbits)!r}) AS BIGINT), {(1 << lngbits) - 1})) AS x,
+         greatest(0, least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << latbits)!r}) AS BIGINT), {(1 << latbits) - 1})) AS y
+  FROM pts),
+iv AS (SELECT event_id, {' + '.join(terms)} AS v FROM q),
+gh AS (SELECT event_id, {chars} AS gh8 FROM iv)
+SELECT event_id, gh8, substring(gh8, 1, 5) AS gh5 FROM gh
+"""
+
+
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _events_points(spark, sf_dir)
     out = knn_ops.knn_bruteforce(pts, _probes(spark), KNN_K, point_id="event_id")
@@ -3828,6 +3871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_tile_pyramid": q_geo_tile_pyramid,
     "corpus_split": q_corpus_split,
     "corpus_sample": q_corpus_sample,
+    "geo_geohash": q_geo_geohash,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3920,6 +3964,7 @@ ORACLES: dict[str, str] = {
     "geo_tile_pyramid": sql_geo_tile_pyramid(),
     "corpus_split": sql_corpus_split(),
     "corpus_sample": sql_corpus_sample(),
+    "geo_geohash": sql_geo_geohash(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

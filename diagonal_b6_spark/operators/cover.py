@@ -164,6 +164,45 @@ def tile_xy_cols(zoom: int, lat: str = "lat", lng: str = "lng"):
     return x, y
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(precision: int = 8, lat: str = "lat", lng: str = "lng"):
+    """Standard geohash (Niemeyer base32) as ONE pure-JVM column
+    expression: quantize lng/lat to the bit grids, interleave bits
+    (lng first, MSB down), map 5-bit groups through the base32
+    alphabet.  Completes the engine's index-scheme family (S2 cells,
+    H3-style hex, mercator tiles, geohash) -- all whole-stage-codegen
+    column math, usable directly as a bucketing/join key at 10^12
+    rows.  The unrolled shift/mask chain is exactly replayable in SQL,
+    so geohash keys get full value oracles."""
+    nbits = 5 * precision
+    lngbits = (nbits + 1) // 2
+    latbits = nbits // 2
+    x = F.floor((F.col(lng) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lngbits))).cast("long")
+    y = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << latbits))).cast("long")
+    x = F.greatest(F.lit(0).cast("long"), F.least(x, F.lit((1 << lngbits) - 1)))
+    y = F.greatest(F.lit(0).cast("long"), F.least(y, F.lit((1 << latbits) - 1)))
+    v = F.lit(0).cast("long")
+    for i in range(lngbits):
+        v = v + F.shiftleft(
+            F.shiftright(x, lngbits - 1 - i).bitwiseAND(F.lit(1)), nbits - 1 - 2 * i
+        )
+    for i in range(latbits):
+        v = v + F.shiftleft(
+            F.shiftright(y, latbits - 1 - i).bitwiseAND(F.lit(1)), nbits - 2 - 2 * i
+        )
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            F.shiftright(v, 5 * (precision - 1 - k)).bitwiseAND(F.lit(31)) + F.lit(1),
+            F.lit(1),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def with_tiles(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng") -> DataFrame:
     """Packed tile-id column at a zoom: 5 zoom bits | 29 x bits | 29 y bits
     (b6/tiles.go:126-133 packing), all JVM-side."""

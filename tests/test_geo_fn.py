@@ -352,3 +352,25 @@ def test_collect_areas_by_groups(spark):
     }
     assert out[0][0] == 1 and out[0][1] == pytest.approx(6.0)
     assert out[1][0] == 2 and out[1][1] == pytest.approx(2.0)
+
+
+def test_geohash_published_vector(spark):
+    """Pinned against the canonical public geohash example
+    (57.64911, 10.40744) -> u4pruydq, plus prefix-nesting."""
+    from diagonal_b6_spark.operators import cover as cover_ops
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (-90.0, -180.0), (89.999999, 179.999999)],
+        "lat double, lng double",
+    )
+    rows = df.select(
+        cover_ops.geohash_col(8).alias("g8"), cover_ops.geohash_col(5).alias("g5")
+    ).collect()
+    assert rows[0]["g8"] == "u4pruydq"
+    # a shorter geohash is always a prefix of the longer one (same point)
+    for r in rows:
+        assert r["g8"].startswith(r["g5"])
+    # corners stay in-domain (clamped, 8 chars, alphabet-only)
+    for r in rows:
+        assert len(r["g8"]) == 8
+        assert set(r["g8"]) <= set("0123456789bcdefghjkmnpqrstuvwxyz")
