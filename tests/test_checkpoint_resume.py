@@ -72,3 +72,21 @@ def test_write_snapshot_counters(spark, tmp_path):
     # second write chains lineage
     m2 = ckpt.write_snapshot(df, root, "zoom")
     assert m2.parent_id == m.snapshot_id
+
+
+def test_snapshot_read_prunes_partitions(spark, tmp_path):
+    """A zoom filter over a snapshot read must reach the scan as a
+    PARTITION filter (directory pruning), not a post-scan predicate --
+    the property that makes per-zoom serving reads O(zoom subset), not
+    O(snapshot), at 10^12-row scale."""
+    root = str(tmp_path / "snap_prune")
+    df = spark.range(0, 1000).selectExpr("id", "cast(id % 4 as int) as zoom")
+    ckpt.write_snapshot(df, root, "zoom", provenance="prune-test")
+    rd = spark.read.parquet(os.path.join(root, "data")).filter("zoom = 2")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the zoom predicate must appear inside PartitionFilters, and the
+    # scan must not fall back to an empty partition-filter list
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "zoom" in pf
+    assert rd.count() == 250
