@@ -3209,6 +3209,34 @@ FROM documents
 """
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: whitespace token counts -> fixed-2048-token
+    pack assignment via distributed prefix sums (operators/
+    text.pack_sequences -- the percentiles two-pass shape, every window
+    partitioned).  Oracle replays the single ordered-window prefix sum
+    in SQL, so any drift in the distributed offsets mismatches."""
+    d = fixtures.testdata(spark, sf_dir, "documents")
+    toks = text_ops.token_count(d, "doc_id", "text")
+    return text_ops.pack_sequences(toks, "doc_id", "n_tokens", budget=2048)
+
+
+def sql_corpus_pack(budget: int = 2048) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
 def q_language_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fixtures.testdata(spark, sf_dir, "documents")
     return text_ops.language_score(d, "doc_id", "text")
@@ -3872,6 +3900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split": q_corpus_split,
     "corpus_sample": q_corpus_sample,
     "geo_geohash": q_geo_geohash,
+    "corpus_pack": q_corpus_pack,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -3965,6 +3994,7 @@ ORACLES: dict[str, str] = {
     "corpus_split": sql_corpus_split(),
     "corpus_sample": sql_corpus_sample(),
     "geo_geohash": sql_geo_geohash(),
+    "corpus_pack": sql_corpus_pack(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

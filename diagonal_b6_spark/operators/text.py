@@ -28,6 +28,57 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame, id_col: str, tokens_col: str, budget: int
+) -> DataFrame:
+    """Assign documents (processed in id order) to fixed-token-budget
+    packs: doc d lands in pack floor(prefix_sum_before(d) / budget) --
+    the pretraining shard/packing step.  A boundary-straddling document
+    goes to the pack its prefix STARTS in, so per-pack totals overshoot
+    by at most one document's tail (the standard streaming-chunker
+    semantic; exact bin packing is inherently sequential and would not
+    distribute).
+
+    Distribution is the percentiles prefix-sum shape (agg.percentiles):
+    range-partition by id, per-partition window cumsum (every window
+    partitioned -- no global sort), per-partition totals (one row per
+    range partition) carry the offsets, broadcast back.  Deterministic,
+    partitioning-invariant, and exactly replayable as ONE ordered
+    window in SQL."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.select(id_col, tokens_col)
+        .repartitionByRange(nparts, F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum", F.sum(tokens_col).over(w_local))
+    totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_pc"))
+    w_off = Window.orderBy(F.col("_pid").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off")
+    )
+    return d.join(F.broadcast(offs), "_pid").select(
+        id_col,
+        F.col(tokens_col),
+        F.floor(
+            (F.col("_off") + F.col("_cum") - F.col(tokens_col))
+            / F.lit(float(budget))
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
 def _stopword_hits(text_col, stopwords: list[str]):
     """Occurrences of ' w ' patterns via the length-difference trick
     (exact integer arithmetic, portable to any SQL engine)."""
