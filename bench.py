@@ -49,10 +49,25 @@ SCALING_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "19000000"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1"))
 
 
+def _warm_input_files() -> None:
+    """Pull every input parquet through the page cache before timing so
+    the headline measures COMPUTE on warm data (the cross-round
+    comparison basis), not whatever cache state an unrelated job left
+    behind — a 52 GB scaling run evicts these files and a cold read
+    inflates one victim query 5-15x (root-caused in NOTES_r4.md)."""
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(SF_DIR, "*.parquet"))):
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
 def _bench_queries() -> dict:
     from diagonal_b6_spark import catalog
     from diagonal_b6_spark.session import get_spark
 
+    _warm_input_files()
     spark = get_spark(
         "bench", cores=CPUS, extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
