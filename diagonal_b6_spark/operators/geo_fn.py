@@ -651,10 +651,11 @@ def collect_areas_by(areas: DataFrame, group_col: str = "group_id") -> DataFrame
             }
         )
 
+    gtype = areas.schema[group_col].dataType.simpleString()
     return (
         areas.select(group_col, "xs", "ys")
         .groupBy(group_col)
-        .applyInPandas(fold, f"{group_col} long, n_pieces int, area_deg2 double")
+        .applyInPandas(fold, f"{group_col} {gtype}, n_pieces int, area_deg2 double")
     )
 
 
