@@ -176,6 +176,10 @@ def geohash_col(precision: int = 8, lat: str = "lat", lng: str = "lng"):
     column math, usable directly as a bucketing/join key at 10^12
     rows.  The unrolled shift/mask chain is exactly replayable in SQL,
     so geohash keys get full value oracles."""
+    if not 1 <= precision <= 12:
+        raise ValueError(
+            f"geohash precision must be 1..12 (60 bits fit a long), got {precision}"
+        )
     nbits = 5 * precision
     lngbits = (nbits + 1) // 2
     latbits = nbits // 2
