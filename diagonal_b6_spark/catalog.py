@@ -200,7 +200,11 @@ def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_geo_geohash(precision: int = 8) -> str:
+def sql_geo_geohash() -> str:
+    # fixed at precision 8 to match q_geo_geohash's hardcoded
+    # geohash_col(8) and the gh8/gh5 output names -- parameterizing the
+    # SQL alone would silently desynchronize the column semantics
+    precision = 8
     nbits = 5 * precision
     lngbits = (nbits + 1) // 2
     latbits = nbits // 2
@@ -1321,19 +1325,27 @@ def q_image_pipeline_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(rt, "image_id").join(rs, "image_id")
 
 
-def sql_image_pipeline_lossless() -> str:
+def _imgs_cte(fmt_filter: str, with_fmt: bool = False) -> str:
+    """The fixture image-table CTE (dims/fmt encoding of fixtures.
+    _gen_rows: WIDTHS[id%4], HEIGHTS[(id//4)%4], FMTS[id%3]) -- ONE
+    definition shared by every image oracle so a fixture-layout change
+    is a single edit, not four silently-divergent copies."""
     ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
     hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
     fs = "[" + ", ".join(f"'{f}'" for f in fixtures.FMTS) + "]"
-    return f"""
-WITH imgs AS (
+    fmt_col = f",\n         ({fs})[CAST(range % 3 AS INT) + 1] AS fmt" if with_fmt else ""
+    return f"""imgs AS (
   SELECT range AS id,
          'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
          ({ws})[CAST(range % 4 AS INT) + 1] AS w,
-         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h,
-         ({fs})[CAST(range % 3 AS INT) + 1] AS fmt
-  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
-),
+         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h{fmt_col}
+  FROM range({N_CATALOG_IMAGES}) WHERE {fmt_filter}
+)"""
+
+
+def sql_image_pipeline_lossless() -> str:
+    return f"""
+WITH {_imgs_cte("range % 3 <> 2", with_fmt=True)},
 px AS (
   SELECT i.id, i.image_id, i.fmt, i.w, i.h, xs.range AS x, ys.range AS y
   FROM imgs i, range(64) xs, range(64) ys
@@ -1376,16 +1388,8 @@ def q_image_lossy_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_image_lossy_dc() -> str:
-    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
-    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
     return f"""
-WITH imgs AS (
-  SELECT range AS id,
-         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
-         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
-         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
-  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 = 2
-),
+WITH {_imgs_cte("range % 3 = 2")},
 px AS (
   SELECT i.id, i.image_id, i.w, i.h, xs.range AS x, ys.range AS y
   FROM imgs i, range(64) xs, range(64) ys
@@ -1435,16 +1439,8 @@ def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_image_augment() -> str:
-    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
-    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
     return f"""
-WITH imgs AS (
-  SELECT range AS id,
-         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
-         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
-         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
-  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
-),
+WITH {_imgs_cte("range % 3 <> 2")},
 geom AS (
   SELECT id, image_id, w, h,
          w // 2 AS cw, h // 2 AS ch,
@@ -1490,16 +1486,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_image_resize(out_w: int = 16, out_h: int = 16) -> str:
-    ws = "[" + ", ".join(str(w) for w in fixtures.WIDTHS) + "]"
-    hs = "[" + ", ".join(str(h) for h in fixtures.HEIGHTS) + "]"
     return f"""
-WITH imgs AS (
-  SELECT range AS id,
-         'img' || lpad(CAST(range AS VARCHAR), 12, '0') AS image_id,
-         ({ws})[CAST(range % 4 AS INT) + 1] AS w,
-         ({hs})[CAST((range // 4) % 4 AS INT) + 1] AS h
-  FROM range({N_CATALOG_IMAGES}) WHERE range % 3 <> 2
-),
+WITH {_imgs_cte("range % 3 <> 2")},
 grid AS (
   SELECT i.id, i.image_id, i.w, i.h, xs.range AS dx, ys.range AS dy,
          (xs.range + 0.5) * i.w / {out_w}.0 - 0.5 AS sxf,

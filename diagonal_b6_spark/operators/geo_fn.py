@@ -699,6 +699,12 @@ def convex_hull_metrics(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if len(pdf) < 3:
+                # the hull kernel returns NO vertices for a lone point
+                # (degenerate chain) -- pass tiny batches through whole
+                # or a partition's only point silently leaves the hull
+                yield pdf
+                continue
             yield pdf.iloc[hull_idx(pdf)]
 
     def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -756,6 +762,11 @@ def convex_hull_vertices(
         for pdf in batches:
             if not len(pdf):
                 continue
+            if len(pdf) < 3:
+                # lone-point batches hull to NOTHING (kernel returns an
+                # empty chain for n=1) -- pass them through whole
+                yield pdf
+                continue
             yield pdf.iloc[hull_idx(pdf)]
 
     def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -784,6 +795,10 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
                 continue
             x = pdf["lng"].to_numpy()
             y = pdf["lat"].to_numpy()
+            if len(x) < 3:
+                # lone-point batches hull to nothing -- pass through
+                yield pd.DataFrame({"lat": y, "lng": x})
+                continue
             idx = geom.convex_hull(x, y)  # hull vertex indices, CCW
             yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
 

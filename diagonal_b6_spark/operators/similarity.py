@@ -43,6 +43,34 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _brute_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_id: str,
+    probe_id: str,
+    cos_of,
+) -> DataFrame:
+    """Shared brute top-k scaffold: broadcast-cross-join, self-match
+    exclusion, per-probe (cos desc, vec_id asc) window top-k.  Both
+    cosine variants (JVM expression vs Arrow UDF) MUST share this shape
+    -- they share one oracle, so a tie-break or self-exclusion change in
+    only one would silently desynchronize them.  ``cos_of(vcol, pcol)``
+    returns the cosine Column."""
+    cand = vectors.alias("v").join(F.broadcast(probes.alias("p")), F.lit(True), "cross")
+    scored = cand.select(
+        F.col(f"p.{probe_id}").alias(probe_id),
+        F.col(f"v.{vec_id}").alias(vec_id),
+        cos_of(F.col("v.__vec"), F.col("p.__vec")).alias("cos"),
+    ).filter(F.col(probe_id) != F.col(vec_id))
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "rank", vec_id, "cos")
+    )
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     probes: DataFrame,
@@ -53,20 +81,13 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """(probe_id, rank, vec_id, cos): exact k most-similar vectors per
     probe (self-matches excluded when ids collide)."""
-    cand = vectors.alias("v").join(F.broadcast(probes.alias("p")), F.lit(True), "cross")
-    cos = _dot(F.col(f"v.{vec_col}"), F.col(f"p.{vec_col}")) / (
-        _norm(F.col(f"v.{vec_col}")) * _norm(F.col(f"p.{vec_col}"))
-    )
-    scored = cand.select(
-        F.col(f"p.{probe_id}").alias(probe_id),
-        F.col(f"v.{vec_id}").alias(vec_id),
-        cos.alias("cos"),
-    ).filter(F.col(probe_id) != F.col(vec_id))
-    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(probe_id, "rank", vec_id, "cos")
+    return _brute_topk(
+        vectors.withColumn("__vec", F.col(vec_col)),
+        probes.withColumn("__vec", F.col(vec_col)),
+        k,
+        vec_id,
+        probe_id,
+        lambda a, b: _dot(a, b) / (_norm(a) * _norm(b)),
     )
 
 
@@ -100,20 +121,13 @@ def cosine_topk_bruteforce_arrow(
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
         return pd.Series(num / den)
 
-    cand = vectors.alias("v").join(F.broadcast(probes.alias("p")), F.lit(True), "cross")
-    scored = cand.select(
-        F.col(f"p.{probe_id}").alias(probe_id),
-        F.col(f"v.{vec_id}").alias(vec_id),
-        cos_pd(
-            F.col(f"v.{vec_col}").cast("array<double>"),
-            F.col(f"p.{vec_col}").cast("array<double>"),
-        ).alias("cos"),
-    ).filter(F.col(probe_id) != F.col(vec_id))
-    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(probe_id, "rank", vec_id, "cos")
+    return _brute_topk(
+        vectors.withColumn("__vec", F.col(vec_col).cast("array<double>")),
+        probes.withColumn("__vec", F.col(vec_col).cast("array<double>")),
+        k,
+        vec_id,
+        probe_id,
+        cos_pd,
     )
 
 

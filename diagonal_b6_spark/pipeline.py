@@ -60,8 +60,13 @@ def tile_pyramid_rollup(
     level z-1 from raw points), which shrinks ~4x per step, so the loop
     over zoom levels is bounded driver-side control flow over
     ever-smaller aggregates, not repeated corpus scans."""
-    level = assignments.groupBy("zoom", "tile_x", "tile_y").agg(
-        F.count(F.lit(1)).alias("n")
+    # tile_assignments defaults to MULTIPLE zooms and the per-level
+    # groupBy below drops the zoom column -- without this filter a
+    # mixed-zoom input would be silently aggregated into corrupt counts
+    level = (
+        assignments.filter(F.col("zoom") == base_zoom)
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     out = level
     for z in range(base_zoom - 1, min_zoom - 1, -1):

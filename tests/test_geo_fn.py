@@ -374,3 +374,22 @@ def test_geohash_published_vector(spark):
     for r in rows:
         assert len(r["g8"]) == 8
         assert set(r["g8"]) <= set("0123456789bcdefghjkmnpqrstuvwxyz")
+
+
+def test_hull_partial_keeps_lone_point_partitions(spark):
+    """Regression: the per-partition hull stage used to DROP a batch of
+    fewer than 3 points (the kernel hulls a lone point to nothing), so
+    a partition holding one true hull vertex lost it.  Four square
+    corners spread across 8 partitions must all survive."""
+    rows = [(0, 0.0, 0.0, 0, 0), (1, 0.0, 1.0, 0, 1024), (2, 1.0, 0.0, 1024, 0), (3, 1.0, 1.0, 1024, 1024)]
+    df = spark.createDataFrame(
+        rows, "id long, lat double, lng double, klat long, klng long"
+    ).repartition(8)
+    hull = geo_fn.convex_hull_agg(df).collect()
+    assert sorted((r.lat, r.lng) for r in hull) == [
+        (0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)
+    ]
+    hv = geo_fn.convex_hull_vertices(df).collect()
+    assert sorted((r.lat, r.lng) for r in hv) == [
+        (0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)
+    ]
