@@ -283,3 +283,42 @@ def packed_to_tile(packed):
     x = (p >> np.int64(29)) & np.int64((1 << 29) - 1)
     y = p & np.int64((1 << 29) - 1)
     return x, y, z
+
+
+def douglas_peucker(xs, ys, epsilon: float):
+    """Douglas-Peucker keep-indices over an open point chain, matching the
+    reference renderer's semantics (renderer/simplify.go:40-102): the
+    split metric is perpendicular distance to the infinite LINE through
+    the interval's endpoints (not the clamped segment), endpoints always
+    survive, and intervals split at the farthest point until every
+    interior point lies within epsilon.  Iterative stack (the
+    reference's production variant), numpy-vectorized distance per
+    interval.  Returns sorted keep indices."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    n = len(x)
+    if n < 3:
+        return np.arange(n, dtype=np.int64)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        norm = np.hypot(dx, dy)
+        px = x[a + 1 : b] - x[a]
+        py = y[a + 1 : b] - y[a]
+        if norm == 0.0:
+            # degenerate interval (coincident endpoints): distance to the point
+            d = np.hypot(px, py)
+        else:
+            d = np.abs(px * dy - py * dx) / norm
+        i = int(np.argmax(d))
+        if d[i] > epsilon:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return np.nonzero(keep)[0].astype(np.int64)

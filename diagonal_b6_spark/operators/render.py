@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernels import geom as geom_kernel
 from ..kernels import mvt
 from . import geo_fn
 
@@ -54,6 +55,13 @@ def render_tiles(
             rings = []
             for a, b in zip(offs[:-1], offs[1:]):
                 x, y = mvt.latlng_to_tile_local(ys[a:b], xs[a:b], zoom, tx, ty)
+                if len(x) > 1000:
+                    # reference encoder.go:80-84: rings over 1000 points
+                    # are Douglas-Peucker-simplified at 5.0 tile-pixel
+                    # units before encoding (kernels/geom.douglas_peucker
+                    # matches renderer/simplify.go exactly)
+                    keep = geom_kernel.douglas_peucker(x, y, 5.0)
+                    x, y = x[keep], y[keep]
                 rings.append(np.stack([x, y], axis=1))
             tag_idx: list[int] = []
             for k, v in sorted((r.tags or {}).items()):

@@ -114,3 +114,56 @@ def test_polygon_ring_winding_normalized():
     a2 = [mvt._signed_area2(np.array(r)) for r in rings]
     assert a2[0] > 0, "exterior must be positive"
     assert a2[1] < 0, "hole must be negative"
+
+
+def test_douglas_peucker_reference_vectors():
+    """The reference's own TestSimplify vectors (renderer/simplify_test.go:
+    29-81) and TestDistanceBetweenPointAndLine semantics: squares with
+    collinear midpoints collapse to corners (+ the trailing endpoint),
+    plain squares survive untouched, and the metric is distance to the
+    infinite line (point beyond the segment end still measures 1.0)."""
+    from diagonal_b6_spark.kernels import geom
+
+    xs = np.array([0, 0.5, 1, 1, 1, 0.5, 0, 0.0])
+    ys = np.array([0, 0, 0, 0.5, 1, 1, 1, 0.5])
+    idx = geom.douglas_peucker(xs, ys, 0.1)
+    assert list(zip(xs[idx], ys[idx])) == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.5)
+    ]
+    # offset copy (reference case 3)
+    idx2 = geom.douglas_peucker(xs + 10, ys + 10, 0.1)
+    assert list(idx2) == list(idx)
+    # square corners: nothing removable
+    assert list(geom.douglas_peucker(np.array([0.0, 1, 1, 0]), np.array([0.0, 0, 1, 1]), 0.1)) == [0, 1, 2, 3]
+    # infinite-line metric: (10,2) vs line through (1,1)-(3,1) is 1.0 away
+    # -> with eps 0.9 the midpoint of a 3-chain splits; with eps 1.1 it drops
+    cx = np.array([1.0, 10.0, 3.0]); cy = np.array([1.0, 2.0, 1.0])
+    assert len(geom.douglas_peucker(cx, cy, 0.9)) == 3
+    assert len(geom.douglas_peucker(cx, cy, 1.1)) == 2
+
+
+def test_render_simplifies_dense_rings(spark):
+    """A 2000-vertex near-circular area (reference encoder.go:80-84: rings
+    over 1000 points simplify at 5.0 tile units) must encode with far
+    fewer vertices, every decoded vertex on the original circle within
+    the epsilon budget."""
+    t = np.linspace(0, 2 * np.pi, 2001)[:-1]
+    clat, clng, r = 51.51, -0.13, 0.02
+    xs = (clng + r * np.cos(t)).tolist()
+    ys = (clat + r * np.sin(t)).tolist()
+    feats = spark.createDataFrame(
+        [("area/test/dense", "area", {"kind": "circle"}, xs, ys, [0])],
+        "feature_id string, feature_type string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>",
+    )
+    zoom = 12
+    out = render.render_tiles(feats, zoom=zoom).collect()
+    assert out
+    total_vertices = 0
+    for rrow in out:
+        for lay in mvt.decode_tile(bytes(rrow["mvt"])):
+            for f in lay["features"]:
+                for ring in f["rings"]:
+                    total_vertices += len(ring)
+    # unsimplified this is ~2000 per covered tile; simplified it collapses
+    assert 0 < total_vertices < 600
