@@ -100,11 +100,27 @@ def _polygon_row(rings: list, fid: str, ns: str, props: dict) -> tuple:
     xs: list[float] = []
     ys: list[float] = []
     offs: list[int] = []
-    for ring in rings:
+    for ri, ring in enumerate(rings):
         offs.append(len(xs))
         pts = ring[:-1] if ring and ring[0] == ring[-1] else ring  # drop closing vertex
-        xs.extend(float(c[0]) for c in pts)
-        ys.extend(float(c[1]) for c in pts)
+        rx = [float(c[0]) for c in pts]
+        ry = [float(c[1]) for c in pts]
+        # normalize winding like the reference's geojson-areas (fn
+        # geojson.go:143-156 + TestGeoJSONAreasInvertsLargePolygons): a
+        # clockwise outer ring would denote the polygon's COMPLEMENT
+        # (nearly the whole sphere) -- invert it so the area is the
+        # small enclosed region.  Outer rings (ri == 0) become CCW,
+        # holes CW (the downstream kernels' hole convention).
+        if len(rx) >= 3:
+            shoelace = sum(
+                rx[i] * ry[(i + 1) % len(rx)] - rx[(i + 1) % len(rx)] * ry[i]
+                for i in range(len(rx))
+            )
+            if (shoelace < 0) == (ri == 0):
+                rx.reverse()
+                ry.reverse()
+        xs.extend(rx)
+        ys.extend(ry)
     return (fid, "area", ns, props, xs, ys, offs)
 
 

@@ -101,3 +101,35 @@ def test_fixture_features_roundtrip(spark):
     sample = json.loads(emitted.filter(F.col("feature_id") == "area/test/2").collect()[0]["geojson"])
     assert sample["geometry"]["type"] == "Polygon"
     assert len(sample["geometry"]["coordinates"]) == 2  # outer + hole
+
+
+def test_geojson_areas_inverts_clockwise_polygons(spark):
+    """Mirror of the reference's TestGeoJSONAreasInvertsLargePolygons
+    (fn geojson_test.go:43-70): a clockwise outer ring denotes the
+    polygon's complement, so parse must invert it to the small CCW
+    region (holes keep the opposite winding)."""
+    import json
+
+    cw = [  # the reference's exact coordinates, ordered clockwise
+        [-0.1240464, 51.5371371],
+        [-0.1236840, 51.5370778],
+        [-0.1243698, 51.5354848],
+        [-0.1247150, 51.5355393],
+        [-0.1240464, 51.5371371],
+    ]
+    doc = json.dumps(
+        {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [cw]},
+             "properties": {}}]}
+    )
+    rows = gj.parse_geojson(spark, doc).collect()
+    areas = gj.geojson_areas(
+        gj.parse_geojson(spark, doc)
+    ).collect()
+    assert len(areas) == 1
+    xs, ys = rows[0]["xs"], rows[0]["ys"]
+    shoelace = sum(
+        xs[i] * ys[(i + 1) % len(xs)] - xs[(i + 1) % len(xs)] * ys[i]
+        for i in range(len(xs))
+    )
+    assert shoelace > 0, "outer ring must be normalized to CCW (small region)"
