@@ -232,6 +232,161 @@ SELECT event_id, gh8, substring(gh8, 1, 5) AS gh5 FROM gh
 """
 
 
+def _hav_col(y1, x1, y2, x2):
+    """Haversine meters as a JVM column expression (mirrors _HAV /
+    kernels/geom.py: radians first, then subtract)."""
+    return (
+        F.lit(2.0)
+        * F.lit(6371010.0)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin((F.radians(y2) - F.radians(y1)) / 2), 2)
+                + F.cos(F.radians(y1))
+                * F.cos(F.radians(y2))
+                * F.pow(F.sin((F.radians(x2) - F.radians(x1)) / 2), 2)
+            )
+        )
+    )
+
+
+def q_geo_connect_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connection clustering + vertex snapping (the reference's
+    Connections.Cluster, operators/network.cluster_connections) under a
+    full value oracle: 3-vertex paths built from event triples, two
+    insertions per path whose along-distances cycle through the three
+    semantic cases by group id -- merge (2 m apart under the 4 m
+    threshold, midpoint representative), separate, and snap-onto-vertex
+    (1 m past vertex 1).  The oracle replays the greedy pass and the
+    nearer-bracket vertex snap in SQL from the same haversine cum
+    table; margins are meters, float noise is sub-micron, so branch
+    decisions replay exactly.  Complements the reference-mirrored
+    pinned tests (connectivity_test.go cases) with value parity at
+    fixture scale."""
+    from .operators import network as net_ops
+
+    e = F.col("event_id")
+    tri = _events_points(spark, sf_dir).select(
+        F.floor(e / 3).alias("g"), (e % 3).alias("j"), "lat", "lng"
+    )
+    agg = (
+        tri.groupBy("g")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("j", "lng", "lat"))).alias("v"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") == 3)
+    )
+    v = F.col("v")
+    y = [v[i]["lat"] for i in range(3)]
+    x = [v[i]["lng"] for i in range(3)]
+    c1 = _hav_col(y[0], x[0], y[1], x[1])
+    c2 = _hav_col(y[1], x[1], y[2], x[2])
+    base = agg.select(
+        F.col("g"),
+        F.concat(F.lit("p"), F.col("g")).alias("path_id"),
+        F.transform(v, lambda t: t["lng"]).alias("xs"),
+        F.transform(v, lambda t: t["lat"]).alias("ys"),
+        c1.alias("c1"),
+        (c1 + c2).alias("L"),
+        (F.col("g") % 3).alias("m"),
+    )
+    a0 = F.when(F.col("m") == 2, F.col("c1") + 1.0).otherwise(0.25 * F.col("L"))
+    a1 = F.when(F.col("m") == 0, a0 + 2.0).otherwise(
+        F.least(a0 + 0.35 * F.col("L"), 0.95 * F.col("L"))
+    )
+    witha = base.select("g", "path_id", "xs", "ys", a0.alias("a0"), a1.alias("a1"))
+    ins = witha.select(
+        "path_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("a"), F.col("g")).alias("point_id"),
+                    F.col("a0").alias("along_m"),
+                ),
+                F.struct(
+                    F.concat(F.lit("b"), F.col("g")).alias("point_id"),
+                    F.col("a1").alias("along_m"),
+                ),
+            )
+        ).alias("i"),
+    ).select("path_id", F.col("i.point_id").alias("point_id"), F.col("i.along_m").alias("along_m"))
+    paths = witha.select(F.col("path_id").alias("feature_id"), "xs", "ys")
+    out = net_ops.cluster_connections(ins, paths, threshold_m=4.0)
+    return out.select(
+        "point_id", "path_id", "kind", "target", F.round("along_m", 6).alias("along_m")
+    )
+
+
+def sql_geo_connect_cluster() -> str:
+    def hav(y1, x1, y2, x2):
+        return _HAV.format(lat1=y1, lng1=x1, lat2=y2, lng2=x2)
+
+    return f"""
+WITH {_PTS_CTE},
+tri AS (
+  SELECT event_id // 3 AS g, event_id % 3 AS j, lat, lng FROM pts),
+pp AS (
+  SELECT g,
+         max(CASE WHEN j = 0 THEN lat END) AS y0, max(CASE WHEN j = 0 THEN lng END) AS x0,
+         max(CASE WHEN j = 1 THEN lat END) AS y1, max(CASE WHEN j = 1 THEN lng END) AS x1,
+         max(CASE WHEN j = 2 THEN lat END) AS y2, max(CASE WHEN j = 2 THEN lng END) AS x2,
+         count(*) AS c
+  FROM tri GROUP BY g HAVING count(*) = 3),
+geo AS (
+  SELECT g, 'p' || CAST(g AS VARCHAR) AS path_id,
+         {hav('y0', 'x0', 'y1', 'x1')} AS c1,
+         {hav('y0', 'x0', 'y1', 'x1')} + {hav('y1', 'x1', 'y2', 'x2')} AS L
+  FROM pp),
+ab AS (
+  SELECT g, path_id, c1, L,
+         CASE WHEN g % 3 = 2 THEN c1 + 1.0 ELSE 0.25 * L END AS a0
+  FROM geo),
+ab2 AS (
+  SELECT g, path_id, c1, L, a0,
+         CASE WHEN g % 3 = 0 THEN a0 + 2.0
+              ELSE least(a0 + 0.35 * L, 0.95 * L) END AS a1
+  FROM ab),
+-- pass 1: with two insertions, merge iff a1 - a0 < 4.0 (representative
+-- moves to the midpoint); pass 2: snap a survivor when the NEARER
+-- bracketing vertex (cum table [0, c1, L]) is under 4.0 m
+labelled AS (
+  SELECT g, path_id, c1, L,
+         a1 - a0 < 4.0 AS merged,
+         CASE WHEN a1 - a0 < 4.0 THEN (a0 + a1) / 2.0 ELSE a0 END AS ra0,
+         a0, a1
+  FROM ab2),
+s AS (
+  SELECT g, path_id, c1, L, 'a' || CAST(g AS VARCHAR) AS point_id, ra0 AS along, a0 AS raw_along
+  FROM labelled
+  UNION ALL
+  SELECT g, path_id, c1, L, 'b' || CAST(g AS VARCHAR), a1, a1
+  FROM labelled WHERE NOT merged),
+snapped AS (
+  SELECT point_id, path_id, along,
+         CASE WHEN along < c1 THEN 1 WHEN along < L THEN 2 ELSE 3 END AS p
+  FROM s),
+verdict AS (
+  SELECT sn.point_id, sn.path_id, sn.along,
+         CASE WHEN sn.p = 1 THEN sn.along ELSE sn.along - (CASE WHEN sn.p = 2 THEN s2.c1 ELSE s2.L END) END AS prev,
+         CASE WHEN sn.p = 1 THEN s2.c1 - sn.along WHEN sn.p = 2 THEN s2.L - sn.along ELSE NULL END AS nxt,
+         sn.p
+  FROM snapped sn JOIN s s2 ON s2.point_id = sn.point_id)
+SELECT point_id,
+       path_id,
+       CASE WHEN (nxt IS NULL OR prev < nxt) AND prev < 4.0 THEN 'vertex'
+            WHEN nxt IS NOT NULL AND prev >= nxt AND nxt < 4.0 THEN 'vertex'
+            ELSE 'new' END AS kind,
+       CASE WHEN (nxt IS NULL OR prev < nxt) AND prev < 4.0 THEN CAST(p - 1 AS VARCHAR)
+            WHEN nxt IS NOT NULL AND prev >= nxt AND nxt < 4.0 THEN CAST(p AS VARCHAR)
+            ELSE NULL END AS target,
+       round(along, 6) AS along_m
+FROM verdict
+UNION ALL
+SELECT 'b' || CAST(g AS VARCHAR), path_id, 'point', 'a' || CAST(g AS VARCHAR), round(a1, 6)
+FROM labelled WHERE merged
+"""
+
+
 def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _events_points(spark, sf_dir)
     out = knn_ops.knn_bruteforce(pts, _probes(spark), KNN_K, point_id="event_id")
@@ -3905,6 +4060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_geohash": q_geo_geohash,
     "corpus_pack": q_corpus_pack,
     "embedding_knn_arrow": q_embedding_knn_arrow,
+    "geo_connect_cluster": q_geo_connect_cluster,
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
@@ -4000,6 +4156,7 @@ ORACLES: dict[str, str] = {
     "geo_geohash": sql_geo_geohash(),
     "corpus_pack": sql_corpus_pack(),
     "embedding_knn_arrow": sql_embedding_knn(),
+    "geo_connect_cluster": sql_geo_connect_cluster(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -325,3 +325,184 @@ def elevation_idw(
         scored.groupBy(point_id)
         .agg((F.sum("we") / F.sum("w")).alias("elev"))
     )
+
+
+def _haversine_cum_m(xs, ys):
+    """Cumulative arc length (meters) along a polyline."""
+    import numpy as np
+
+    lat = np.radians(np.asarray(ys, dtype=np.float64))
+    lng = np.radians(np.asarray(xs, dtype=np.float64))
+    dlat = np.diff(lat)
+    dlng = np.diff(lng)
+    a = np.sin(dlat / 2) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlng / 2) ** 2
+    seg = 2 * 6371010.0 * np.arcsin(np.sqrt(a))
+    out = np.zeros(len(lat))
+    out[1:] = np.cumsum(seg)
+    return out
+
+
+def cluster_connections(
+    insertions: DataFrame,
+    paths: DataFrame,
+    threshold_m: float = 4.0,
+) -> DataFrame:
+    """The reference's Connections.Cluster, distributed (b6/graph/
+    connectivity.go:228-306): connection insertions along each path are
+    (1) greedily merged when closer than the threshold to the running
+    cluster representative -- whose position updates to the pairwise
+    midpoint on every merge, exactly like clusterCloseInsertions -- and
+    (2) snapped onto an EXISTING path vertex when the nearer bracketing
+    vertex is within the threshold (clusterInsertionsOntoExistingPoints:
+    only the nearer side is tested).
+
+    insertions: (point_id, path_id, along_m); paths: the features table
+    (feature_id, xs, ys).  One shuffle on path_id (cogroup); per-path
+    work is the reference's sequential greedy over that street's
+    insertion list -- bounded per street, so the stage scales with path
+    count, not corpus size.
+
+    Output, one row per input insertion:
+      kind='new'    surviving insertion at (possibly merged) along_m
+      kind='point'  merged into another insertion (target=point_id)
+      kind='vertex' snapped onto path vertex (target=vertex index)
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fold(ins, pth):
+        if not len(ins):
+            return pd.DataFrame(
+                columns=["point_id", "path_id", "kind", "target", "along_m"]
+            )
+        path_id = ins["path_id"].iloc[0]
+        ins = ins.sort_values(["along_m", "point_id"], kind="mergesort")
+        pid = ins["point_id"].tolist()
+        along = ins["along_m"].to_numpy(np.float64).copy()
+        n = len(pid)
+        kind = ["new"] * n
+        target = [None] * n
+        # pass 1: greedy midpoint clustering (reference order: sorted by
+        # distance; merged insertions die, the representative's distance
+        # moves to the running midpoint)
+        last = 0
+        d = along[0]
+        for i in range(1, n):
+            if along[i] - d < threshold_m:
+                d = (d + along[i]) / 2.0
+                along[last] = d
+                kind[i] = "point"
+                target[i] = str(pid[last])
+            else:
+                d = along[i]
+                last = i
+        # pass 2: snap survivors onto existing vertices (nearer side only)
+        if len(pth):
+            cum = _haversine_cum_m(pth["xs"].iloc[0], pth["ys"].iloc[0])
+            p = 0
+            for i in range(n):
+                if kind[i] != "new":
+                    continue
+                while p < len(cum) and cum[p] <= along[i]:
+                    p += 1
+                prev = along[i] - cum[p - 1]
+                nxt = (cum[p] - along[i]) if p < len(cum) else np.inf
+                if prev < nxt:
+                    if prev < threshold_m:
+                        kind[i] = "vertex"
+                        target[i] = str(p - 1)
+                else:
+                    if nxt < threshold_m:
+                        kind[i] = "vertex"
+                        target[i] = str(p)
+        return pd.DataFrame(
+            {
+                "point_id": pid,
+                "path_id": [path_id] * n,
+                "kind": kind,
+                "target": target,
+                "along_m": along,
+            }
+        )
+
+    p = paths.select(F.col("feature_id").alias("path_id"), "xs", "ys")
+    return (
+        insertions.groupBy("path_id")
+        .cogroup(p.groupBy("path_id"))
+        .applyInPandas(
+            fold,
+            "point_id string, path_id string, kind string, target string, along_m double",
+        )
+    )
+
+
+def apply_connections_to_paths(paths: DataFrame, clustered: DataFrame) -> DataFrame:
+    """The reference's Connections.ApplyToPath, distributed
+    (connectivity.go:313-360): rebuild each path's vertex sequence with
+    the SURVIVING insertions (kind='new') spliced in by along-distance
+    -- an original vertex at exactly the insertion's distance comes
+    after it, matching the reference's strict `<` walk.  Paths with no
+    insertions pass through unchanged.
+
+    Output: (feature_id, n_vertices, labels, lats, lngs) where labels[i]
+    is 'v<k>' for original vertex k or the inserted point_id; insertion
+    coordinates are interpolated on the path at along_m."""
+    import numpy as np
+    import pandas as pd
+
+    def rebuild(pth, ins):
+        if not len(pth):
+            return pd.DataFrame(columns=["feature_id", "n_vertices", "labels", "lats", "lngs"])
+        fid = pth["feature_id"].iloc[0]
+        xs = np.asarray(pth["xs"].iloc[0], dtype=np.float64)
+        ys = np.asarray(pth["ys"].iloc[0], dtype=np.float64)
+        cum = _haversine_cum_m(xs, ys)
+        live = ins[ins["kind"] == "new"].sort_values(["along_m", "point_id"]) if len(ins) else ins
+        labels: list[str] = []
+        lats: list[float] = []
+        lngs: list[float] = []
+        nxt = 0
+        if len(live):
+            for r in live.itertuples(index=False):
+                while nxt < len(cum) and cum[nxt] < r.along_m:
+                    labels.append(f"v{nxt}")
+                    lats.append(float(ys[nxt]))
+                    lngs.append(float(xs[nxt]))
+                    nxt += 1
+                # interpolate the insertion's coordinates at along_m
+                j = int(np.searchsorted(cum, r.along_m, side="right"))
+                j = min(max(j, 1), len(cum) - 1)
+                seg = cum[j] - cum[j - 1]
+                t = 0.0 if seg == 0 else (r.along_m - cum[j - 1]) / seg
+                t = min(max(t, 0.0), 1.0)
+                labels.append(str(r.point_id))
+                lats.append(float(ys[j - 1] + t * (ys[j] - ys[j - 1])))
+                lngs.append(float(xs[j - 1] + t * (xs[j] - xs[j - 1])))
+        while nxt < len(xs):
+            labels.append(f"v{nxt}")
+            lats.append(float(ys[nxt]))
+            lngs.append(float(xs[nxt]))
+            nxt += 1
+        return pd.DataFrame(
+            {
+                "feature_id": [fid],
+                "n_vertices": [len(labels)],
+                "labels": [labels],
+                "lats": [lats],
+                "lngs": [lngs],
+            }
+        )
+
+    p = paths.select("feature_id", "xs", "ys")
+    c = clustered.select(
+        F.col("path_id").alias("feature_id"), "point_id", "kind", "along_m"
+    )
+    return (
+        p.groupBy("feature_id")
+        .cogroup(c.groupBy("feature_id"))
+        .applyInPandas(
+            rebuild,
+            "feature_id string, n_vertices int, labels array<string>, "
+            "lats array<double>, lngs array<double>",
+        )
+    )

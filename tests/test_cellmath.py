@@ -145,3 +145,17 @@ def test_antimeridian_cells():
     lat, lng = cm.cell_center_latlng(ids)
     assert np.all(np.abs(lat) < 0.1)
     assert np.all(np.abs(np.abs(lng) - 180) < 0.1)
+
+
+def test_tile_assignment_reference_vector():
+    """Mirror of the reference's TestTileBoundsHaveCorrectGeometry
+    (b6/tiles_test.go:26-44): the three pinned Granary Square points all
+    land in tile (130980, 87135) at z18 under our mercator math."""
+    import numpy as np
+    from diagonal_b6_spark.kernels import geom
+
+    lats = np.array([51.536933, 51.536543, 51.536112])
+    lngs = np.array([-0.126037, -0.125624, -0.125007])
+    x, y = geom.latlng_to_tile(lats, lngs, 18)
+    assert list(x) == [130980] * 3
+    assert list(y) == [87135] * 3

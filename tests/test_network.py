@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from diagonal_b6_spark import catalog, fixtures
+from diagonal_b6_spark.operators import network
 from diagonal_b6_spark.kernels import geom
 
 SF = "/root/testdata/sf0.001"
@@ -157,3 +158,77 @@ def test_connected_components_closed_forms(spark):
     assert all(got[i] == 0 for i in range(5))
     assert got[998] == 998 and got[999] == 998
     assert len(got) == 61 + 5 + 2
+
+
+# --- Connections cluster/apply (b6/graph/connectivity_test.go mirrors) ------
+
+_STABLE_ST_XS = [-0.1252851, -0.1255689, -0.1256803]
+_STABLE_ST_YS = [51.5373281, 51.5366646, 51.5363904]  # spaced 0, 76, 108 m
+
+
+def _conn_paths(spark):
+    return spark.createDataFrame(
+        [("stable_street", _STABLE_ST_XS, _STABLE_ST_YS),
+         ("handyside", [-0.1235755, -0.1252412], [51.5371597, 51.5374419])],
+        "feature_id string, xs array<double>, ys array<double>",
+    )
+
+
+def _cluster(spark, ins_rows, threshold=4.0):
+    ins = spark.createDataFrame(
+        ins_rows, "point_id string, path_id string, along_m double"
+    )
+    return network.cluster_connections(ins, _conn_paths(spark), threshold)
+
+
+def test_merge_insertions(spark):
+    """Mirror of TestMergeInsertions (connectivity_test.go:28-75):
+    insertions at 10 m and 85 m on Stable Street (vertices at 0/76/108)
+    splice into a 5-vertex path in along order; an insertion on another
+    path is untouched."""
+    out = _cluster(spark, [
+        ("A", "stable_street", 10.0),
+        ("B", "stable_street", 85.0),
+        ("C", "handyside", 10.0),
+    ])
+    applied = network.apply_connections_to_paths(_conn_paths(spark), out)
+    row = {r["feature_id"]: r for r in applied.collect()}["stable_street"]
+    assert row["n_vertices"] == 5
+    assert row["labels"] == ["v0", "A", "v1", "B", "v2"]
+
+
+def test_cluster_close_insertions(spark):
+    """Mirror of TestClusterCloseInsertions: 10 m and 13 m merge under a
+    4 m threshold (midpoint representative), 85 m stays separate."""
+    out = _cluster(spark, [
+        ("A", "stable_street", 10.0),
+        ("B", "stable_street", 13.0),
+        ("C", "stable_street", 85.0),
+    ])
+    rows = {r["point_id"]: r for r in out.collect()}
+    assert rows["B"]["kind"] == "point" and rows["B"]["target"] == "A"
+    assert rows["A"]["kind"] == "new" and rows["A"]["along_m"] == 11.5
+    assert rows["C"]["kind"] == "new"
+    applied = network.apply_connections_to_paths(_conn_paths(spark), out)
+    row = {r["feature_id"]: r for r in applied.collect()}["stable_street"]
+    assert row["n_vertices"] == 5
+    assert row["labels"] == ["v0", "A", "v1", "C", "v2"]
+
+
+def test_cluster_insertions_onto_existing_points(spark):
+    """Mirror of TestClusterInsertionsOntoExistingPoints: 78 m and 80 m
+    merge to 79 m, which is 3 m past the 76 m vertex -> snapped onto it
+    (nearer side under threshold); 85 m survives as a new vertex."""
+    out = _cluster(spark, [
+        ("A", "stable_street", 78.0),
+        ("B", "stable_street", 80.0),
+        ("C", "stable_street", 85.0),
+    ])
+    rows = {r["point_id"]: r for r in out.collect()}
+    assert rows["B"]["kind"] == "point" and rows["B"]["target"] == "A"
+    assert rows["A"]["kind"] == "vertex" and rows["A"]["target"] == "1"
+    assert rows["C"]["kind"] == "new"
+    applied = network.apply_connections_to_paths(_conn_paths(spark), out)
+    row = {r["feature_id"]: r for r in applied.collect()}["stable_street"]
+    assert row["n_vertices"] == 4
+    assert row["labels"] == ["v0", "v1", "C", "v2"]
