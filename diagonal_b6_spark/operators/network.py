@@ -506,3 +506,51 @@ def apply_connections_to_paths(paths: DataFrame, clustered: DataFrame) -> DataFr
             "lats array<double>, lngs array<double>",
         )
     )
+
+
+def resolve_connection_targets(clustered: DataFrame) -> DataFrame:
+    """Final attachment per insertion point -- the reference's
+    clustered-map chain following (Cluster() rewrites addition endpoints
+    through the map until fixpoint, connectivity.go:233-243).  Chains
+    are at most two hops by construction: a merged point maps to its
+    representative, and the representative may later snap onto a vertex
+    -- so ONE broadcast self-join resolves every chain.
+
+    Output (point_id, path_id, attach_kind, attach_to, along_m):
+      attach_kind='self'   surviving insertion (new vertex on the path)
+      attach_kind='point'  attach to another insertion's new vertex
+      attach_kind='vertex' attach to an existing path vertex (index)"""
+    base = clustered.select("point_id", "path_id", "kind", "target", "along_m")
+    reps = base.select(
+        F.col("point_id").alias("_rid"),
+        F.col("kind").alias("_rkind"),
+        F.col("target").alias("_rtarget"),
+        F.col("along_m").alias("_ralong"),
+    )
+    j = base.join(
+        F.broadcast(reps),
+        (base["kind"] == "point") & (base["target"] == reps["_rid"]),
+        "left",
+    )
+    attach_kind = (
+        F.when(F.col("kind") == "vertex", F.lit("vertex"))
+        .when((F.col("kind") == "point") & (F.col("_rkind") == "vertex"), F.lit("vertex"))
+        .when(F.col("kind") == "point", F.lit("point"))
+        .otherwise(F.lit("self"))
+    )
+    attach_to = (
+        F.when(F.col("kind") == "vertex", F.col("target"))
+        .when((F.col("kind") == "point") & (F.col("_rkind") == "vertex"), F.col("_rtarget"))
+        .when(F.col("kind") == "point", F.col("target"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    final_along = F.when(
+        (F.col("kind") == "point") & F.col("_ralong").isNotNull(), F.col("_ralong")
+    ).otherwise(F.col("along_m"))
+    return j.select(
+        "point_id",
+        "path_id",
+        attach_kind.alias("attach_kind"),
+        attach_to.alias("attach_to"),
+        final_along.alias("along_m"),
+    )

@@ -232,3 +232,27 @@ def test_cluster_insertions_onto_existing_points(spark):
     row = {r["feature_id"]: r for r in applied.collect()}["stable_street"]
     assert row["n_vertices"] == 4
     assert row["labels"] == ["v0", "v1", "C", "v2"]
+
+
+def test_resolve_connection_targets_follows_chains(spark):
+    """Mirror of Cluster()'s clustered-map chain following: B merged into
+    A, A snapped onto vertex 1 -> B's final attachment is vertex 1 (the
+    reference rewrites addition endpoints the same way)."""
+    out = _cluster(spark, [
+        ("A", "stable_street", 78.0),
+        ("B", "stable_street", 80.0),
+        ("C", "stable_street", 85.0),
+    ])
+    res = {r["point_id"]: r for r in network.resolve_connection_targets(out).collect()}
+    assert res["A"]["attach_kind"] == "vertex" and res["A"]["attach_to"] == "1"
+    assert res["B"]["attach_kind"] == "vertex" and res["B"]["attach_to"] == "1"
+    assert res["C"]["attach_kind"] == "self" and res["C"]["attach_to"] is None
+    # merge-only chain: B attaches to A's new vertex
+    out2 = _cluster(spark, [
+        ("A", "stable_street", 10.0),
+        ("B", "stable_street", 13.0),
+    ])
+    res2 = {r["point_id"]: r for r in network.resolve_connection_targets(out2).collect()}
+    assert res2["A"]["attach_kind"] == "self"
+    assert res2["B"]["attach_kind"] == "point" and res2["B"]["attach_to"] == "A"
+    assert res2["B"]["along_m"] == 11.5
