@@ -39,27 +39,40 @@ def pack_sequences(
     semantic; exact bin packing is inherently sequential and would not
     distribute).
 
-    Distribution is the percentiles prefix-sum shape (agg.percentiles):
-    range-partition by id, per-partition window cumsum (every window
-    partitioned -- no global sort), per-partition totals (one row per
-    range partition) carry the offsets, broadcast back.  Deterministic,
-    partitioning-invariant, and exactly replayable as ONE ordered
-    window in SQL."""
+    Distribution: range-partition by id (the ONE corpus shuffle), sort
+    within partitions (in place), cumsum per partition in a mapInPandas
+    pass that carries the running total across Arrow batches -- a
+    ``Window.partitionBy(_pid)`` here would RE-SHUFFLE the whole corpus
+    by _pid even though rows are already physically placed, so the
+    cumsum stays a map stage instead.  Per-partition totals (one row
+    per range partition) carry the offsets, broadcast back.
+    Deterministic, partitioning-invariant, and exactly replayable as
+    ONE ordered window in SQL."""
+    from pyspark import TaskContext
     from pyspark.sql import Window
 
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(id_col, tokens_col).schema.fields
+    )
+
+    def cum(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            c = pdf[tokens_col].to_numpy().cumsum() + run
+            if len(c):
+                run = int(c[-1])
+            yield pdf.assign(_pid=pid, _cum=c)
+
     d = (
         df.select(id_col, tokens_col)
         .repartitionByRange(nparts, F.col(id_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(F.col(id_col).asc())
+        .mapInPandas(cum, f"{base_schema}, _pid int, _cum long")
     )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    d = d.withColumn("_cum", F.sum(tokens_col).over(w_local))
     totals = d.groupBy("_pid").agg(F.sum(tokens_col).alias("_pc"))
     w_off = Window.orderBy(F.col("_pid").asc()).rowsBetween(
         Window.unboundedPreceding, -1
