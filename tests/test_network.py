@@ -256,3 +256,21 @@ def test_resolve_connection_targets_follows_chains(spark):
     assert res2["A"]["attach_kind"] == "self"
     assert res2["B"]["attach_kind"] == "point" and res2["B"]["attach_to"] == "A"
     assert res2["B"]["along_m"] == 11.5
+
+
+def test_cluster_connections_edge_cases(spark):
+    """Empty insertions produce an empty frame; insertions on a path
+    with no known geometry still cluster (pass 1) but skip vertex
+    snapping; a single insertion survives untouched."""
+    empty = spark.createDataFrame([], "point_id string, path_id string, along_m double")
+    assert network.cluster_connections(empty, _conn_paths(spark), 4.0).count() == 0
+    ins = spark.createDataFrame(
+        [("A", "ghost_path", 10.0), ("B", "ghost_path", 12.0), ("C", "ghost_path", 50.0)],
+        "point_id string, path_id string, along_m double",
+    )
+    rows = {r["point_id"]: r for r in network.cluster_connections(ins, _conn_paths(spark), 4.0).collect()}
+    assert rows["A"]["kind"] == "new" and rows["B"]["kind"] == "point" and rows["C"]["kind"] == "new"
+    one = spark.createDataFrame([("A", "stable_street", 40.0)],
+                                "point_id string, path_id string, along_m double")
+    r = network.cluster_connections(one, _conn_paths(spark), 4.0).collect()
+    assert len(r) == 1 and r[0]["kind"] == "new" and r[0]["along_m"] == 40.0

@@ -50,3 +50,13 @@ def test_fingerprint_speedup_on_long_docs():
     naive, t_naive = timed(_naive)
     assert vec == naive
     assert t_naive / t_vec >= 5.0, f"speedup only {t_naive / t_vec:.1f}x"
+
+
+def test_pack_sequences_empty_and_single(spark):
+    from diagonal_b6_spark.operators import text as text_ops
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens int")
+    assert text_ops.pack_sequences(empty, "doc_id", "n_tokens", 100).count() == 0
+    one = spark.createDataFrame([(7, 42)], "doc_id long, n_tokens int")
+    rows = text_ops.pack_sequences(one, "doc_id", "n_tokens", 100).collect()
+    assert len(rows) == 1 and rows[0]["pack_id"] == 0
