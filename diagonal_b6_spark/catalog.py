@@ -3951,6 +3951,169 @@ FROM d WHERE rn = 1
 """
 
 
+# --- area colouring (operators/colouring.py; reference ingest/colouring.go:
+# vertices snapped to level-21 S2 cells, areas sharing a cell become
+# neighbours, DSATUR colours, "0" for areas outside the graph) ---
+
+COLOUR_LEVEL = 21
+COLOUR_ADJ_STEP = 0.0003  # ~33 m lattice the synthetic squares snap to
+COLOUR_ADJ_MOD = 2
+# coarser lattice + sparser sample for the DSATUR key: the events
+# lat/lng hash is an LCG, so its points form a 2D lattice with a large
+# minimum distance -- (mod, step) are chosen empirically to give a
+# non-trivial colouring graph at BOTH parity scales (sf0.001: 13 edges /
+# 23 nodes; sf0.01: 2949 edges / 500 nodes, 9 colours) while keeping the
+# O(n^2) recursive-CTE oracle replay under ~20 s
+COLOUR_DSATUR_STEP = 0.005
+COLOUR_DSATUR_MOD = 20
+
+
+def _colour_sample_areas(spark: SparkSession, sf_dir: str, mod: int, step: float) -> DataFrame:
+    """Every `mod`-th event becomes a square area whose corners snap to a
+    `step`-degree lattice, so nearby events yield squares with exactly
+    shared corner vertices -- the vertex-sharing input ColourAreas
+    expects, derived deterministically from the events table."""
+    pts = _events_points(spark, sf_dir).filter(F.col("event_id") % mod == 0)
+    s = F.lit(step)
+    lat0 = F.floor(F.col("lat") / s) * s
+    lng0 = F.floor(F.col("lng") / s) * s
+    fid = F.concat(F.lit("area/ev/"), F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    return pts.select(
+        fid.alias("feature_id"),
+        F.lit("area").alias("feature_type"),
+        F.lit("test").alias("ns"),
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("tags"),
+        F.array(lng0, lng0 + s, lng0 + s, lng0).alias("xs"),
+        F.array(lat0, lat0, lat0 + s, lat0 + s).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+
+
+def _colour_square_cells_sql(mod: int, step: float, level: int = COLOUR_LEVEL) -> str:
+    """CTE chain: events -> sampled lattice squares -> distinct
+    (fid, level-`level` S2 cell) per corner vertex.  The cell identity is
+    face*4^L + (i >> (30-L))*2^L + (j >> (30-L)), mirroring
+    operators/colouring.s2_bucket_col term for term (sharing a level-L
+    cell is equality of the axis-aligned (face, i, j) prefix -- the
+    Hilbert position step is not needed for bucketing)."""
+    shift = 30 - level
+    return f"""{_PTS_CTE},
+sampled AS (SELECT event_id, lat, lng FROM pts WHERE event_id % {mod} = 0),
+sq AS (
+  SELECT 'area/ev/' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS fid,
+         floor(lat / CAST({step!r} AS DOUBLE)) * CAST({step!r} AS DOUBLE) AS lat0,
+         floor(lng / CAST({step!r} AS DOUBLE)) * CAST({step!r} AS DOUBLE) AS lng0
+  FROM sampled),
+corners AS (
+  SELECT fid, lat0 + d.dy * CAST({step!r} AS DOUBLE) AS lat,
+         lng0 + d.dx * CAST({step!r} AS DOUBLE) AS lng
+  FROM sq CROSS JOIN (VALUES (0, 0), (0, 1), (1, 1), (1, 0)) d(dy, dx)),
+xyz AS (
+  SELECT fid, cos(radians(lat)) * cos(radians(lng)) AS x,
+         cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z
+  FROM corners),
+fc AS (
+  SELECT fid, x, y, z,
+         CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
+              THEN axis ELSE axis + 3 END AS face
+  FROM (SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                       WHEN abs(x) < abs(y) AND abs(y) >= abs(z) THEN 1
+                       ELSE 2 END AS axis FROM xyz)),
+st AS (
+  SELECT fid, face,
+         CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM (SELECT fid, face,
+          CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                    WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+          CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                    WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM fc)),
+cells AS (
+  SELECT DISTINCT fid,
+    CAST(face AS BIGINT) * {4 ** level}
+      + (greatest(CAST(0 AS BIGINT), least(CAST(floor(s * 1073741824.0) AS BIGINT), 1073741823)) // {1 << shift}) * {2 ** level}
+      + (greatest(CAST(0 AS BIGINT), least(CAST(floor(t * 1073741824.0) AS BIGINT), 1073741823)) // {1 << shift}) AS cell
+  FROM st)"""
+
+
+def q_geo_colour_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-sharing area adjacency (ingest/colouring.go:222-227): the
+    distinct neighbour pairs of lattice squares whose corners share a
+    level-21 S2 cell.  Bucket key is pure whole-stage-codegen column
+    math; the oracle replays the full lat/lng -> face/uv/st/ij chain in
+    SQL and the per-cell all-pairs join verbatim."""
+    from .operators import colouring
+
+    areas = _colour_sample_areas(spark, sf_dir, COLOUR_ADJ_MOD, COLOUR_ADJ_STEP)
+    return colouring.area_adjacency(areas, COLOUR_LEVEL, max_cell_features=4096)
+
+
+def sql_geo_colour_adjacency() -> str:
+    return f"""
+WITH {_colour_square_cells_sql(COLOUR_ADJ_MOD, COLOUR_ADJ_STEP)}
+SELECT DISTINCT a.fid AS a, b.fid AS b
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.fid < b.fid
+"""
+
+
+def q_geo_colour_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColourAreas end-to-end (ingest/colouring.go:183-260): adjacency ->
+    connected components (large-star/small-star) -> per-component
+    deterministic Brelaz DSATUR -> colour per area, "0" outside the
+    graph.  The oracle replays the SAME DSATUR as a DuckDB recursive CTE
+    over the whole graph (per-component DSATUR equals global DSATUR
+    restricted to a component: the pick among a component's vertices
+    depends only on that component's own saturations/degrees)."""
+    from .operators import colouring
+
+    areas = _colour_sample_areas(spark, sf_dir, COLOUR_DSATUR_MOD, COLOUR_DSATUR_STEP)
+    adj = colouring.area_adjacency(areas, COLOUR_LEVEL, max_cell_features=4096)
+    colours = colouring.area_colours(adj)
+    return areas.select("feature_id").join(colours, "feature_id", "left").select(
+        "feature_id", F.coalesce(F.col("colour"), F.lit(0)).cast("int").alias("colour")
+    )
+
+
+def sql_geo_colour_areas() -> str:
+    return f"""
+WITH RECURSIVE {_colour_square_cells_sql(COLOUR_DSATUR_MOD, COLOUR_DSATUR_STEP)},
+pairs AS (
+  SELECT DISTINCT a.fid AS a, b.fid AS b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.fid < b.fid),
+edges2 AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+adjl AS (SELECT u, list(DISTINCT v ORDER BY v) AS nbrs, count(DISTINCT v) AS d
+         FROM edges2 GROUP BY u),
+g AS (SELECT list({{'u': u, 'nbrs': nbrs, 'd': d}} ORDER BY u) AS verts,
+             count(*) AS nv FROM adjl),
+steps AS (
+  SELECT 0 AS n, CAST([] AS STRUCT(fid VARCHAR, c INTEGER)[]) AS state
+  UNION ALL
+  SELECT s.n + 1, list_append(s.state, {{'fid': q.bu, 'c': q.c}})
+  FROM steps s, g, LATERAL (
+    SELECT b.best.u AS bu,
+           CAST(list_sort(list_filter(range(0, len(uu.used) + 1),
+                k -> NOT list_contains(uu.used, CAST(k AS INTEGER))))[1] AS INTEGER) AS c
+    FROM (
+      SELECT list_sort(list_transform(
+               list_filter(g.verts, x -> NOT list_contains(list_transform(s.state, e -> e.fid), x.u)),
+               x -> {{'ns': -len(list_distinct(list_transform(
+                              list_filter(s.state, e -> list_contains(x.nbrs, e.fid)), e -> e.c))),
+                     'nd': -x.d, 'u': x.u, 'nbrs': x.nbrs}}))[1] AS best
+    ) b,
+    LATERAL (SELECT list_distinct(list_transform(
+               list_filter(s.state, e -> list_contains(b.best.nbrs, e.fid)), e -> e.c)) AS used) uu
+  ) q
+  WHERE s.n < g.nv
+),
+final AS (SELECT state FROM steps ORDER BY n DESC LIMIT 1),
+coloured AS (SELECT e.fid AS fid, e.c AS colour
+             FROM (SELECT unnest(state) AS e FROM final))
+SELECT sq.fid AS feature_id, CAST(coalesce(coloured.colour, 0) AS INTEGER) AS colour
+FROM sq LEFT JOIN coloured ON sq.fid = coloured.fid
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -4064,6 +4227,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ordered_join": q_ordered_join,
     "geo_hex_cover": q_geo_hex_cover,
     "geo_hex_nearest": q_geo_hex_nearest,
+    "geo_colour_adjacency": q_geo_colour_adjacency,
+    "geo_colour_areas": q_geo_colour_areas,
 }
 
 ORACLES: dict[str, str] = {
@@ -4136,6 +4301,8 @@ ORACLES: dict[str, str] = {
     "shapefile_pip": sql_shapefile_pip(),
     "geo_hex_cover": sql_geo_hex_cover(),
     "geo_hex_nearest": sql_geo_hex_nearest(),
+    "geo_colour_adjacency": sql_geo_colour_adjacency(),
+    "geo_colour_areas": sql_geo_colour_areas(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
