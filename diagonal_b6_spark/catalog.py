@@ -4114,6 +4114,248 @@ FROM sq LEFT JOIN coloured ON sq.fid = coloured.fid
 """
 
 
+# --- transit conflation (operators/conflate.py; reference
+# ingest/transit/conflate.go: stops project onto nearby #highway/#railway
+# paths, six scored boolean features, rank by score desc / distance asc) ---
+
+CONFLATE_MOD = 4
+_CONF_GRID = dict(lat0=51.5, lng0=-0.1, dy=0.0018, dx=0.0029)  # ~200 m cells
+
+
+def _conflation_path_rows() -> list[tuple]:
+    """Deterministic street scene shared verbatim with the oracle's
+    VALUES: five 3-vertex horizontal streets with tag variety (primary /
+    residential / footway / oneway secondary / access-gated trunk), four
+    2-vertex vertical unclassified streets (alternating oneway), and one
+    railway 30 m south of row 0.  Vertex tuples
+    (fid, k, x, y, highway, railway, oneway, access, bus, name) --
+    missing tags are '' (Go's Get().Value.String() contract)."""
+    g = _CONF_GRID
+    rows: list[tuple] = []
+    htags = [
+        ("primary", "", "", ""),
+        ("residential", "", "", ""),
+        ("footway", "", "", ""),
+        ("secondary", "yes", "", ""),
+        ("trunk", "", "no", "yes"),
+    ]
+    for i, (hw, ow, acc, bus) in enumerate(htags):
+        y = g["lat0"] + i * g["dy"]
+        xs = [g["lng0"], g["lng0"] + 2 * g["dx"], g["lng0"] + 4 * g["dx"]]
+        for k, x in enumerate(xs):
+            rows.append((f"street/h/{i}", k, x, y, hw, "", ow, acc, bus, f"High Street {i}"))
+    for j in range(5):
+        x = g["lng0"] + j * g["dx"]
+        ow = "yes" if j % 2 else ""
+        for k, y in enumerate([g["lat0"], g["lat0"] + 4 * g["dy"]]):
+            rows.append((f"street/v/{j}", k, x, y, "unclassified", "", ow, "", "", ""))
+    yr = g["lat0"] - 30.0 / 111195.0
+    for k, x in enumerate([g["lng0"], g["lng0"] + 2 * g["dx"], g["lng0"] + 4 * g["dx"]]):
+        rows.append(("rail/0", k, x, yr, "", "rail", "", "", "", ""))
+    return rows
+
+
+def _conflation_paths_df(spark: SparkSession) -> DataFrame:
+    byid: dict[str, dict] = {}
+    for fid, k, x, y, hw, rw, ow, acc, bus, nm in _conflation_path_rows():
+        r = byid.setdefault(
+            fid,
+            {
+                "feature_id": fid, "feature_type": "path", "ns": "test/conflate",
+                "tags": {}, "xs": [], "ys": [], "ring_offsets": [0],
+            },
+        )
+        r["xs"].append(x)
+        r["ys"].append(y)
+        tags = {"#highway": hw, "#railway": rw, "oneway": ow, "access": acc, "bus": bus, "name": nm}
+        r["tags"] = {k2: v for k2, v in tags.items() if v}
+    return spark.createDataFrame(list(byid.values()), fixtures.FEATURE_SCHEMA)
+
+
+def _conflation_vertices_values() -> str:
+    return ", ".join(
+        f"('{fid}', {k}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE), "
+        f"'{hw}', '{rw}', '{ow}', '{acc}', '{bus}', '{nm}')"
+        for fid, k, x, y, hw, rw, ow, acc, bus, nm in _conflation_path_rows()
+    )
+
+
+# shared synthesis SQL (parses identically in Spark and DuckDB): every
+# CONFLATE_MOD-th event becomes a stop hash-placed along its row street
+# at a perpendicular offset in [-30 m, 28 m)
+_CONF_ORD = f"CAST(event_id / {CONFLATE_MOD} AS BIGINT)"
+_CONF_I = f"({_CONF_ORD} % 5)"
+_CONF_J = f"({_CONF_ORD} % 4)"
+_CONF_ALONG = "(((event_id * 2654435761) % 1000003) / CAST(1000003 AS DOUBLE))"
+_CONF_PERP = (
+    "(CAST(-30.0 AS DOUBLE) + CAST(58.0 AS DOUBLE) * "
+    "(((event_id * 40503) % 999983) / CAST(999983 AS DOUBLE)))"
+)
+_CONF_LAT = (
+    f"(CAST(51.5 AS DOUBLE) + {_CONF_I} * CAST(0.0018 AS DOUBLE) "
+    f"+ {_CONF_PERP} / CAST(111195.0 AS DOUBLE))"
+)
+_CONF_LNG = (
+    f"(CAST(-0.1 AS DOUBLE) + ({_CONF_J} + CAST(0.1 AS DOUBLE) "
+    f"+ CAST(0.8 AS DOUBLE) * {_CONF_ALONG}) * CAST(0.0029 AS DOUBLE))"
+)
+_CONF_SID = "concat('stop/', lpad(cast(event_id as varchar), 12, '0'))"
+
+
+def _conflation_inputs(spark: SparkSession, sf_dir: str):
+    ev = fixtures.testdata(spark, sf_dir, "events").filter(
+        F.col("event_id") % CONFLATE_MOD == 0
+    )
+    sid = _CONF_SID.replace("varchar", "string")
+    stops = ev.select(
+        F.expr(sid).alias("stop_id"),
+        F.expr(_CONF_LAT).alias("lat"),
+        F.expr(_CONF_LNG).alias("lng"),
+        F.expr(
+            f"CASE WHEN {_CONF_ORD} % 3 = 0 THEN concat('atco/', {sid}) END"
+        ).alias("atco"),
+        F.expr(_CONF_ORD).alias("ordinal"),
+        F.expr(_CONF_I).alias("i"),
+    )
+    stop_times = stops.select(
+        F.expr("CAST(floor(ordinal / 4.0) AS BIGINT)").alias("trip_id"),
+        "stop_id",
+        (F.col("ordinal") % 4).cast("int").alias("stop_seq"),
+    )
+    naptan = stops.filter(F.col("ordinal") % 3 == 0).select(
+        F.concat(F.lit("naptan/"), F.col("stop_id")).alias("feature_id"),
+        F.lit("point").alias("feature_type"),
+        F.lit("test/conflate").alias("ns"),
+        F.map_from_arrays(
+            F.array(F.lit("#highway"), F.lit("naptan:AtcoCode"), F.lit("naptan:Street")),
+            F.array(
+                F.lit("bus_stop"),
+                F.col("atco"),
+                F.expr(
+                    "CASE WHEN i % 2 = 0 THEN concat('HIGH STREET ', cast(i as string)) "
+                    "ELSE 'Nowhere Lane' END"
+                ),
+            ),
+        ).alias("tags"),
+        F.array(F.col("lng")).alias("xs"),
+        F.array(F.col("lat") + F.lit(5.0 / 111195.0)).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+    return stops.drop("ordinal", "i"), stop_times, naptan
+
+
+def q_transit_conflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop->path projection scoring (Project, conflate.go:160-199): one
+    row per (stop, candidate path within 30 m) with the projection
+    distance, the nearest path vertex, all six boolean features, and the
+    score.  The oracle replays the local-frame segment projection, the
+    per-path argmin, the vertex pick, and every feature predicate
+    (including the most-common-next-stop direction test and the NaPTAN
+    case-insensitive name match) verbatim in SQL.  The stitch stage
+    (shortest bus path between consecutive stops) is pytest-pinned
+    (tests/test_conflate.py) -- iterative Dijkstra is not
+    SQL-expressible."""
+    from .operators import conflate as cf
+
+    stops, stop_times, naptan = _conflation_inputs(spark, sf_dir)
+    proj = cf.project_stops(
+        stops, _conflation_paths_df(spark), stop_times=stop_times, naptan_points=naptan
+    )
+    return proj.select(
+        "stop_id", "path_id",
+        "within10", "within20", "usable", "preferred", "heading", "name_match",
+        "score",
+        F.round("dist_m", 3).alias("dist_m"),
+        F.round("vertex_lat", 9).alias("vertex_lat"),
+        F.round("vertex_lng", 9).alias("vertex_lng"),
+    )
+
+
+def sql_transit_conflation() -> str:
+    m = "(radians(1.0) * 6371010.0)"
+    hav_next_last = _HAV.format(lat1="nlat", lng1="nlng", lat2="last_y", lng2="last_x")
+    hav_next_first = _HAV.format(lat1="nlat", lng1="nlng", lat2="first_y", lng2="first_x")
+    hav_proj_v2 = _HAV.format(lat1="proj_lat", lng1="proj_lng", lat2="y2", lng2="x2")
+    hav_proj_v1 = _HAV.format(lat1="proj_lat", lng1="proj_lng", lat2="y1", lng2="x1")
+    return f"""
+WITH ev AS (SELECT event_id FROM events WHERE event_id % {CONFLATE_MOD} = 0),
+stops AS (
+  SELECT {_CONF_SID} AS stop_id, {_CONF_LAT} AS lat, {_CONF_LNG} AS lng,
+         {_CONF_ORD} AS ordinal, {_CONF_I} AS i,
+         CASE WHEN {_CONF_ORD} % 3 = 0 THEN TRUE ELSE FALSE END AS has_naptan
+  FROM ev),
+nxt AS (
+  SELECT a.stop_id, b.lat AS nlat, b.lng AS nlng
+  FROM stops a JOIN stops b ON b.ordinal = a.ordinal + 1
+  WHERE a.ordinal % 4 < 3),
+street AS (
+  SELECT stop_id,
+         CASE WHEN i % 2 = 0 THEN concat('HIGH STREET ', cast(i as varchar))
+              ELSE 'Nowhere Lane' END AS naptan_street
+  FROM stops WHERE has_naptan),
+vx AS (SELECT * FROM (VALUES {{values}}) t(fid, k, x, y, hw, rw, ow, acc, bus, nm)),
+seg AS (
+  SELECT a.fid, a.k AS seg_idx, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM vx a JOIN vx b ON a.fid = b.fid AND b.k = a.k + 1),
+pinfo AS (
+  SELECT f.fid, f.x AS first_x, f.y AS first_y, l.x AS last_x, l.y AS last_y,
+         f.hw, f.ow, f.acc, f.bus, f.nm
+  FROM vx f JOIN (SELECT fid, max(k) AS mk FROM vx GROUP BY fid) mx ON f.fid = mx.fid
+  JOIN vx l ON l.fid = mx.fid AND l.k = mx.mk
+  WHERE f.k = 0),
+proj AS (
+  SELECT s.stop_id, s.lat, s.lng, g.fid, g.seg_idx, g.y1, g.x1, g.y2, g.x2,
+    (((g.x1 - s.lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(s.lat)) * {m}) AS ax,
+    (g.y1 - s.lat) * {m} AS ay,
+    (((g.x2 - s.lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(s.lat)) * {m}) AS bx,
+    (g.y2 - s.lat) * {m} AS by
+  FROM stops s CROSS JOIN seg g),
+scored AS (
+  SELECT stop_id, lat, lng, fid, seg_idx, y1, x1, y2, x2,
+    sqrt((ax + t * (bx - ax)) * (ax + t * (bx - ax)) + (ay + t * (by - ay)) * (ay + t * (by - ay))) AS d,
+    y1 + t * (y2 - y1) AS proj_lat, x1 + t * (x2 - x1) AS proj_lng
+  FROM (
+    SELECT *, CASE WHEN (bx - ax) * (bx - ax) + (by - ay) * (by - ay) > 0
+                   THEN greatest(0.0, least(1.0,
+                        -(ax * (bx - ax) + ay * (by - ay)) / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))))
+                   ELSE 0.0 END AS t
+    FROM proj)),
+bestseg AS (
+  SELECT *, row_number() OVER (PARTITION BY stop_id, fid ORDER BY d, seg_idx) AS rn
+  FROM scored WHERE d <= 30.0),
+picked AS (
+  SELECT stop_id, fid, d,
+    CASE WHEN {hav_proj_v2} < {hav_proj_v1} THEN y2 ELSE y1 END AS vertex_lat,
+    CASE WHEN {hav_proj_v2} < {hav_proj_v1} THEN x2 ELSE x1 END AS vertex_lng
+  FROM bestseg WHERE rn = 1),
+feats AS (
+  SELECT p.stop_id, p.fid AS path_id, p.d, p.vertex_lat, p.vertex_lng,
+    p.d < 15.0 AS within10,
+    p.d < 25.0 AS within20,
+    CASE WHEN i.hw = '' THEN FALSE
+         WHEN i.hw IN ('footway','steps','corridor','path','pedestrian',
+                       'cycleway','bridleway','escape','proposed','construction') THEN FALSE
+         WHEN i.acc = 'no' THEN i.bus = 'yes'
+         ELSE TRUE END AS usable,
+    i.hw IN ('primary','secondary','trunk') AS preferred,
+    CASE WHEN n.nlat IS NULL THEN TRUE
+         WHEN i.ow <> 'yes' THEN TRUE
+         ELSE {hav_next_last} < {hav_next_first} END AS heading,
+    (st.naptan_street IS NOT NULL AND i.nm <> ''
+     AND lower(i.nm) = lower(st.naptan_street)) AS name_match
+  FROM picked p
+  JOIN pinfo i ON p.fid = i.fid
+  LEFT JOIN nxt n ON p.stop_id = n.stop_id
+  LEFT JOIN street st ON p.stop_id = st.stop_id)
+SELECT stop_id, path_id, within10, within20, usable, preferred, heading, name_match,
+  CAST(within10 AS INT) + CAST(within20 AS INT) + CAST(usable AS INT)
+    + CAST(preferred AS INT) + CAST(heading AS INT) + CAST(name_match AS INT) AS score,
+  round(d, 3) AS dist_m,
+  round(vertex_lat, 9) AS vertex_lat, round(vertex_lng, 9) AS vertex_lng
+FROM feats
+""".replace("{values}", _conflation_vertices_values())
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -4229,6 +4471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_hex_nearest": q_geo_hex_nearest,
     "geo_colour_adjacency": q_geo_colour_adjacency,
     "geo_colour_areas": q_geo_colour_areas,
+    "transit_conflation": q_transit_conflation,
 }
 
 ORACLES: dict[str, str] = {
@@ -4303,6 +4546,7 @@ ORACLES: dict[str, str] = {
     "geo_hex_nearest": sql_geo_hex_nearest(),
     "geo_colour_adjacency": sql_geo_colour_adjacency(),
     "geo_colour_areas": sql_geo_colour_areas(),
+    "transit_conflation": sql_transit_conflation(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
