@@ -4356,6 +4356,107 @@ FROM feats
 """.replace("{values}", _conflation_vertices_values())
 
 
+# --- UPRN clustering (sources/uprn.py; reference ingest/gb/uprn/source.go:
+# points aggregate by level-25 S2 cell into cluster features) ---
+
+# 997 distinct locations -> exact-duplicate UPRNs, so cluster sizes
+# scale with sf (sf0.001: ~1 each; sf0.01: ~10 each)
+_UPRN_LAT = (
+    "CAST(51.50 AS DOUBLE) + CAST(0.08 AS DOUBLE) * "
+    "((((event_id % 997) * 2654435761) % 1000003) / CAST(1000003 AS DOUBLE))"
+)
+_UPRN_LNG = (
+    "CAST(-0.16 AS DOUBLE) + CAST(0.10 AS DOUBLE) * "
+    "((((event_id % 997) * 40503) % 999983) / CAST(999983 AS DOUBLE))"
+)
+
+
+def q_uprn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterSource (uprn/source.go:160-244): UPRN points -> one
+    cluster per occupied level-25 S2 cell with a size count and the cell
+    CENTER as location.  The engine computes real Hilbert cell ids
+    (pinned bit-for-bit against the reference's own test ids in
+    tests/test_uprn.py); the oracle verifies the grouping and the center
+    through the (face, i, j) prefix chain -- cell identity is equality
+    of that prefix, and the center is its midpoint pushed back through
+    st->uv->xyz->latlng, all plain scalar SQL."""
+    from .sources import uprn as uprn_src
+
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    pts = ev.select(
+        F.array(F.expr(_UPRN_LNG)).alias("xs"),
+        F.array(F.expr(_UPRN_LAT)).alias("ys"),
+    )
+    out = uprn_src.uprn_clusters(pts)
+    return out.select(
+        F.col("size"),
+        F.round(F.element_at("ys", 1), 9).alias("center_lat"),
+        F.round(F.element_at("xs", 1), 9).alias("center_lng"),
+    )
+
+
+def sql_uprn_clusters() -> str:
+    level = 25
+    shift = 30 - level
+    size = 1 << shift  # 32 leaf units per level-25 cell side
+    return f"""
+WITH up AS (SELECT {_UPRN_LAT} AS lat, {_UPRN_LNG} AS lng FROM events),
+xyz AS (
+  SELECT cos(radians(lat)) * cos(radians(lng)) AS x,
+         cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z
+  FROM up),
+fc AS (
+  SELECT x, y, z,
+         CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
+              THEN axis ELSE axis + 3 END AS face
+  FROM (SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                       WHEN abs(x) < abs(y) AND abs(y) >= abs(z) THEN 1
+                       ELSE 2 END AS axis FROM xyz)),
+st AS (
+  SELECT face,
+         CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u) ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+         CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v) ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+  FROM (SELECT face,
+          CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                    WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+          CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                    WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM fc)),
+cells AS (
+  SELECT face,
+    greatest(CAST(0 AS BIGINT), least(CAST(floor(s * 1073741824.0) AS BIGINT), 1073741823)) // {size} AS ci,
+    greatest(CAST(0 AS BIGINT), least(CAST(floor(t * 1073741824.0) AS BIGINT), 1073741823)) // {size} AS cj,
+    count(*) AS n
+  FROM st GROUP BY 1, 2, 3),
+ctr AS (
+  SELECT n, face,
+    (ci * CAST({size}.0 AS DOUBLE) + CAST({size // 2}.0 AS DOUBLE)) / 1073741824.0 AS si,
+    (cj * CAST({size}.0 AS DOUBLE) + CAST({size // 2}.0 AS DOUBLE)) / 1073741824.0 AS sj
+  FROM cells),
+cuv AS (
+  SELECT n, face,
+    CASE WHEN si >= 0.5 THEN (4 * si * si - 1) / 3.0 ELSE (1 - 4 * (1 - si) * (1 - si)) / 3.0 END AS cu,
+    CASE WHEN sj >= 0.5 THEN (4 * sj * sj - 1) / 3.0 ELSE (1 - 4 * (1 - sj) * (1 - sj)) / 3.0 END AS cv
+  FROM ctr),
+cxyz AS (
+  SELECT n,
+    CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -cu WHEN 2 THEN -cu
+              WHEN 3 THEN -1.0 WHEN 4 THEN cv ELSE cv END AS x,
+    CASE face WHEN 0 THEN cu WHEN 1 THEN 1.0 WHEN 2 THEN -cv
+              WHEN 3 THEN -cv WHEN 4 THEN -1.0 ELSE cu END AS y,
+    CASE face WHEN 0 THEN cv WHEN 1 THEN cv WHEN 2 THEN 1.0
+              WHEN 3 THEN -cu WHEN 4 THEN -cu ELSE -1.0 END AS z
+  FROM cuv),
+norm AS (
+  SELECT n, x / s AS xn, y / s AS yn, z / s AS zn
+  FROM (SELECT *, sqrt(x * x + y * y + z * z) AS s FROM cxyz))
+SELECT n AS size,
+  round(degrees(atan2(zn, sqrt(xn * xn + yn * yn))), 9) AS center_lat,
+  round(degrees(atan2(yn, xn)), 9) AS center_lng
+FROM norm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -4472,6 +4573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_colour_adjacency": q_geo_colour_adjacency,
     "geo_colour_areas": q_geo_colour_areas,
     "transit_conflation": q_transit_conflation,
+    "uprn_clusters": q_uprn_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4547,6 +4649,7 @@ ORACLES: dict[str, str] = {
     "geo_colour_adjacency": sql_geo_colour_adjacency(),
     "geo_colour_areas": sql_geo_colour_areas(),
     "transit_conflation": sql_transit_conflation(),
+    "uprn_clusters": sql_uprn_clusters(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),
