@@ -1325,9 +1325,9 @@ d AS (
   SELECT p.event_id, s.elev, {hav} AS dist FROM pts p CROSS JOIN spots s
 ),
 w AS (
-  SELECT event_id, sum(1.0 / (greatest(dist, 1e-9) * greatest(dist, 1e-9))) AS denom,
-         sum(elev / (greatest(dist, 1e-9) * greatest(dist, 1e-9))) AS num
-  FROM d WHERE dist <= 3000.0 GROUP BY 1
+  SELECT event_id, sum(1.0 / greatest(dist, 1e-9)) AS denom,
+         sum((1.0 / greatest(dist, 1e-9)) * elev) AS num
+  FROM d WHERE dist < 3000.0 GROUP BY 1
 )
 SELECT event_id, round(num / denom, 3) AS elev FROM w
 """

@@ -295,12 +295,13 @@ def elevation_idw(
     spots: DataFrame,
     radius_m: float,
     point_id: str = "image_id",
-    power: float = 2.0,
+    power: float = 1.0,
     cell_deg: float | None = None,
 ) -> DataFrame:
-    """IDW elevation per point from spot heights within radius
-    (b6/elevation.go:18-64): elev = sum(w*e)/sum(w), w = 1/d^power; a
-    spot at distance ~0 dominates via the 1e-9 distance floor.
+    """IDW elevation per point from spot heights STRICTLY within radius
+    (b6/elevation.go:42-64): elev = sum(w*e)/sum(w), w = 1/d (the
+    reference's ElevationField weight; `power` generalizes it); a spot
+    at distance ~0 dominates via the 1e-9 distance floor.
 
     Distributed shape: spots replicate into the grid cells within radius
     of themselves, points join their own cell, the weighted sum is one
@@ -320,7 +321,7 @@ def elevation_idw(
     cand = pts.join(sp, ["gy", "gx"])
     d = gridjoin.haversine_col(F.col("lat"), F.col("lng"), F.col("slat"), F.col("slng"))
     w = F.lit(1.0) / F.pow(F.greatest(d, F.lit(1e-9)), F.lit(power))
-    scored = cand.filter(d <= radius_m).select(point_id, w.alias("w"), (w * F.col("elev")).alias("we"))
+    scored = cand.filter(d < radius_m).select(point_id, w.alias("w"), (w * F.col("elev")).alias("we"))
     return (
         scored.groupBy(point_id)
         .agg((F.sum("we") / F.sum("w")).alias("elev"))

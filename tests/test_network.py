@@ -274,3 +274,43 @@ def test_cluster_connections_edge_cases(spark):
                                 "point_id string, path_id string, along_m double")
     r = network.cluster_connections(one, _conn_paths(spark), 4.0).collect()
     assert len(r) == 1 and r[0]["kind"] == "new" and r[0]["along_m"] == 40.0
+
+
+def test_elevation_field_reference_fixture(spark):
+    """Mirrors b6's TestElevationField (elevation_test.go:11-28): four
+    spot heights around a query point, radius 500 m, weight 1/d --
+    the estimate lands within 30% of the surveyed 54.0 m."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    spots = spark.createDataFrame(
+        [
+            (55.9913178, -3.4858895, 28.9),
+            (55.9895487, -3.4857895, 39.8),
+            (55.9895694, -3.4825841, 50.8),
+            (55.9914559, -3.4826242, 34.3),
+        ],
+        "lat double, lng double, elev double",
+    )
+    pts = spark.createDataFrame(
+        [("q", 55.9905299, -3.4841599)], "image_id string, lat double, lng double"
+    )
+    out = net_ops.elevation_idw(pts, spots, radius_m=500.0).collect()
+    assert len(out) == 1
+    assert abs(out[0].elev - 54.0) / 54.0 < 0.3
+
+
+def test_elevation_strict_radius(spark):
+    """elevation.go:53 uses d < Radius: a spot exactly AT the radius is
+    excluded (no elevation row when nothing else is in range)."""
+    from diagonal_b6_spark.operators import network as net_ops
+    from diagonal_b6_spark.operators import gridjoin
+
+    lat0, lng0 = 51.5, -0.1
+    # place one spot ~600 m away, radius 500 -> excluded entirely
+    spots = spark.createDataFrame(
+        [(lat0 + 600.0 / 111195.0, lng0, 10.0)], "lat double, lng double, elev double"
+    )
+    pts = spark.createDataFrame(
+        [("q", lat0, lng0)], "image_id string, lat double, lng double"
+    )
+    assert net_ops.elevation_idw(pts, spots, radius_m=500.0).count() == 0
