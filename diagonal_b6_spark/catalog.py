@@ -4457,6 +4457,86 @@ FROM norm
 """
 
 
+# --- renderer colour pipeline (operators/render.py; reference
+# renderer/colours.go + renderer.go:375-401) ---
+
+# branch strings built from integer concat only, so Spark and DuckDB
+# parse byte-identical text: hex via printf, palette ints, float text
+# "i.fff" spanning every gradient bracket plus the above-1.0 clamp
+_RCOL_V = (
+    "CASE WHEN event_id % 4 = 0 THEN printf('#%06x', event_id % 16777216) "
+    "WHEN event_id % 4 = 1 THEN cast(event_id % 40 as varchar) "
+    "WHEN event_id % 4 = 2 THEN concat(cast(CAST(floor((event_id % 1300) / 1000.0) AS BIGINT) as varchar), '.', "
+    "lpad(cast(event_id % 1000 as varchar), 3, '0')) "
+    "ELSE concat('not-a-colour-', cast(event_id as varchar)) END"
+)
+
+
+def q_render_colours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """colourFromTagValue (renderer.go:383-394) over generated tag
+    values: valid #hex strings roundtrip, integer palette indices pass
+    through, float strings interpolate the default blue-to-red gradient
+    (clamped at both ends), garbage maps to ''.  The engine runs the
+    real regex-dispatch column expression; the oracle replays each
+    branch's expected output (gradient CASE chain with the exact
+    channel doubles and Go's round-half-away byte quantization) in SQL.
+    Sscanf partial-parse hex sanitisation is pytest-pinned
+    (tests/test_mvt.py) -- valid hex here roundtrips to itself."""
+    from .operators import render as render_ops
+
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    v = F.expr(
+        _RCOL_V.replace("as varchar", "as string").replace("printf", "format_string")
+    )
+    return ev.select(
+        "event_id",
+        v.alias("tag_value"),
+        render_ops.colour_from_tag_value_col(v).alias("colour"),
+    )
+
+
+def sql_render_colours() -> str:
+    from .operators.render import DEFAULT_GRADIENT
+
+    # channel constants as n/255 integer ratios: a 16-digit double repr
+    # would parse as DECIMAL in DuckDB and convert with ULP error, while
+    # the division is correctly rounded (= Python's n/255) in both engines
+    stops = [
+        (v, tuple(int(c[i : i + 2], 16) for i in (1, 3, 5))) for v, c in DEFAULT_GRADIENT
+    ]
+
+    def chan_case(k: int) -> str:
+        def ch(n: int) -> str:
+            return f"({n}.0 / 255.0)"
+
+        parts = [f"CASE WHEN x < {stops[0][0]!r} THEN {ch(stops[0][1][k])}"]
+        for i in range(1, len(stops)):
+            v0, c0 = stops[i - 1]
+            v1, c1 = stops[i]
+            parts.append(
+                f"WHEN x < {v1!r} THEN {ch(c0[k])} + ({ch(c1[k])} - {ch(c0[k])}) "
+                f"* ((x - {v0!r}) / {v1 - v0!r})"
+            )
+        parts.append(f"ELSE {ch(stops[-1][1][k])} END")
+        return " ".join(parts)
+
+    grad = (
+        "printf('#%02x%02x%02x', "
+        + ", ".join(f"CAST(round(({chan_case(k)}) * 255.0, 0) AS INT)" for k in range(3))
+        + ")"
+    )
+    return f"""
+WITH vals AS (SELECT event_id, {_RCOL_V} AS tag_value FROM events),
+fx AS (SELECT event_id, tag_value, TRY_CAST(tag_value AS DOUBLE) AS x FROM vals)
+SELECT event_id, tag_value,
+  CASE WHEN event_id % 4 = 0 THEN tag_value
+       WHEN event_id % 4 = 1 THEN tag_value
+       WHEN event_id % 4 = 2 THEN {grad}
+       ELSE '' END AS colour
+FROM fx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -4574,6 +4654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_colour_areas": q_geo_colour_areas,
     "transit_conflation": q_transit_conflation,
     "uprn_clusters": q_uprn_clusters,
+    "render_colours": q_render_colours,
 }
 
 ORACLES: dict[str, str] = {
@@ -4650,6 +4731,7 @@ ORACLES: dict[str, str] = {
     "geo_colour_areas": sql_geo_colour_areas(),
     "transit_conflation": sql_transit_conflation(),
     "uprn_clusters": sql_uprn_clusters(),
+    "render_colours": sql_render_colours(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

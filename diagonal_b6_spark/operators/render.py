@@ -89,3 +89,79 @@ def render_tiles(
     return joined.groupBy("tile_x", "tile_y").applyInPandas(
         encode, schema="zoom int, tile_x long, tile_y long, n_features int, mvt binary"
     )
+
+
+# --- renderer colour pipeline (b6/renderer/colours.go + renderer.go:375-401) -
+
+# "Blue to red gradient from simona@diagonal.works" (renderer.go:376-381)
+DEFAULT_GRADIENT: list[tuple[float, str]] = [
+    (0.0, "#d3d6fd"),
+    (0.30, "#fca364"),
+    (0.60, "#f88a4f"),
+    (1.00, "#f96c53"),
+]
+
+
+def _hex_rgb(s: str) -> tuple[float, float, float]:
+    return tuple(int(s[i : i + 2], 16) / 255.0 for i in (1, 3, 5))
+
+
+def gradient_interpolate_col(value, gradient: list[tuple[float, str]] | None = None):
+    """Gradient.Interpolate (colours.go:44-53) as one pure column
+    expression: sort.Search's first-stop-greater-than-value bracket,
+    linear channel interpolation, ToHexString's round-half-away channel
+    quantization.  Values below the first stop clamp to it; at or above
+    the last stop clamp to the last (the reference's -1.0 / 2.0 cases)."""
+    g = gradient or DEFAULT_GRADIENT
+    stops = [(v, _hex_rgb(c)) for v, c in g]
+
+    def chan(k: int):
+        expr = F.lit(stops[-1][1][k])
+        # build the CASE chain from the last bracket down
+        for i in range(len(stops) - 1, 0, -1):
+            v0, c0 = stops[i - 1]
+            v1, c1 = stops[i]
+            ratio = (value - F.lit(v0)) / F.lit(v1 - v0)
+            interp = F.lit(c0[k]) + (F.lit(c1[k]) - F.lit(c0[k])) * ratio
+            expr = F.when(value < F.lit(v1), interp).otherwise(expr)
+        return F.when(value < F.lit(stops[0][0]), F.lit(stops[0][1][k])).otherwise(expr)
+
+    def byte(c):
+        return F.round(c * F.lit(255.0), 0).cast("int")
+
+    return F.format_string(
+        "#%02x%02x%02x", byte(chan(0)), byte(chan(1)), byte(chan(2))
+    )
+
+
+def colour_from_hex_col(v):
+    """ColourFromHexString -> ToHexString roundtrip (colours.go:15-23),
+    including Sscanf's stop-at-first-failure semantics: a channel parses
+    only if every earlier channel parsed; anything else reads as 0
+    (so "invalid" -> #000000, the reference's own test vector)."""
+    hex2 = "[0-9a-fA-F]{2}"
+    ok_r = (F.length(v) >= 3) & (v.substr(1, 1) == "#") & v.substr(2, 2).rlike(f"^{hex2}$")
+    ok_g = ok_r & (F.length(v) >= 5) & v.substr(4, 2).rlike(f"^{hex2}$")
+    ok_b = ok_g & (F.length(v) >= 7) & v.substr(6, 2).rlike(f"^{hex2}$")
+
+    def chan(ok, pos):
+        return F.when(ok, F.conv(v.substr(pos, 2), 16, 10).cast("int")).otherwise(F.lit(0))
+
+    return F.format_string(
+        "#%02x%02x%02x", chan(ok_r, 2), chan(ok_g, 4), chan(ok_b, 6)
+    )
+
+
+def colour_from_tag_value_col(v):
+    """colourFromTagValue (renderer.go:383-394): 7-char #hex strings
+    roundtrip-sanitise; integer strings pass through as palette indices;
+    float strings interpolate the default gradient; anything else ''."""
+    is_hexish = (F.length(v) == 7) & (v.substr(1, 1) == "#")
+    is_int = v.rlike("^[+-]?[0-9]+$")
+    as_float = v.try_cast("double")
+    return (
+        F.when(is_hexish, colour_from_hex_col(v))
+        .when(is_int, v)
+        .when(as_float.isNotNull(), gradient_interpolate_col(as_float))
+        .otherwise(F.lit(""))
+    )

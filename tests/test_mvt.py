@@ -167,3 +167,45 @@ def test_render_simplifies_dense_rings(spark):
                     total_vertices += len(ring)
     # unsimplified this is ~2000 per covered tile; simplified it collapses
     assert 0 < total_vertices < 600
+
+
+def test_gradient_interpolate_reference_vectors(spark):
+    """Mirrors renderer/colours_test.go TestGradient: 0.5 on the default
+    blue-to-red gradient is #f99256; below/above the stops clamp."""
+    from pyspark.sql import functions as F
+
+    from diagonal_b6_spark.operators import render
+
+    df = spark.createDataFrame([(0.5,), (-1.0,), (2.0,)], "v double")
+    got = [r[0] for r in df.select(render.gradient_interpolate_col(F.col("v"))).collect()]
+    assert got == ["#f99256", "#d3d6fd", "#f96c53"]
+
+
+def test_colour_from_hex_roundtrip_and_invalid(spark):
+    """Mirrors TestColourFromHexString: valid hex roundtrips; anything
+    unparseable reads as #000000; Sscanf stops at the first bad channel
+    (colours.go:15-23)."""
+    from pyspark.sql import functions as F
+
+    from diagonal_b6_spark.operators import render
+
+    df = spark.createDataFrame(
+        [("#d3d6fd",), ("invalid",), ("#12zzzz",), ("#1234zz",)], "v string"
+    )
+    got = [r[0] for r in df.select(render.colour_from_hex_col(F.col("v"))).collect()]
+    assert got == ["#d3d6fd", "#000000", "#120000", "#123400"]
+
+
+def test_colour_from_tag_value_dispatch(spark):
+    """colourFromTagValue (renderer.go:383-394): hex sanitises, ints pass
+    through as palette indices, floats hit the gradient, else ''."""
+    from pyspark.sql import functions as F
+
+    from diagonal_b6_spark.operators import render
+
+    df = spark.createDataFrame(
+        [("#D3D6FD",), ("7",), ("-3",), ("0.5",), ("1e-1",), ("nope",)], "v string"
+    )
+    got = [r[0] for r in df.select(render.colour_from_tag_value_col(F.col("v"))).collect()]
+    # gradient(0.1): ratio 1/3 into the first bracket -> (225, 197, 202)
+    assert got == ["#d3d6fd", "7", "-3", "#f99256", "#e1c5ca", ""]
