@@ -15,11 +15,20 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from diagonal_b6_spark.operators import geo_fn, gridjoin, network, sightline
+from diagonal_b6_spark.operators import (
+    colouring,
+    conflate,
+    geo_fn,
+    gridjoin,
+    network,
+    render,
+    sightline,
+)
 from diagonal_b6_spark.operators import graph as graph_ops
+from diagonal_b6_spark.sources import uprn
 
 FORBIDDEN = (".collect()", ".toPandas()")
-MODULES = [network, sightline, gridjoin]
+MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)
@@ -58,11 +67,14 @@ def test_operator_construction_is_lazy(spark):
     origins = pts.select(F.col("pid").alias("origin_id"), "lat", "lng")
     edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
 
+    stops = pts.select(F.col("pid").alias("stop_id"), "lat", "lng")
     before = _n_jobs(spark)
     network.connect_to_network(pts, paths, 500.0, point_id="pid")
     network.elevation_idw(pts, spots, 3000.0, point_id="pid")
     geo_fn.snap_area_edges(areas, paths, 40.0)
     sightline.sightline(origins, areas, 300.0)
+    colouring.area_adjacency(areas)  # (colour_areas itself iterates)
+    conflate.project_stops(stops, paths)
     time.sleep(0.2)
     after = _n_jobs(spark)
     assert after == before, f"operator construction launched {after - before} job(s)"
