@@ -221,7 +221,28 @@ def project_stops(
     segs = segment_cells(path_segments(cand_paths), cell_deg, radius_m).withColumnRenamed(
         "feature_id", "path_id"
     )
-    pts = gridjoin.probe_cells(stops.select("stop_id", "lat", "lng"), cell_deg)
+    # pre-join the per-stop lookups (next-stop target, NaPTAN street)
+    # onto the STOP table before the grid fan-out: stops are the small
+    # side of the candidate join, so this costs two joins on the stop
+    # table instead of two extra shuffles of the much larger candidate
+    # table afterwards
+    stops_aug = stops.select("stop_id", "lat", "lng")
+    if stop_times is not None:
+        nxt = most_common_next_stop(stop_times).join(
+            stops.select(F.col("stop_id").alias("next_stop_id"),
+                         F.col("lat").alias("next_lat"), F.col("lng").alias("next_lng")),
+            "next_stop_id",
+        ).select("stop_id", "next_lat", "next_lng")
+        stops_aug = stops_aug.join(nxt, "stop_id", "left")
+    else:
+        stops_aug = stops_aug.withColumn("next_lat", F.lit(None).cast("double")) \
+            .withColumn("next_lng", F.lit(None).cast("double"))
+    if naptan_points is not None:
+        streets = lookup_naptan_streets(stops, naptan_points, radius_m)
+        stops_aug = stops_aug.join(streets, "stop_id", "left")
+    else:
+        stops_aug = stops_aug.withColumn("naptan_street", F.lit(None).cast("string"))
+    pts = gridjoin.probe_cells(stops_aug, cell_deg)
     cand = pts.join(segs, ["gy", "gx"])
     d = gridjoin.point_segment_dist_col(
         F.col("lng"), F.col("lat"), F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
@@ -231,7 +252,7 @@ def project_stops(
     )
     # per-(stop, path) argmin over segments = Polyline.Project
     scored = cand.select(
-        "stop_id", "lat", "lng", "path_id",
+        "stop_id", "lat", "lng", "next_lat", "next_lng", "naptan_street", "path_id",
         F.struct(
             d.alias("dist_m"),
             F.col("seg_idx"),
@@ -241,9 +262,9 @@ def project_stops(
             F.col("y2").alias("sy2"), F.col("x2").alias("sx2"),
         ).alias("c"),
     ).filter(F.col("c.dist_m") <= radius_m)
-    best_seg = scored.groupBy("stop_id", "lat", "lng", "path_id").agg(
-        F.min("c").alias("c")
-    )
+    best_seg = scored.groupBy(
+        "stop_id", "lat", "lng", "next_lat", "next_lng", "naptan_street", "path_id"
+    ).agg(F.min("c").alias("c"))
     # nearest path vertex to the projection: far vertex iff strictly
     # closer (project(), conflate.go:72-85)
     dnext = gridjoin.haversine_col(
@@ -253,14 +274,15 @@ def project_stops(
         F.col("c.proj_lat"), F.col("c.proj_lng"), F.col("c.sy1"), F.col("c.sx1")
     )
     proj = best_seg.select(
-        "stop_id", "lat", "lng", "path_id",
+        "stop_id", "lat", "lng", "next_lat", "next_lng", "naptan_street", "path_id",
         F.col("c.dist_m").alias("dist_m"),
         F.col("c.proj_lat").alias("proj_lat"),
         F.col("c.proj_lng").alias("proj_lng"),
         F.when(dnext < dprev, F.col("c.sy2")).otherwise(F.col("c.sy1")).alias("vertex_lat"),
         F.when(dnext < dprev, F.col("c.sx2")).otherwise(F.col("c.sx1")).alias("vertex_lng"),
     )
-    # path-level columns for the feature tests
+    # path-level columns for the feature tests (the only remaining join;
+    # AQE broadcasts it when the searched path set is small)
     pcols = cand_paths.select(
         F.col("feature_id").alias("path_id"),
         "tags",
@@ -270,35 +292,18 @@ def project_stops(
         F.element_at("xs", -1).alias("last_lng"),
     )
     out = proj.join(pcols, "path_id")
-    # direction target: most common next stop's location
-    if stop_times is not None:
-        nxt = most_common_next_stop(stop_times).join(
-            stops.select(F.col("stop_id").alias("next_stop_id"),
-                         F.col("lat").alias("next_lat"), F.col("lng").alias("next_lng")),
-            "next_stop_id",
+    heading = F.when(F.col("next_lat").isNull(), F.lit(True)).otherwise(
+        heading_towards_col(
+            F.col("tags"), F.col("first_lat"), F.col("first_lng"),
+            F.col("last_lat"), F.col("last_lng"),
+            F.col("next_lat"), F.col("next_lng"),
         )
-        out = out.join(nxt, "stop_id", "left")
-        heading = F.when(
-            F.col("next_lat").isNull(), F.lit(True)
-        ).otherwise(
-            heading_towards_col(
-                F.col("tags"), F.col("first_lat"), F.col("first_lng"),
-                F.col("last_lat"), F.col("last_lng"),
-                F.col("next_lat"), F.col("next_lng"),
-            )
-        )
-    else:
-        heading = F.lit(True)
-    if naptan_points is not None:
-        streets = lookup_naptan_streets(stops, naptan_points, radius_m)
-        out = out.join(streets, "stop_id", "left")
-        name_match = (
-            F.col("naptan_street").isNotNull()
-            & F.col("tags").getItem("name").isNotNull()
-            & (F.lower(F.col("tags").getItem("name")) == F.lower(F.col("naptan_street")))
-        )
-    else:
-        name_match = F.lit(False)
+    )
+    name_match = (
+        F.col("naptan_street").isNotNull()
+        & F.col("tags").getItem("name").isNotNull()
+        & (F.lower(F.col("tags").getItem("name")) == F.lower(F.col("naptan_street")))
+    )
     feats = out.select(
         "stop_id", "path_id", "dist_m", "proj_lat", "proj_lng",
         "vertex_lat", "vertex_lng",
