@@ -2891,6 +2891,27 @@ def q_debug_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_ops.debug_tokens(fixtures.features_table(spark))
 
 
+def q_debug_tag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tag half of debug-tokens under a full value oracle (the cell
+    half is the Hilbert covering, honestly rows-only in debug_tokens and
+    topology-pinned in tests/test_cellmath.py).  Gives the debug-tokens
+    family an oracle-backed sibling like every other rows-only key."""
+    feats = fixtures.features_table(spark)
+    return feats.select(
+        "feature_id", F.explode("tags").alias("k", "v")
+    ).select("feature_id", F.concat_ws("=", "k", "v").alias("token"))
+
+
+def sql_debug_tag_tokens() -> str:
+    rows = []
+    for f in fixtures.feature_rows():
+        for k, v in sorted(f["tags"].items()):
+            rows.append(f"('{f['feature_id']}', '{k}={v}')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(feature_id, token)"
+    )
+
+
 def q_evaluate_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add-expression + evaluate-feature round trip: store a catalog
     query as an expression feature in the world, then re-evaluate it by
@@ -4655,6 +4676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transit_conflation": q_transit_conflation,
     "uprn_clusters": q_uprn_clusters,
     "render_colours": q_render_colours,
+    "debug_tag_tokens": q_debug_tag_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -4732,6 +4754,7 @@ ORACLES: dict[str, str] = {
     "transit_conflation": sql_transit_conflation(),
     "uprn_clusters": sql_uprn_clusters(),
     "render_colours": sql_render_colours(),
+    "debug_tag_tokens": sql_debug_tag_tokens(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

@@ -82,3 +82,76 @@ def transit_weights(
     """Peak/off-peak scaling of a base time weight column `w`."""
     factor = F.lit(peak_factor if peak else 1.0)
     return edges.select("src", "dst", (F.col("w") * factor).alias("w"))
+
+
+# the reference's walking speed constant (graph.go:20): 4.5 km/h
+WALKING_METERS_PER_SECOND = 4500.0 / (60.0 * 60.0)
+NAISMITH_S_PER_M = 6.0  # graph.go:161 NaismithPenalty
+
+
+def _edge_dist(edges: DataFrame):
+    """Segment length with the reference's per-feature diagonal:weight
+    factor (graph.go:22-30) when the edge table carries one."""
+    d = F.col("dist_m")
+    if "weight_factor" in edges.columns:
+        d = d * F.coalesce(F.col("weight_factor"), F.lit(1.0))
+    return d
+
+
+def weights_from_options(edges: DataFrame, options: dict[str, str]) -> DataFrame:
+    """WeightsFromOptions / WeightsFromTags (fn graph.go:247-311): the
+    routing-option dictionary -> weighted (src, dst, w) edges.
+
+      mode: "" | "walk"   walking time at walk:speed (default the
+                          reference's 4.5 km/h); the bare mode applies
+                          NO elevation penalty
+            "transit"     walk weights, except edges carrying a GTFS
+                          time column use it directly: gtfs_peak_s when
+                          peak (the default), gtfs_offpeak_s when
+                          peak=no (TransitTimeWeights, graph.go:234-255)
+      elevation           any value enables ElevationWeights: |gain| *
+                          6 s/m * elevation:uphill (default 1.0) on
+                          ascent, * elevation:downhill (default 0.0 --
+                          descent free) on descent (graph.go:163-212)
+      walk:speed, elevation:uphill, elevation:downhill  float strings;
+                          junk raises, mirroring the reference's errors
+
+    Deviation, documented: the reference's WalkingTimeWeights.Weight
+    MULTIPLIES length by speed (graph.go:225-227); this engine divides
+    (meters / (m/s) = seconds).  The orderings -- and therefore every
+    shortest PATH -- are identical; only the absolute scale of the
+    budget comparison differs, and this engine's budgets are specified
+    in seconds throughout.
+    """
+
+    def fval(key: str, default: float) -> float:
+        if key not in options:
+            return default
+        try:
+            return float(options[key])
+        except ValueError:
+            raise ValueError(
+                f"expected a float string for {key}, found {options[key]!r}"
+            )
+
+    mode = options.get("mode", "")
+    if mode not in ("", "walk", "transit"):
+        raise ValueError(f"expected mode=walk or mode=transit, found {mode}")
+
+    speed = fval("walk:speed", WALKING_METERS_PER_SECOND)
+    gain = F.coalesce(F.col("elev_gain_m"), F.lit(0.0)) if "elev_gain_m" in edges.columns else F.lit(0.0)
+    dist = _edge_dist(edges)
+    w = dist / F.lit(speed)
+    if "elevation" in options:
+        up = fval("elevation:uphill", 1.0)
+        down = fval("elevation:downhill", 0.0)
+        w = w + F.lit(NAISMITH_S_PER_M) * (
+            F.lit(up) * F.greatest(gain, F.lit(0.0))
+            + F.lit(down) * F.greatest(-gain, F.lit(0.0))
+        )
+    if mode == "transit":
+        peak = options.get("peak", "") != "no"
+        col = "gtfs_peak_s" if peak else "gtfs_offpeak_s"
+        if col in edges.columns:
+            w = F.coalesce(F.col(col), w)
+    return edges.select("src", "dst", w.alias("w"))

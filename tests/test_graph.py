@@ -163,3 +163,82 @@ def test_routes_from_pred_step_semantics(spark):
     # unreachable dests emit nothing; reachable ones emit exactly once
     reach = {(o, d) for (o, d) in dist if d % 7 == 0 and d > 0}
     assert set(routes) == reach
+
+
+def test_weights_from_options_reference_cases(spark):
+    """Mirrors fn graph_test.go TestWeightsFromOptions: transit mode with
+    walk:speed override; elevation with downhill penalty 1.2 and the
+    uphill default 1.0; junk floats and unknown modes raise."""
+    import pytest
+
+    from diagonal_b6_spark.operators import weights as w_ops
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 125.0, 0.0, None, None),
+            (2, 3, 100.0, -10.0, None, None),   # 10 m descent
+            (3, 4, 100.0, 10.0, None, None),    # 10 m ascent
+            (4, 5, 50.0, 0.0, 42.0, 77.0),      # a GTFS edge with timed hops
+        ],
+        "src long, dst long, dist_m double, elev_gain_m double, "
+        "gtfs_peak_s double, gtfs_offpeak_s double",
+    )
+
+    # case 1 (graph_test.go:93-105): transit + walk:speed=7.6, peak default
+    out = {
+        (r.src, r.dst): r.w
+        for r in w_ops.weights_from_options(
+            edges, {"mode": "transit", "walk:speed": "7.6"}
+        ).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(125.0 / 7.6)
+    assert out[(4, 5)] == 42.0  # GTFS peak time wins over walk time
+
+    # peak=no flips to the off-peak column (graph.go:300-305)
+    out = {
+        (r.src, r.dst): r.w
+        for r in w_ops.weights_from_options(
+            edges, {"mode": "transit", "peak": "no"}
+        ).collect()
+    }
+    assert out[(4, 5)] == 77.0
+
+    # case 2 (graph_test.go:107-129): elevation, downhill=1.2, uphill
+    # defaults to 1.0; walk:speed=8.7
+    out = {
+        (r.src, r.dst): r.w
+        for r in w_ops.weights_from_options(
+            edges,
+            {"mode": "transit", "elevation": "true",
+             "elevation:downhill": "1.2", "walk:speed": "8.7"},
+        ).collect()
+    }
+    assert out[(2, 3)] == pytest.approx(100.0 / 8.7 + 10.0 * 6.0 * 1.2)
+    assert out[(3, 4)] == pytest.approx(100.0 / 8.7 + 10.0 * 6.0 * 1.0)
+    # bare walk mode: NO elevation penalty, default 1.25 m/s speed
+    out = {
+        (r.src, r.dst): r.w
+        for r in w_ops.weights_from_options(edges, {}).collect()
+    }
+    assert out[(3, 4)] == pytest.approx(100.0 / 1.25)
+
+    with pytest.raises(ValueError, match="mode=walk or mode=transit"):
+        w_ops.weights_from_options(edges, {"mode": "flying"})
+    with pytest.raises(ValueError, match="float string for walk:speed"):
+        w_ops.weights_from_options(edges, {"walk:speed": "fast"})
+
+
+def test_weight_factor_column(spark):
+    """weightFromSegment's diagonal:weight factor (graph.go:22-30):
+    a weight_factor column multiplies the effective length."""
+    from diagonal_b6_spark.operators import weights as w_ops
+
+    edges = spark.createDataFrame(
+        [(1, 2, 100.0, 2.0), (2, 3, 100.0, None)],
+        "src long, dst long, dist_m double, weight_factor double",
+    )
+    out = {
+        (r.src, r.dst): r.w
+        for r in w_ops.weights_from_options(edges, {"walk:speed": "1.0"}).collect()
+    }
+    assert out[(1, 2)] == 200.0 and out[(2, 3)] == 100.0
