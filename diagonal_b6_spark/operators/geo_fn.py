@@ -820,6 +820,26 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
     return partials.coalesce(1).mapInPandas(final, schema=schema)
 
 
+def join_paths(pairs: DataFrame, pair_id: str = "pair_id") -> DataFrame:
+    """Plain `join` (fn features.go:468-485): concatenate b's vertices
+    after a's AS GIVEN (no reversal -- that's ordered-join), dropping
+    b's first vertex only when it exactly equals a's last.  Same pure
+    array expressions as ordered_join: whole-stage codegen, zero
+    shuffles.  pairs: (pair_id, axs, ays, bxs, bys)."""
+    shared = (
+        F.element_at(F.col("bxs"), 1) == F.element_at(F.col("axs"), -1)
+    ) & (F.element_at(F.col("bys"), 1) == F.element_at(F.col("ays"), -1))
+
+    def cat(a, b):
+        c = F.col(b)
+        tail = F.slice(c, 2, F.size(c) - 1)
+        return F.concat(F.col(a), F.when(shared, tail).otherwise(c))
+
+    return pairs.select(
+        F.col(pair_id), cat("axs", "bxs").alias("xs"), cat("ays", "bys").alias("ys")
+    )
+
+
 def ordered_join(pairs: DataFrame, pair_id: str = "pair_id") -> DataFrame:
     """`ordered-join` (fn features.go:487-520): join two paths into one,
     reversing either side as needed so the shared endpoint stitches the

@@ -393,3 +393,30 @@ def test_hull_partial_keeps_lone_point_partitions(spark):
     assert sorted((r.lat, r.lng) for r in hv) == [
         (0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)
     ]
+
+
+def test_join_paths_plain(spark):
+    """Plain `join` (fn features.go:468-485 + TestJoin): b appends as
+    given; its first vertex drops only when exactly shared with a's
+    last; NO reversal happens (that is ordered-join's job)."""
+    from diagonal_b6_spark.operators import geo_fn
+
+    pairs = spark.createDataFrame(
+        [
+            # shared endpoint: joined length = len(a) + len(b) - 1
+            ("shared", [0.0, 1.0], [0.0, 0.0], [1.0, 2.0], [0.0, 0.0]),
+            # no shared endpoint: straight concatenation
+            ("disjoint", [0.0, 1.0], [0.0, 0.0], [5.0, 6.0], [0.0, 0.0]),
+            # b would stitch if reversed -- plain join must NOT reverse
+            ("reversed", [0.0, 1.0], [0.0, 0.0], [2.0, 1.0], [0.0, 0.0]),
+        ],
+        "pair_id string, axs array<double>, ays array<double>, "
+        "bxs array<double>, bys array<double>",
+    )
+    out = {r.pair_id: (r.xs, r.ys) for r in geo_fn.join_paths(pairs).collect()}
+    assert out["shared"][0] == [0.0, 1.0, 2.0]
+    assert out["disjoint"][0] == [0.0, 1.0, 5.0, 6.0]
+    assert out["reversed"][0] == [0.0, 1.0, 2.0, 1.0]
+    # TestJoin's length invariant: shared join length == sum of parts
+    xs, ys = out["shared"]
+    assert len(xs) == 2 + 2 - 1
