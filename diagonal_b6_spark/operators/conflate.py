@@ -375,8 +375,12 @@ def conflate_trips(
         "origin", F.col("origin").alias("node")
     )
     pred = dijkstra_cogrouped(origins, edges, max_cost=max_distance_m)
-    dests = legs.select(F.col("to_v").alias("node")).distinct()
-    steps = routes_from_pred(pred, dests)
+    # walk ONLY the requested legs (origin, dest) -- the accessible-routes
+    # every-dest-per-origin cross join would be quadratic in stop count
+    leg_pairs = legs.select(
+        F.col("from_v").alias("origin"), F.col("to_v").alias("node")
+    )
+    steps = routes_from_pred(pred, leg_pairs.select("node"), pairs=leg_pairs)
     wanted = legs.select(
         "trip_id", "stop_seq",
         F.col("from_v").alias("origin"), F.col("to_v").alias("dest"),

@@ -276,7 +276,9 @@ def dijkstra_cogrouped(
     )
 
 
-def routes_from_pred(pred_routes: DataFrame, dests: DataFrame) -> DataFrame:
+def routes_from_pred(
+    pred_routes: DataFrame, dests: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """`accessible-routes` step rebuild (reference fn graph.go:312-339 +
     BuildRoute b6/graph/graph.go:534-552): for every (origin, dest)
     pair with dest reachable, emit the ORDERED shortest-path step list
@@ -296,10 +298,19 @@ def routes_from_pred(pred_routes: DataFrame, dests: DataFrame) -> DataFrame:
     # rename through an alias so the replicated-dest side carries fresh
     # attribute ids (both cogroup sides derive from pred_routes, which
     # otherwise trips Spark's ambiguous-self-join detection)
-    origins_only = pred_routes.select(F.col("origin").alias("_rp_origin")).distinct()
-    per_origin_dests = origins_only.crossJoin(dests.select("node")).select(
-        F.col("_rp_origin").alias("origin"), "node"
-    )
+    if pairs is not None:
+        # restricted form: walk only the requested (origin, node) pairs
+        # -- the every-dest-per-origin cross join below is the
+        # accessible-routes shape, but quadratic when callers (e.g.
+        # transit conflation's leg stitch) need one dest per origin
+        per_origin_dests = pairs.select("origin", "node").distinct()
+    else:
+        origins_only = pred_routes.select(
+            F.col("origin").alias("_rp_origin")
+        ).distinct()
+        per_origin_dests = origins_only.crossJoin(dests.select("node")).select(
+            F.col("_rp_origin").alias("origin"), "node"
+        )
 
     def walk(key, tree: pd.DataFrame, dd: pd.DataFrame) -> pd.DataFrame:
         pred = dict(zip(tree["node"].astype(int), tree["pred"].astype(int)))
