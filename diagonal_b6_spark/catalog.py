@@ -607,6 +607,50 @@ FROM orders, s GROUP BY 1
 """
 
 
+def q_histogram_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT auto-bucketing (api/histogram.go:269-300
+    uniform()): greedy equal-count split of the sorted DISTINCT values
+    into at most 6 buckets, last bucket open-ended -- not equal-width
+    (histogram_auto keeps the engine's equal-width convenience).  The
+    oracle replays the greedy split as six chained CTE steps and the
+    rank lookup with a row_number over the distinct-value table."""
+    o = fixtures.testdata(spark, sf_dir, "orders")
+    out = agg_ops.histogram_buckets(o, "o_totalprice")
+    return out.select(
+        "bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "n"
+    )
+
+
+def sql_histogram_b6() -> str:
+    steps = []
+    for i in range(1, 6):
+        div = 6 - (i - 1)
+        steps.append(
+            f"s{i} AS (SELECT st + rem // {div} AS st, rem - rem // {div} AS rem FROM s{i - 1})"
+        )
+    bounds = ["SELECT 0 AS bucket, s0.st AS ps, s1.st AS pe FROM s0, s1"]
+    for i in range(1, 5):
+        bounds.append(f"SELECT {i}, s{i}.st, s{i + 1}.st FROM s{i}, s{i + 1}")
+    bounds.append("SELECT 5, s5.st, NULL FROM s5")
+    return f"""
+WITH dv AS (SELECT DISTINCT o_totalprice AS v FROM orders),
+rk AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM dv),
+nn AS (SELECT count(*) AS n FROM dv),
+s0 AS (SELECT CAST(0 AS BIGINT) AS st, n AS rem FROM nn),
+{", ".join(steps)},
+bounds AS ({" UNION ALL ".join(bounds)}),
+bvals AS (
+  SELECT b.bucket, lo.v AS lo, hi.v AS hi
+  FROM bounds b JOIN rk lo ON lo.r = b.ps
+  LEFT JOIN rk hi ON hi.r = b.pe)
+SELECT CAST(bv.bucket AS INT) AS bucket, round(bv.lo, 6) AS lo, round(bv.hi, 6) AS hi,
+       count(*) AS n
+FROM orders o JOIN bvals bv
+  ON o.o_totalprice >= bv.lo AND (bv.hi IS NULL OR o.o_totalprice < bv.hi)
+GROUP BY 1, 2, 3
+"""
+
+
 def q_geo_snap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """snap-area-edges over fixture areas vs the street path (oracle:
     the vertex->segment projection in the polygon's local meter frame is
@@ -4677,6 +4721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uprn_clusters": q_uprn_clusters,
     "render_colours": q_render_colours,
     "debug_tag_tokens": q_debug_tag_tokens,
+    "histogram_b6": q_histogram_b6,
 }
 
 ORACLES: dict[str, str] = {
@@ -4755,6 +4800,7 @@ ORACLES: dict[str, str] = {
     "uprn_clusters": sql_uprn_clusters(),
     "render_colours": sql_render_colours(),
     "debug_tag_tokens": sql_debug_tag_tokens(),
+    "histogram_b6": sql_histogram_b6(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

@@ -161,3 +161,131 @@ def histogram_with_id(
     ).agg(F.count("*").alias("n"), F.min(id_col).alias("example_id"))
     w = Window.orderBy(F.col("bucket").asc())
     return h.withColumn("swatch", F.row_number().over(w) - 1)
+
+
+MAX_HISTOGRAM_BUCKETS = 6  # api/histogram.go:245
+
+
+def _bucket_positions(n: int, max_buckets: int = MAX_HISTOGRAM_BUCKETS):
+    """The reference's greedy equal-count split of n sorted distinct
+    values (api/histogram.go:269-300 uniform()): bucket i takes
+    remaining // (max_buckets - i) distinct values; the last bucket is
+    open-ended.  Returns [(start_rank, end_rank_or_None), ...]."""
+    out: list[tuple[int, int | None]] = []
+    start, rem = 0, n
+    while rem > 0:
+        size = rem // (max_buckets - len(out))
+        if rem > size:
+            out.append((start, start + size))
+            start += size
+            rem -= size
+        else:
+            out.append((start, None))
+            break
+    return out
+
+
+def histogram_buckets(
+    df: DataFrame, value_col: str, max_buckets: int = MAX_HISTOGRAM_BUCKETS
+) -> DataFrame:
+    """The reference's auto-bucketed histogram, exactly
+    (api/histogram.go:231-374 bucketValues):
+
+      numeric column, <= max_buckets distinct  one bucket per value
+      numeric, more                            uniform(): greedy
+          EQUAL-COUNT split of the SORTED DISTINCT values (not
+          equal-width, not row-weighted); last bucket open-ended
+      non-numeric, <= max_buckets distinct     one bucket per value
+      non-numeric, more                        categorical(): top
+          (max_buckets - 1) values by count desc (value asc on ties,
+          where the reference's unstable sort is arbitrary), everything
+          else in an "other" bucket
+
+    Returns (bucket int, lo, hi, n): lo/hi are the bucket's value range
+    (hi null = open / exact bucket).  Label formatting
+    (histogram.go:187-229) is renderer presentation and intentionally
+    not part of this result.
+
+    Distributed shape: one groupBy(value) combiner shuffle; ranks over
+    the distinct-value table via range-partitioned prefix sums (the
+    percentiles machinery -- no unpartitioned window); the <= 12
+    boundary values collect to the driver (bounded by max_buckets);
+    assignment is a codegen CASE.
+    """
+    numeric = dict(df.dtypes)[value_col] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal", "long", "short", "byte",
+    ) or dict(df.dtypes)[value_col].startswith("decimal")
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(F.count("*").alias("_c"))
+    if not numeric:
+        top = counts.orderBy(F.col("_c").desc(), F.col("_v").asc()).limit(
+            max_buckets + 1
+        ).collect()
+        keys = [r["_v"] for r in top[:max_buckets]]
+        if len(top) > max_buckets:
+            keys = keys[: max_buckets - 1]  # 6th bucket becomes "other"
+        expr = None
+        for i, k in enumerate(keys):
+            expr = (
+                F.when(F.col(value_col) == k, F.lit(i))
+                if expr is None
+                else expr.when(F.col(value_col) == k, F.lit(i))
+            )
+        bucket = expr.otherwise(F.lit(len(keys))) if expr is not None else F.lit(0)
+        out = df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+        bounds = [(i, k, k) for i, k in enumerate(keys)]
+        if len(top) > max_buckets:
+            bounds.append((len(keys), None, None))  # "other"
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            [(i, str(lo) if lo is not None else None, str(hi) if hi is not None else None) for i, lo, hi in bounds],
+            "bucket int, lo string, hi string",
+        )
+        return out.join(bdf, "bucket").select("bucket", "lo", "hi", "n")
+
+    # numeric: rank the distinct values without an unpartitioned window
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vals = counts.select("_v").repartitionByRange(nparts, F.col("_v").asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.col("_v").asc())
+    vals = vals.withColumn("_rn", F.row_number().over(w_local))
+    totals = vals.groupBy("_pid").agg(F.count("*").alias("_pc"))
+    w_off = Window.orderBy(F.col("_pid").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select("_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off"))
+    ranked = vals.join(offs, "_pid").select(
+        "_v", (F.col("_off") + F.col("_rn") - 1).alias("_rank")
+    )
+    n = counts.count()
+    if n <= max_buckets:
+        # one bucket per exact value, in value order
+        b = ranked.withColumnRenamed("_rank", "bucket").withColumnRenamed("_v", "_k")
+        out = df.join(b, df[value_col] == b["_k"]).groupBy(
+            F.col("bucket").cast("int").alias("bucket")
+        ).agg(F.count("*").alias("n"))
+        bb = b.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("_k").cast("double").alias("lo"),
+            F.col("_k").cast("double").alias("hi"),
+        )
+        return out.join(bb, "bucket").select("bucket", "lo", "hi", "n")
+    pos = _bucket_positions(n, max_buckets)
+    want = sorted({p for p, _ in pos} | {e for _, e in pos if e is not None})
+    bvals = {
+        int(r["_rank"]): r["_v"]
+        for r in ranked.filter(F.col("_rank").isin(want)).collect()
+    }
+    expr = None
+    bounds = []
+    for i, (s, e) in enumerate(pos):
+        lo = float(bvals[s])
+        hi = float(bvals[e]) if e is not None else None
+        cond = (F.col(value_col) >= F.lit(lo)) & (
+            F.lit(True) if hi is None else (F.col(value_col) < F.lit(hi))
+        )
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+        bounds.append((i, lo, hi))
+    out = df.groupBy(expr.alias("bucket")).agg(F.count("*").alias("n"))
+    bdf = spark.createDataFrame(bounds, "bucket int, lo double, hi double")
+    return out.join(bdf, "bucket").select("bucket", "lo", "hi", "n")

@@ -60,3 +60,57 @@ def test_pack_sequences_empty_and_single(spark):
     one = spark.createDataFrame([(7, 42)], "doc_id long, n_tokens int")
     rows = text_ops.pack_sequences(one, "doc_id", "n_tokens", 100).collect()
     assert len(rows) == 1 and rows[0]["pack_id"] == 0
+
+
+def test_histogram_buckets_uniform_small_n(spark):
+    """<= 6 distinct numeric values: one exact bucket per value in value
+    order (api/histogram.go:279-284)."""
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    df = spark.createDataFrame([(v,) for v in [5.0, 1.0, 5.0, 3.0]], "v double")
+    rows = {r.bucket: (r.lo, r.hi, r.n) for r in agg_ops.histogram_buckets(df, "v").collect()}
+    assert rows == {0: (1.0, 1.0, 1), 1: (3.0, 3.0, 1), 2: (5.0, 5.0, 2)}
+
+
+def test_histogram_buckets_uniform_greedy_split(spark):
+    """7 distinct values -> the reference's greedy split: five
+    one-value buckets then an open bucket holding the last two
+    (uniform(), api/histogram.go:285-297)."""
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    df = spark.createDataFrame([(float(v),) for v in range(7) for _ in range(v + 1)], "v double")
+    rows = sorted(
+        (r.bucket, r.lo, r.hi, r.n) for r in agg_ops.histogram_buckets(df, "v").collect()
+    )
+    assert rows == [
+        (0, 0.0, 1.0, 1),
+        (1, 1.0, 2.0, 2),
+        (2, 2.0, 3.0, 3),
+        (3, 3.0, 4.0, 4),
+        (4, 4.0, 5.0, 5),
+        (5, 5.0, None, 6 + 7),
+    ]
+
+
+def test_histogram_buckets_categorical_other(spark):
+    """> 6 distinct strings: top 5 by count (value breaks ties) get own
+    buckets, everything else lands in "other" (categorical(),
+    api/histogram.go:247-267)."""
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    data = (["a"] * 9 + ["b"] * 8 + ["c"] * 7 + ["d"] * 6 + ["e"] * 5
+            + ["f"] * 2 + ["g"] * 2 + ["h"])
+    df = spark.createDataFrame([(v,) for v in data], "v string")
+    rows = {r.bucket: (r.lo, r.n) for r in agg_ops.histogram_buckets(df, "v").collect()}
+    assert rows[0] == ("a", 9) and rows[4] == ("e", 5)
+    assert rows[5] == (None, 5)  # f + g + h -> other
+
+
+def test_histogram_buckets_categorical_exact(spark):
+    """<= 6 distinct strings: every value keeps its own bucket, ordered
+    by count desc then value."""
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    df = spark.createDataFrame([(v,) for v in ["x", "y", "y", "z"]], "v string")
+    rows = {r.bucket: (r.lo, r.n) for r in agg_ops.histogram_buckets(df, "v").collect()}
+    assert rows == {0: ("y", 2), 1: ("x", 1), 2: ("z", 1)}
