@@ -245,7 +245,7 @@ def _dedupe_ring(xs, ys):
     return np.asarray(xs)[keep], np.asarray(ys)[keep]
 
 
-def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 4):
+def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 8):
     """Boolean op between subject ring (sx, sy) and clip ring (cx, cy).
 
     op: 'intersection' | 'difference' (subject minus clip) | 'union'.
@@ -265,6 +265,17 @@ def clip(sx, sy, cx, cy, op: str = "intersection", max_retries: int = 4):
         return [] if op == "intersection" else ([(cx, cy)] if op == "union" and len(cx) >= 3 else [])
     if len(cx) < 3:
         return [(sx, sy)] if op in ("difference", "union") else []
+    # identical rings (any cyclic rotation): resolve EXACTLY -- the
+    # perturbation path cannot separate a polygon from itself, and in a
+    # union_all fold the contaminated output of a perturbed self-union
+    # compounds until retries exhaust (hypothesis-found: five identical
+    # rectangles)
+    if len(sx) == len(cx):
+        for r in np.flatnonzero((cx == sx[0]) & (cy == sy[0])):
+            if np.array_equal(np.roll(cx, -r), sx) and np.array_equal(np.roll(cy, -r), sy):
+                if op == "difference":
+                    return []
+                return [(sx, sy)]
     sx = sx.copy()
     sy = sy.copy()
     rng_shift = _PERTURB

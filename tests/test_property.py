@@ -245,3 +245,57 @@ def test_union_all_bounded_by_inclusion_exclusion(rects):
             _overlap(a, b) for i, a in enumerate(rects) for b in rects[i + 1:]
         )
         assert got == pytest.approx(expect, abs=1e-3)
+
+
+# --- DSATUR colouring invariants (operators/colouring._dsatur) -------------
+
+edge_s = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(edge_s)
+def test_dsatur_proper_and_order_free(edges):
+    """Any random graph: the colouring is proper, uses a dense 0..k
+    palette, and is invariant to edge-list order and duplication."""
+    import pandas as pd
+
+    from diagonal_b6_spark.operators.colouring import _dsatur
+
+    pdf = pd.DataFrame([(f"n{a}", f"n{b}") for a, b in edges], columns=["a", "b"])
+    r1 = _dsatur(pdf)
+    m1 = dict(zip(r1.feature_id, r1.colour))
+    # proper
+    for a, b in edges:
+        assert m1[f"n{a}"] != m1[f"n{b}"]
+    # dense palette
+    used = sorted(set(m1.values()))
+    assert used == list(range(len(used)))
+    # order/duplication invariance
+    shuffled = pd.concat([pdf.iloc[::-1], pdf]).reset_index(drop=True)
+    r2 = _dsatur(shuffled)
+    assert m1 == dict(zip(r2.feature_id, r2.colour))
+
+
+@settings(max_examples=100, deadline=None)
+@given(edge_s, edge_s)
+def test_dsatur_per_component_equals_global(e1, e2):
+    """Two vertex-disjoint subgraphs coloured together equal each
+    coloured alone -- the property the cogrouped per-component plan
+    relies on (global DSATUR restricted to a component)."""
+    import pandas as pd
+
+    from diagonal_b6_spark.operators.colouring import _dsatur
+
+    p1 = pd.DataFrame([(f"x{a}", f"x{b}") for a, b in e1], columns=["a", "b"])
+    p2 = pd.DataFrame([(f"y{a}", f"y{b}") for a, b in e2], columns=["a", "b"])
+    both = pd.concat([p1, p2]).reset_index(drop=True)
+    g = _dsatur(both)
+    gm = dict(zip(g.feature_id, g.colour))
+    for part in (p1, p2):
+        r = _dsatur(part)
+        for fid, c in zip(r.feature_id, r.colour):
+            assert gm[fid] == c
