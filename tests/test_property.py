@@ -222,13 +222,37 @@ def test_clip_union_difference_partition(ra, rb):
 @settings(max_examples=75, deadline=None)
 @given(st.lists(_rect, min_size=1, max_size=5))
 def test_union_all_bounded_by_inclusion_exclusion(rects):
-    """union_all total area: >= max single rect, <= sum of rects, and
-    exact vs inclusion-exclusion when no triple overlaps exist."""
+    """union_all total area vs a unit-cell rasterization: at least the
+    true covered area, at most covered + enclosed pockets (the
+    documented hole-free absorption -- clip.py union_all docstring;
+    pockets counted 4-connected, the sealed-by-edges case.  A
+    hypothesis stress run falsified the old <= sum-of-areas bound with
+    a pocket-forming U: absorption is contract, not a bug)."""
     rings = [_rect_ring(*r) for r in rects]
     out = clip_kernel.union_all(rings)
     got = sum(abs(clip_kernel.ring_area(xs, ys)) for xs, ys in out)
     areas = [float(r[2] * r[3]) for r in rects]
-    assert got <= sum(areas) + 1e-4
+
+    # rasterize: coords <= 40 + 24; shift by +1 for an empty border ring
+    grid = np.zeros((67, 67), dtype=bool)
+    for x, y, w, h in rects:
+        grid[y + 1 : y + 1 + h, x + 1 : x + 1 + w] = True
+    exact = float(grid.sum())
+    # outside flood fill (4-connected) from the border
+    from collections import deque
+
+    outside = np.zeros_like(grid)
+    dq = deque([(0, 0)])
+    outside[0, 0] = True
+    while dq:
+        i, j = dq.popleft()
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            a, b = i + di, j + dj
+            if 0 <= a < 67 and 0 <= b < 67 and not grid[a, b] and not outside[a, b]:
+                outside[a, b] = True
+                dq.append((a, b))
+    pockets = float((~grid & ~outside).sum())
+    assert exact - 1e-4 <= got <= exact + pockets + 1e-4
     assert got >= max(areas) - 1e-4
     # exact check when the overlap structure is pairwise-only
     triple = any(
