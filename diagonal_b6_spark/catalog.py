@@ -651,6 +651,63 @@ GROUP BY 1, 2, 3
 """
 
 
+RENDER_RULE_ZOOMS = (8, 12, 14)
+
+
+def q_render_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BasemapRenderRules zoom filtering (renderer.go:109-211): which
+    fixture features render at zooms 8/12/14, with the first matching
+    rule's layer and label flag.  The oracle pivots the fixture tags and
+    replays the rule CASE chain -- both sides generated from the SAME
+    rule table (operators/render.BASEMAP_RENDER_RULES)."""
+    from .operators import render as render_ops
+
+    feats = fixtures.features_table(spark)
+    out = None
+    for z in RENDER_RULE_ZOOMS:
+        part = render_ops.apply_render_rules(feats, z).select(
+            F.lit(z).alias("zoom"), "feature_id", "layer", "label"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sql_render_rules() -> str:
+    from .operators.render import BASEMAP_RENDER_RULES
+
+    tag_rows = []
+    for f in fixtures.feature_rows():
+        for k, v in sorted(f["tags"].items()):
+            tag_rows.append(f"('{f['feature_id']}', '{k}', '{v}')")
+    keys = sorted({r[0] for r in BASEMAP_RENDER_RULES})
+    piv = ", ".join(
+        f"max(CASE WHEN k = '{k}' THEN v END) AS \"{k}\"" for k in keys
+    )
+    selects = []
+    for z in RENDER_RULE_ZOOMS:
+        layer_case, label_case, conds = [], [], []
+        for key, value, mn, mx, layer, label in BASEMAP_RENDER_RULES:
+            if (mn > 0 and z < mn) or (mx > 0 and z > mx):
+                continue
+            cond = (
+                f'"{key}" IS NOT NULL' if value is None else f'"{key}" = \'{value}\''
+            )
+            conds.append(cond)
+            layer_case.append(f"WHEN {cond} THEN '{layer}'")
+            label_case.append(f"WHEN {cond} THEN {str(label).upper()}")
+        selects.append(
+            f"SELECT {z} AS zoom, fid AS feature_id, "
+            f"CASE {' '.join(layer_case)} END AS layer, "
+            f"CASE {' '.join(label_case)} END AS label "
+            f"FROM m WHERE {' OR '.join(conds)}"
+        )
+    return f"""
+WITH t AS (SELECT * FROM (VALUES {", ".join(tag_rows)}) v(fid, k, v)),
+m AS (SELECT fid, {piv} FROM t GROUP BY fid)
+{" UNION ALL ".join(selects)}
+"""
+
+
 def q_geo_snap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """snap-area-edges over fixture areas vs the street path (oracle:
     the vertex->segment projection in the polygon's local meter frame is
@@ -4722,6 +4779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_colours": q_render_colours,
     "debug_tag_tokens": q_debug_tag_tokens,
     "histogram_b6": q_histogram_b6,
+    "render_rules": q_render_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -4801,6 +4859,7 @@ ORACLES: dict[str, str] = {
     "render_colours": sql_render_colours(),
     "debug_tag_tokens": sql_debug_tag_tokens(),
     "histogram_b6": sql_histogram_b6(),
+    "render_rules": sql_render_rules(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

@@ -165,3 +165,82 @@ def colour_from_tag_value_col(v):
         .when(as_float.isNotNull(), gradient_interpolate_col(as_float))
         .otherwise(F.lit(""))
     )
+
+
+# --- basemap render rules (renderer.go:109-211) ------------------------------
+
+# (key, value or None = any, min_zoom, max_zoom, layer, label) -- the
+# reference's BasemapRenderRules verbatim (renderer.go:171-211); 0 means
+# no bound, matching RenderRule.ToQuery's zoom test (renderer.go:118-121)
+BASEMAP_RENDER_RULES: list[tuple] = [
+    ("#building", "train_station", 8, 0, "building", False),
+    ("#building", None, 12, 0, "building", False),
+    ("#amenity", None, 12, 0, "amenity", False),
+    ("#highway", "cycleway", 14, 0, "road", False),
+    ("#highway", "footway", 14, 0, "road", False),
+    ("#highway", "motorway", 8, 0, "road", False),
+    ("#highway", "path", 14, 0, "road", False),
+    ("#highway", "pedestrian", 14, 0, "road", False),
+    ("#highway", "primary", 8, 0, "road", True),
+    ("#highway", "residential", 12, 0, "road", False),
+    ("#highway", "secondary", 14, 0, "road", True),
+    ("#highway", "service", 12, 0, "road", False),
+    ("#highway", "street", 12, 0, "road", False),
+    ("#highway", "tertiary", 12, 0, "road", True),
+    ("#highway", "trunk", 8, 0, "road", True),
+    ("#highway", "unclassified", 12, 0, "road", False),
+    ("#landuse", "cemetary", 12, 0, "landuse", False),
+    ("#landuse", "forest", 12, 0, "landuse", False),
+    ("#landuse", "grass", 12, 0, "landuse", False),
+    ("#landuse", "heath", 14, 0, "landuse", False),
+    ("#landuse", "meadow", 14, 0, "landuse", False),
+    ("#landuse", "park", 12, 0, "landuse", False),
+    ("#landuse", "pitch", 12, 0, "landuse", False),
+    ("#landuse", "vacant", 12, 0, "landuse", False),
+    ("#leisure", "park", 12, 0, "landuse", False),
+    ("#leisure", "pitch", 12, 0, "landuse", False),
+    ("#leisure", "playground", 12, 0, "landuse", False),
+    ("#leisure", "garden", 12, 0, "landuse", False),
+    ("#leisure", "nature_reserve", 12, 0, "landuse", False),
+    ("#natural", "coastline", 8, 0, "boundary", False),
+    ("#natural", "heath", 12, 0, "landuse", False),
+    ("#outline", "contour", 12, 0, "contour", False),
+    ("#railway", "rail", 8, 0, "road", False),
+    ("#water", None, 8, 0, "water", False),
+    ("#waterway", None, 8, 0, "water", False),
+    ("#place", "city", 0, 12, "label", True),
+    ("#place", "town", 0, 14, "label", True),
+]
+
+
+def apply_render_rules(features: DataFrame, zoom: int, rules=None) -> DataFrame:
+    """RenderRules.ToQuery at `zoom` (renderer.go:140-148): keep only
+    features matched by SOME zoom-admitted rule, and attach the FIRST
+    matching rule's layer + label flag (rule order is the reference's
+    declaration order).  Pure column predicate over the tags map --
+    whole-stage codegen, replayable verbatim in SQL."""
+    rs = rules or BASEMAP_RENDER_RULES
+    layer_expr, label_expr, any_match = None, None, None
+    for key, value, mn, mx, layer, label in rs:
+        if (mn > 0 and zoom < mn) or (mx > 0 and zoom > mx):
+            continue
+        t = F.col("tags").getItem(key)
+        cond = t.isNotNull() if value is None else (t == value)
+        any_match = cond if any_match is None else (any_match | cond)
+        layer_expr = (
+            F.when(cond, F.lit(layer))
+            if layer_expr is None
+            else layer_expr.when(cond, F.lit(layer))
+        )
+        label_expr = (
+            F.when(cond, F.lit(label))
+            if label_expr is None
+            else label_expr.when(cond, F.lit(label))
+        )
+    if any_match is None:  # no rule admits this zoom
+        return features.filter(F.lit(False)).withColumn(
+            "layer", F.lit(None).cast("string")
+        ).withColumn("label", F.lit(None).cast("boolean"))
+    return features.filter(any_match).withColumn("layer", layer_expr).withColumn(
+        "label", label_expr
+    )

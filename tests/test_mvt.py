@@ -209,3 +209,45 @@ def test_colour_from_tag_value_dispatch(spark):
     got = [r[0] for r in df.select(render.colour_from_tag_value_col(F.col("v"))).collect()]
     # gradient(0.1): ratio 1/3 into the first bracket -> (225, 197, 202)
     assert got == ["#d3d6fd", "7", "-3", "#f99256", "#e1c5ca", ""]
+
+
+def test_render_rules_zoom_and_layers(spark):
+    """BasemapRenderRules (renderer.go:171-211): min-zoom gating, any-value
+    key rules, first-match layer/label, and the max-zoom place rules."""
+    from diagonal_b6_spark.operators import render
+
+    FEATURE_SCHEMA = (
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>"
+    )
+    rows = [
+        {"feature_id": "a", "feature_type": "area", "ns": "t",
+         "tags": {"#building": "yes"}, "xs": [0.0], "ys": [0.0], "ring_offsets": [0]},
+        {"feature_id": "b", "feature_type": "path", "ns": "t",
+         "tags": {"#highway": "primary"}, "xs": [0.0], "ys": [0.0], "ring_offsets": [0]},
+        {"feature_id": "c", "feature_type": "point", "ns": "t",
+         "tags": {"#place": "city"}, "xs": [0.0], "ys": [0.0], "ring_offsets": [0]},
+        {"feature_id": "d", "feature_type": "path", "ns": "t",
+         "tags": {"#highway": "footway"}, "xs": [0.0], "ys": [0.0], "ring_offsets": [0]},
+        {"feature_id": "e", "feature_type": "area", "ns": "t",
+         "tags": {"#building": "train_station"}, "xs": [0.0], "ys": [0.0], "ring_offsets": [0]},
+    ]
+    feats = spark.createDataFrame(rows, FEATURE_SCHEMA)
+
+    def at(z):
+        return {
+            r.feature_id: (r.layer, r.label)
+            for r in render.apply_render_rules(feats, z).collect()
+        }
+
+    z8 = at(8)
+    # min-zoom: generic buildings and footways hidden at 8; the
+    # train_station building rule starts at 8; city labels (max 12) show
+    assert set(z8) == {"b", "c", "e"}
+    assert z8["b"] == ("road", True)
+    assert z8["c"] == ("label", True)
+    assert z8["e"] == ("building", False)
+    z14 = at(14)
+    # max-zoom: city label gone above 12; footway appears at 14
+    assert set(z14) == {"a", "b", "d", "e"}
+    assert z14["d"] == ("road", False)
