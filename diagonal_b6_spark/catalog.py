@@ -3528,6 +3528,42 @@ FROM s
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over documents: duplicate-word,
+    duplicate-bigram, and top-bigram fractions -- all zero-shuffle array
+    expressions (operators/text.repetition_stats).  The oracle replays
+    them relationally: unnest words with ordinality, lead() for
+    bigrams, per-document groupBys."""
+    docs = fixtures.testdata(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs, "doc_id", "text")
+
+
+def sql_doc_repetition() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id, u.w, u.i
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(trim(text), ' ')) AS w,
+                       generate_subscripts(string_split(trim(text), ' '), 1) AS i) u
+  WHERE u.w <> ''),
+bi AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM w),
+bi2 AS (SELECT doc_id, g FROM bi WHERE g IS NOT NULL),
+wstats AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS dw FROM w GROUP BY 1),
+bcounts AS (SELECT doc_id, g, count(*) AS c FROM bi2 GROUP BY 1, 2),
+bstats AS (
+  SELECT doc_id, sum(c) AS nb, count(*) AS db, max(c) AS topc
+  FROM bcounts GROUP BY 1)
+SELECT w.doc_id,
+  round(CASE WHEN w.nw > 0 THEN (w.nw - w.dw) / CAST(w.nw AS DOUBLE) ELSE 0.0 END, 9) AS dup_word_frac,
+  round(CASE WHEN coalesce(b.nb, 0) > 0 THEN (b.nb - b.db) / CAST(b.nb AS DOUBLE) ELSE 0.0 END, 9) AS dup_bigram_frac,
+  round(CASE WHEN coalesce(b.nb, 0) > 0 THEN b.topc / CAST(b.nb AS DOUBLE) ELSE 0.0 END, 9) AS top_bigram_frac
+FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fixtures.testdata(spark, sf_dir, "documents")
     return text_ops.quality_score(d, "doc_id", "text")
@@ -4780,6 +4816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debug_tag_tokens": q_debug_tag_tokens,
     "histogram_b6": q_histogram_b6,
     "render_rules": q_render_rules,
+    "doc_repetition": q_doc_repetition,
 }
 
 ORACLES: dict[str, str] = {
@@ -4860,6 +4897,7 @@ ORACLES: dict[str, str] = {
     "debug_tag_tokens": sql_debug_tag_tokens(),
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
+    "doc_repetition": sql_doc_repetition(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

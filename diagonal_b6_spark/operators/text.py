@@ -198,3 +198,48 @@ def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), rolling_fingerprint_udf(F.col(text_col)).alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    repetition family of quality rules a training-data pipeline gates
+    on): per document,
+
+      dup_word_frac    (W - distinct words) / W
+      dup_bigram_frac  (B - distinct bigrams) / B
+      top_bigram_frac  occurrences of the most frequent bigram / B
+
+    where W = word count and B = W - 1 bigrams.  Everything is pure
+    array expressions over the split text -- ZERO shuffles, whole-stage
+    codegen, so the op runs as a map over any corpus size; the mode
+    count is array_max over per-distinct-bigram filters (O(distinct *
+    total) per row, bounded by document length).  Single-word and empty
+    documents emit zero fractions."""
+    words = F.split(F.trim(F.col(text_col)), " +")
+    w = F.size(words)
+    dup_word = F.when(
+        w > 0, (w - F.size(F.array_distinct(words))) / w
+    ).otherwise(F.lit(0.0))
+    bi = F.zip_with(
+        F.slice(words, 1, F.greatest(w - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(w - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    b = F.size(bi)
+    dup_bi = F.when(b > 0, (b - F.size(F.array_distinct(bi))) / b).otherwise(F.lit(0.0))
+    top_bi = F.when(
+        b > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bi),
+                lambda g: F.size(F.filter(bi, lambda x: x == g)),
+            )
+        )
+        / b,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(dup_word, 9).alias("dup_word_frac"),
+        F.round(dup_bi, 9).alias("dup_bigram_frac"),
+        F.round(top_bi, 9).alias("top_bigram_frac"),
+    )

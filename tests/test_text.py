@@ -114,3 +114,30 @@ def test_histogram_buckets_categorical_exact(spark):
     df = spark.createDataFrame([(v,) for v in ["x", "y", "y", "z"]], "v string")
     rows = {r.bucket: (r.lo, r.n) for r in agg_ops.histogram_buckets(df, "v").collect()}
     assert rows == {0: ("y", 2), 1: ("x", 1), 2: ("z", 1)}
+
+
+def test_repetition_stats_closed_form(spark):
+    """Hand-computed repetition fractions, including the degenerate
+    single-word and all-identical cases."""
+    from diagonal_b6_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),        # words 4/3 distinct; bigrams [a b, b a, a b]
+            (2, "x"),              # single word: no bigrams
+            (3, "t t t t"),        # all identical
+            (4, "u v w"),          # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.repetition_stats(docs, "doc_id", "text").collect()}
+    import pytest as pt
+
+    assert out[1].dup_word_frac == pt.approx((4 - 2) / 4)
+    assert out[1].dup_bigram_frac == pt.approx((3 - 2) / 3)
+    assert out[1].top_bigram_frac == pt.approx(2 / 3)
+    assert (out[2].dup_word_frac, out[2].dup_bigram_frac, out[2].top_bigram_frac) == (0.0, 0.0, 0.0)
+    assert out[3].dup_word_frac == pt.approx(3 / 4)
+    assert out[3].top_bigram_frac == pt.approx(1.0)
+    assert out[4].dup_word_frac == 0.0 and out[4].dup_bigram_frac == 0.0
+    assert out[4].top_bigram_frac == pt.approx(1 / 2)
