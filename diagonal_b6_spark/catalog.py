@@ -3564,6 +3564,60 @@ FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 """
 
 
+DECON_N = 13          # the standard 13-gram contamination rule
+DECON_BENCH_MOD = 37  # every 37th document seeds the benchmark
+DECON_BENCH_WORDS = 64  # benchmark docs are PREFIXES -> partial overlap
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): the
+    13-gram test-set-overlap rule over the dup-augmented corpus against
+    a benchmark built from 64-word PREFIXES of every 37th document --
+    so benchmark seeds, their exact duplicates, and nothing else get
+    flagged, with n_hits counting the shared prefix 13-grams rather
+    than all-or-nothing.  The oracle replays the shingling and the
+    overlap join relationally."""
+    corpus = _docs_with_dupes(spark, sf_dir)
+    bench = (
+        fixtures.testdata(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim(F.col("text")), " +"), 1, DECON_BENCH_WORDS)
+            ).alias("text"),
+        )
+    )
+    return dedup_ops.decontaminate(corpus, bench, n=DECON_N)
+
+
+def sql_decontaminate() -> str:
+    gram = " || ' ' || ".join(f"toks[t.i + {k}]" for k in range(1, DECON_N + 1))
+    return f"""
+WITH {_DOCS_DUP_CTE},
+bench AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[1:{DECON_BENCH_WORDS}], ' ') AS text
+  FROM documents WHERE doc_id % {DECON_BENCH_MOD} = 0),
+ctoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM docs),
+csh AS (
+  SELECT DISTINCT doc_id, {gram} AS shingle
+  FROM ctoks, LATERAL (SELECT unnest(range(len(toks) - {DECON_N - 1})) AS i) t
+  WHERE len(toks) >= {DECON_N}),
+btoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM bench),
+bsh AS (
+  SELECT DISTINCT {gram} AS shingle
+  FROM btoks, LATERAL (SELECT unnest(range(len(toks) - {DECON_N - 1})) AS i) t
+  WHERE len(toks) >= {DECON_N}),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fixtures.testdata(spark, sf_dir, "documents")
     return text_ops.quality_score(d, "doc_id", "text")
@@ -4817,6 +4871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_b6": q_histogram_b6,
     "render_rules": q_render_rules,
     "doc_repetition": q_doc_repetition,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4898,6 +4953,7 @@ ORACLES: dict[str, str] = {
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
     "doc_repetition": sql_doc_repetition(),
+    "decontaminate": sql_decontaminate(),
     "embedding_knn": sql_embedding_knn(),
     "embedding_knn_ivf_exact": sql_embedding_knn(),  # same result, IVF physical plan
     "dedup_embedding_cosine": sql_dedup_embedding_cosine(),

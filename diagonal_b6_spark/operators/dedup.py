@@ -393,3 +393,39 @@ def apply_dedup(
         F.col(label_k).alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    `min_hits` distinct word n-grams with any benchmark document -- the
+    standard 13-gram test-set-overlap rule used when preparing training
+    corpora (GPT-3 appendix C / PaLM-style contamination checks; public
+    methodology).
+
+    Distributed shape: both sides shingle with the same zero-shuffle
+    array expressions as the dedup family (operators/dedup.shingles);
+    the benchmark shingle set is typically tiny next to the corpus, so
+    the overlap check is ONE equi-join on the shingle key (broadcast by
+    AQE at real benchmark sizes) + one per-document count.  Returns
+    (id, contaminated boolean, n_hits) for every corpus document --
+    callers anti-join or filter.
+    """
+    cs = shingles(corpus, id_col, text_col, n)
+    bs = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    hits = cs.join(bs, "shingle").groupBy(id_col).agg(F.count("*").alias("n_hits"))
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -190,3 +190,45 @@ def test_embedding_cosine_plane_weights_deterministic_and_bounded(spark):
 
     assert abs(float(np.mean(ws))) < 0.05
     assert float(np.std(ws)) > 0.2
+
+
+def test_decontaminate_closed_form(spark):
+    """13-gram (here 3-gram for a compact fixture) overlap flags exactly
+    the documents sharing a full n-gram with the benchmark, counting
+    distinct shared shingles."""
+    from diagonal_b6_spark.operators import dedup as dedup_ops
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares 'a b c' and 'b c d' with bench
+            (2, "x y z w v"),        # clean
+            (3, "q a b c q q"),      # shares 'a b c' only
+            (4, "c d e f g"),        # 'c d e' present in bench doc
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in dedup_ops.decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out[1] == (3, True)   # a b c / b c d / c d e
+    assert out[2] == (0, False)
+    assert out[3] == (1, True)
+    assert out[4] == (1, True)
+
+
+def test_decontaminate_min_hits_threshold(spark):
+    from diagonal_b6_spark.operators import dedup as dedup_ops
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c x y"), (2, "a b c d y")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    out = {
+        r.doc_id: r.contaminated
+        for r in dedup_ops.decontaminate(corpus, bench, n=3, min_hits=2).collect()
+    }
+    assert out == {1: False, 2: True}  # doc 2 shares 'a b c' AND 'b c d'
