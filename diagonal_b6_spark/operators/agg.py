@@ -258,6 +258,9 @@ def histogram_buckets(
         "_v", (F.col("_off") + F.col("_rn") - 1).alias("_rank")
     )
     n = counts.count()
+    if n == 0:  # bucketValues' empty-collection branch (histogram.go:355-357)
+        spark = df.sparkSession
+        return spark.createDataFrame([], "bucket int, lo double, hi double, n long")
     if n <= max_buckets:
         # one bucket per exact value, in value order
         b = ranked.withColumnRenamed("_rank", "bucket").withColumnRenamed("_v", "_k")

@@ -44,8 +44,6 @@ the "0" default, which hold under any tie-break.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
