@@ -93,9 +93,13 @@ def point_segment_distance_m(px, py, x1, y1, x2, y2):
     lat0 = np.radians(py)
     kx = np.cos(lat0) * np.radians(1.0) * EARTH_RADIUS_M
     ky = np.radians(1.0) * EARTH_RADIUS_M
-    ax = (_norm_lng(x1, 0.0) - _norm_lng(px, 0.0)) * kx
+    # normalize the longitude DIFFERENCE into [-180, 180) -- identical
+    # to gridjoin.point_segment_dist_col's pmod form, so the numpy
+    # brute-force twin and the JVM column expression agree at the
+    # antimeridian (normalizing each operand separately does not)
+    ax = (np.mod(np.asarray(x1, dtype=np.float64) - px + 180.0, 360.0) - 180.0) * kx
     ay = (y1 - py) * ky
-    bx = (_norm_lng(x2, 0.0) - _norm_lng(px, 0.0)) * kx
+    bx = (np.mod(np.asarray(x2, dtype=np.float64) - px + 180.0, 360.0) - 180.0) * kx
     by = (y2 - py) * ky
     dx, dy = bx - ax, by - ay
     seg2 = dx * dx + dy * dy
@@ -230,6 +234,12 @@ def convex_hull_planar(xs, ys):
         [np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)],
         axis=1,
     )
+    if len(pts) == 1:
+        # monotone chain degenerates to an empty hull for a lone point;
+        # the point is its own hull (callers batching partitions rely on
+        # no input vanishing -- the r4 lone-point fix at the operator
+        # level now also holds at the kernel level)
+        return np.array([0], dtype=np.int64)
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     pts_sorted = pts[order]
 

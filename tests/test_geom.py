@@ -165,3 +165,30 @@ def test_tile_packing_roundtrip_and_parent_order():
     # lower zoom sorts before higher zoom (parents before children)
     p_lo = geom.tile_to_packed(np.array([1023]), np.array([681]), 11)
     assert int(p_lo[0]) < int(p[0])
+
+
+def test_point_segment_distance_antimeridian():
+    """The numpy twin must agree with gridjoin's pmod form across the
+    180th meridian: a point at 179.9E vs a segment at 179.9W-179.8W is
+    ~22 km away, not most of the planet."""
+    import numpy as np
+
+    from diagonal_b6_spark.kernels import geom
+
+    d = geom.point_segment_distance_m(
+        np.array([179.9]), np.array([0.0]),
+        np.array([-179.9]), np.array([0.0]),
+        np.array([-179.8]), np.array([0.0]),
+    )
+    assert 20000 < d[0] < 25000
+
+
+def test_convex_hull_single_point():
+    import numpy as np
+
+    from diagonal_b6_spark.kernels import geom
+
+    idx = geom.convex_hull_planar(np.array([3.0]), np.array([7.0]))
+    assert list(idx) == [0]
+    idx2 = geom.convex_hull_planar(np.array([0.0, 1.0]), np.array([0.0, 2.0]))
+    assert sorted(idx2) == [0, 1]
