@@ -3,9 +3,9 @@
 Reference surface: b6 ingests OSM PBF (b6/osm/pbf.go) and assembles ways
 and multipolygon relations into areas (b6/osm/polygons.go:11-140 -- ring
 assembly stitches member ways end-to-end, closed ways with area tags
-become polygons).  No PBF data exists in this sandbox, so this module
-implements the ASSEMBLY stage against PBF-shaped DataFrames -- the same
-three tables a PBF decoder (or any OSM parquet export) produces:
+become polygons).  This module implements the ASSEMBLY stage against
+PBF-shaped DataFrames -- the three tables sources/pbf.py's wire-format
+reader (or any OSM parquet export) produces:
 
     nodes(id long, lat double, lon double)
     ways(id long, refs array<long>, tags map<string,string>)
@@ -169,6 +169,138 @@ def relations_to_areas(
                     out,
                     columns=[
                         "feature_id", "feature_type", "ns", "tags", "xs", "ys", "ring_offsets",
+                    ],
+                )
+
+    return gathered.mapInPandas(assemble, schema)
+
+
+def relations_to_polygons(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    relation_ids: list[int] | None = None,
+) -> DataFrame:
+    """Role-free relation -> polygon assembly mirroring the reference's
+    osm.RelationToPolygon (b6/osm/polygons.go:11-134).
+
+    Unlike relations_to_areas (which keys on type=multipolygon and
+    outer/inner member roles), the reference kernel stitches EVERY way
+    member of the relation into closed loops by shared end nodes,
+    ignoring the relation's type tag and the member roles entirely --
+    real-world boundary relations (e.g. Greater London, relation 65606
+    in the reference's own london-boundaries.osm.pbf fixture) carry
+    empty roles, so a role filter would drop them.  Ring outer/hole
+    classification is recovered structurally instead: even-odd nesting
+    depth of each stitched ring's first vertex inside the other rings
+    (the reference delegates the same decision to s2.PolygonFromLoops).
+
+    Parity with the reference's error contract (polygons_test.go:134-197):
+    a relation whose member ways are missing, whose way refs miss nodes,
+    or whose chains do not close assembles to NOTHING here (the Go
+    kernel returns an error; its callers skip the relation).
+
+    Output packs outer rings first (ring_depths aligned with
+    ring_offsets): depth is the nesting parity, even = additive ring,
+    odd = hole, so spherical area = sum(even) - sum(odd).
+    """
+    rels = relations
+    if relation_ids is not None:
+        rels = rels.filter(F.col("id").isin([int(i) for i in relation_ids]))
+    members = rels.select(
+        F.col("id").alias("rel_id"),
+        "tags",
+        F.explode("members").alias("m"),
+    ).filter(F.col("m.type") == "way").select(
+        "rel_id", "tags", F.col("m.ref").alias("way_id")
+    )
+
+    geom = _way_geometry(nodes, ways).select("way_id", "n_refs", "xs", "ys")
+    # Left join so missing member ways are observable (null xs): the
+    # reference errors on them, we drop the whole relation below.
+    with_geom = members.join(geom, "way_id", "left")
+    gathered = with_geom.groupBy("rel_id").agg(
+        F.first("tags").alias("rel_tags"),
+        F.collect_list(F.struct("n_refs", "xs", "ys")).alias("parts"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.count("xs").alias("n_resolved"),
+    )
+
+    schema = (
+        "feature_id string, feature_type string, ns string, tags map<string,string>, "
+        "xs array<double>, ys array<double>, ring_offsets array<int>, "
+        "ring_depths array<int>"
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.geom import points_in_polygon
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.n_resolved < r.n_members:
+                    continue  # missing member way (reference: error)
+                segs = []
+                ok = True
+                total_in = 0
+                for part in r.parts:
+                    if len(part["xs"]) != part["n_refs"]:
+                        ok = False  # a way ref missed the node table
+                        break
+                    segs.append((part["xs"], part["ys"]))
+                    total_in += len(part["xs"])
+                if not ok or not segs:
+                    continue
+                rings = _stitch_rings(segs)
+                if not rings:
+                    continue
+                # Unclosable-chain parity check: every input vertex must
+                # have been consumed.  A ring of k ways has k duplicate
+                # joint vertices dropped (k-1 interior joins + the
+                # closing vertex), so consumed = sum(len(ring)) + joins.
+                consumed = sum(len(rx) for rx, _ in rings)
+                # Each segment costs exactly one dropped vertex when fully
+                # consumed (one shared joint per stitch, plus the closing
+                # vertex of each ring), so any extra drop means an
+                # unclosable leftover chain was discarded.
+                if total_in - consumed != len(segs):
+                    continue
+                # Nesting depth of each ring's first vertex in the others.
+                depths = []
+                for i, (rx, ry) in enumerate(rings):
+                    d = 0
+                    for j, (ox, oy) in enumerate(rings):
+                        if i == j:
+                            continue
+                        if points_in_polygon(
+                            np.asarray([rx[0]]), np.asarray([ry[0]]),
+                            np.asarray(ox), np.asarray(oy), [0],
+                        )[0]:
+                            d += 1
+                    depths.append(d)
+                order = sorted(range(len(rings)), key=lambda i: (depths[i] % 2, i))
+                xs: list[float] = []
+                ys: list[float] = []
+                offs: list[int] = []
+                deps: list[int] = []
+                for i in order:
+                    offs.append(len(xs))
+                    deps.append(depths[i])
+                    xs.extend(float(v) for v in rings[i][0])
+                    ys.extend(float(v) for v in rings[i][1])
+                out.append(
+                    (
+                        f"area/osm/r{r.rel_id}", "area", "osm",
+                        dict(r.rel_tags) if r.rel_tags is not None else {},
+                        xs, ys, offs, deps,
+                    )
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "feature_id", "feature_type", "ns", "tags",
+                        "xs", "ys", "ring_offsets", "ring_depths",
                     ],
                 )
 
