@@ -32,7 +32,68 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-AREA_TAGS = ("building", "landuse", "natural", "leisure", "amenity")
+# The reference's exact OSM -> searchable-token key mapping
+# (ingest/osm.go:136-157 osmTagMapping): '#'-keys are value-searchable,
+# '@'-keys key-only searchable, everything else stored unindexed.
+OSM_TAG_MAPPING = {
+    "amenity": "#amenity",
+    "barrier": "#barrier",
+    "boundary": "#boundary",
+    "bridge": "#bridge",
+    "building": "#building",
+    "highway": "#highway",
+    "landuse": "#landuse",
+    "leisure": "#leisure",
+    "natural": "#natural",
+    "network": "#network",
+    "place": "#place",
+    "railway": "#railway",
+    "route": "#route",
+    "shop": "#shop",
+    "tourism": "#tourism",
+    "water": "#water",
+    "waterway": "#waterway",
+    "fhrs:id": "@fhrs:id",
+    "wikidata": "@wikidata",
+    "wikipedia": "@wikipedia",
+}
+
+
+def _mapping_lit():
+    pairs = []
+    for k, v in OSM_TAG_MAPPING.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def fill_tags_from_osm(tags: "F.Column"):
+    """Column expression: raw OSM tag map -> b6 searchable tag map
+    (ingest/osm.go:165-174 FillTagsFromOSM).  Pure codegen --
+    transform_keys with a literal-map lookup, no UDF."""
+    m = _mapping_lit()
+    return F.transform_keys(
+        tags, lambda k, _: F.coalesce(F.element_at(m, k), k)
+    )
+
+
+def nodes_to_points(nodes: DataFrame, tagged_only: bool = False) -> DataFrame:
+    """OSM nodes -> point features with mapped tags (the reference emits
+    EVERY node as a point feature, ingest/osm.go:345-348; pass
+    tagged_only=True to keep just the ones carrying tags -- the usual
+    analytical subset)."""
+    out = nodes
+    if tagged_only:
+        out = out.filter(F.size("tags") > 0)
+    return out.select(
+        F.concat(F.lit("point/osm/"), F.col("id")).alias("feature_id"),
+        F.lit("point").alias("feature_type"),
+        F.lit("osm").alias("ns"),
+        fill_tags_from_osm(F.col("tags")).alias("tags"),
+        F.array(F.col("lon")).alias("xs"),
+        F.array(F.col("lat")).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
 
 
 def _way_geometry(nodes: DataFrame, ways: DataFrame) -> DataFrame:
@@ -44,7 +105,8 @@ def _way_geometry(nodes: DataFrame, ways: DataFrame) -> DataFrame:
         (F.col("refs")[0] == F.element_at("refs", -1)).alias("closed"),
         F.posexplode("refs").alias("pos", "node_id"),
     )
-    joined = refs.join(nodes.withColumnRenamed("id", "node_id"), "node_id")
+    locs = nodes.select(F.col("id").alias("node_id"), "lat", "lon")
+    joined = refs.join(locs, "node_id")
     return (
         joined.groupBy("way_id", "tags", "n_refs", "closed")
         .agg(F.sort_array(F.collect_list(F.struct("pos", "lon", "lat"))).alias("v"))
@@ -56,16 +118,14 @@ def _way_geometry(nodes: DataFrame, ways: DataFrame) -> DataFrame:
 
 
 def ways_to_features(nodes: DataFrame, ways: DataFrame) -> DataFrame:
-    """OSM ways -> packed features: closed ways with area-ish tags become
-    'area' rows (closing vertex dropped), everything else 'path'
-    (b6/osm/polygons.go:11-60 closed-way classification)."""
+    """OSM ways -> packed features: EVERY closed way becomes an 'area'
+    row (closing vertex dropped), every open way a 'path' -- the
+    reference's exact rule (ingest/osm.go:214-216 isWayClosed,
+    osm.go:357: any closed way fills an AreaFeature, no tag check).
+    A closed barrier/fence loop is therefore an area, matching the
+    reference's feature counts on its own extracts."""
     g = _way_geometry(nodes, ways)
-    is_area = F.col("closed") & (F.col("n_refs") >= 4)
-    has_area_tag = None
-    for t in AREA_TAGS:
-        c = F.col("tags")[t].isNotNull()
-        has_area_tag = c if has_area_tag is None else (has_area_tag | c)
-    is_area = is_area & has_area_tag
+    is_area = F.col("closed")
     return g.select(
         F.when(is_area, F.concat(F.lit("area/osm/"), F.col("way_id"))).otherwise(
             F.concat(F.lit("path/osm/"), F.col("way_id"))

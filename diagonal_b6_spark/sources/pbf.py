@@ -195,6 +195,7 @@ def parse_primitive_block(payload: memoryview) -> dict:
         for field, _, v in _fields(g):
             if field == 2:  # DenseNodes
                 ids = lats = lons = None
+                keys_vals = np.zeros(0, dtype=np.uint64)
                 for f2, _, v2 in _fields(v):
                     if f2 == 1:
                         ids = np.cumsum(_unzigzag(decode_packed_varints(v2)))
@@ -202,11 +203,36 @@ def parse_primitive_block(payload: memoryview) -> dict:
                         lats = np.cumsum(_unzigzag(decode_packed_varints(v2)))
                     elif f2 == 9:
                         lons = np.cumsum(_unzigzag(decode_packed_varints(v2)))
+                    elif f2 == 10:
+                        keys_vals = np.concatenate(
+                            [keys_vals, decode_packed_varints(v2)]
+                        )
                 if ids is not None:
                     la = NANO * (lat_off + granularity * lats)
                     lo = NANO * (lon_off + granularity * lons)
+                    # keys_vals: per node, (key_idx, val_idx) pairs ended
+                    # by a 0 delimiter (string index 0 is reserved empty,
+                    # so 0 is unambiguous).  Empty array = all untagged.
+                    tag_dicts: list[dict] = []
+                    if keys_vals.size:
+                        ends = np.flatnonzero(keys_vals == 0)
+                        start = 0
+                        for e in ends:
+                            seg = keys_vals[start:e]
+                            tag_dicts.append(
+                                {
+                                    st[int(seg[j])]: st[int(seg[j + 1])]
+                                    for j in range(0, len(seg) - 1, 2)
+                                }
+                            )
+                            start = int(e) + 1
+                    if len(tag_dicts) < len(ids):
+                        tag_dicts.extend(
+                            {} for _ in range(len(ids) - len(tag_dicts))
+                        )
                     nodes.extend(
-                        (int(i), float(a), float(o)) for i, a, o in zip(ids, la, lo)
+                        (int(i), float(a), float(o), t)
+                        for i, a, o, t in zip(ids, la, lo, tag_dicts)
                     )
             elif field == 1:  # plain Node
                 nid, klat, klon = 0, 0, 0
@@ -224,7 +250,8 @@ def parse_primitive_block(payload: memoryview) -> dict:
                         klon = int(_unzigzag(np.array([v2], dtype=np.uint64))[0])
                 nodes.append(
                     (int(nid), NANO * (lat_off + granularity * klat),
-                     NANO * (lon_off + granularity * klon))
+                     NANO * (lon_off + granularity * klon),
+                     _tags(keys, vals, st))
                 )
             elif field == 3:  # Way
                 wid = 0
@@ -268,7 +295,7 @@ def parse_primitive_block(payload: memoryview) -> dict:
 
 # --- Spark surface ----------------------------------------------------------
 
-_NODE_SCHEMA = "id long, lat double, lon double"
+_NODE_SCHEMA = "id long, lat double, lon double, tags map<string,string>"
 _WAY_SCHEMA = "id long, refs array<long>, tags map<string,string>"
 _REL_SCHEMA = (
     "id long, members array<struct<type:string, ref:long, role:string>>, "
@@ -303,7 +330,9 @@ def read_pbf(spark: SparkSession, path: str) -> dict[str, DataFrame]:
 
         return decode
 
-    nodes = blobs.mapInPandas(make_decoder("nodes", ["id", "lat", "lon"]), _NODE_SCHEMA)
+    nodes = blobs.mapInPandas(
+        make_decoder("nodes", ["id", "lat", "lon", "tags"]), _NODE_SCHEMA
+    )
     ways = blobs.mapInPandas(make_decoder("ways", ["id", "refs", "tags"]), _WAY_SCHEMA)
     rels = blobs.mapInPandas(
         make_decoder("relations", ["id", "members", "tags"]), _REL_SCHEMA

@@ -112,8 +112,22 @@ class _StringTable:
         )
 
 
-def _dense_nodes(ids: np.ndarray, lats: np.ndarray, lons: np.ndarray) -> bytes:
+def _dense_nodes(
+    ids: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    tags: list | None = None,
+    st: _StringTable | None = None,
+) -> bytes:
     msg = _packed_deltas(1, ids)
+    if tags is not None and st is not None and any(tags):
+        kv: list[int] = []
+        for t in tags:
+            for k, v in (t or {}).items():
+                kv.append(st.sid(k))
+                kv.append(st.sid(v))
+            kv.append(0)
+        msg += _packed(10, kv)
     msg += _packed_deltas(8, quantize(lats))
     msg += _packed_deltas(9, quantize(lons))
     return _ld(2, msg)
@@ -152,12 +166,15 @@ def write_pbf(
     relations=None,
     granularity: int = GRANULARITY,
     nodes_per_blob: int = 8000,
+    node_tags: list | None = None,
 ) -> None:
     """Write an .osm.pbf file.
 
     nodes: iterable of (id, lat, lon) or an (ids, lats, lons) ndarray
     triple; ways: [(id, refs, tags)]; relations: [(id, members, tags)]
-    with members [{'type','ref','role'}].  Nodes split across OSMData
+    with members [{'type','ref','role'}]; node_tags: optional list of
+    dicts aligned with the input node order (encoded as the DenseNodes
+    keys_vals stream, 0-delimited pairs).  Nodes split across OSMData
     blobs of ``nodes_per_blob`` (independently decompressible -- the
     reader parallelizes at blob granularity); ways/relations follow in
     their own blob."""
@@ -177,6 +194,13 @@ def write_pbf(
         )
     order = np.argsort(ids, kind="stable")
     ids, lats, lons = ids[order], lats[order], lons[order]
+    if node_tags is not None:
+        if len(node_tags) != len(ids):
+            raise ValueError(
+                f"write_pbf: node_tags length {len(node_tags)} != "
+                f"{len(ids)} nodes"
+            )
+        node_tags = [node_tags[int(i)] for i in order]
     with open(path, "wb") as f:
         hb = _ld(1, b"OSMHeader") + _field(3, 0, _varint1(2))
         f.write(struct.pack(">I", len(hb)) + hb + b"\x08\x00")
@@ -185,7 +209,16 @@ def write_pbf(
             if len(ids[sl]) == 0:
                 continue
             st = _StringTable()
-            block = st.encode() + _ld(2, _dense_nodes(ids[sl], lats[sl], lons[sl]))
+            # Encode the group BEFORE st.encode(): keys_vals populates
+            # the string table as a side effect.
+            dense = _ld(
+                2,
+                _dense_nodes(
+                    ids[sl], lats[sl], lons[sl],
+                    node_tags[sl] if node_tags is not None else None, st,
+                ),
+            )
+            block = st.encode() + dense
             block += _field(17, 0, _varint1(granularity))
             f.write(_blob(b"OSMData", block))
         if ways or relations:

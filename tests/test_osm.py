@@ -28,12 +28,15 @@ def _nodes(spark):
     return spark.createDataFrame(rows, NODE_SCHEMA)
 
 
-def test_closed_tagged_way_becomes_area(spark):
+def test_closed_way_becomes_area(spark):
+    """The reference's exact classification (ingest/osm.go:214-216,357):
+    ANY closed way is an area -- including an untagged barrier loop --
+    and any open way a path.  No tag check."""
     ways = spark.createDataFrame(
         [
             (1, [0, 2, 8, 6, 0], {"building": "yes"}),   # closed square -> area
             (2, [0, 1, 2], {"highway": "primary"}),      # open -> path
-            (3, [0, 2, 8, 6, 0], {"barrier": "fence"}),  # closed, no area tag -> path
+            (3, [0, 2, 8, 6, 0], {"barrier": "fence"}),  # closed -> area too
         ],
         WAY_SCHEMA,
     )
@@ -42,7 +45,7 @@ def test_closed_tagged_way_becomes_area(spark):
     assert len(out["area/osm/1"]["xs"]) == 4  # closing vertex dropped
     assert out["path/osm/2"]["feature_type"] == "path"
     assert out["path/osm/2"]["xs"] == [-0.1, -0.099, -0.098]
-    assert out["path/osm/3"]["feature_type"] == "path"
+    assert out["area/osm/3"]["feature_type"] == "area"
 
 
 def test_way_vertex_order_preserved(spark):

@@ -69,9 +69,17 @@ def make_pbf(path, nodes, ways, relations, granularity=100, blobs_of=2):
 
     def dense(ns):
         ids = _packed_deltas(1, [n[0] for n in ns])
+        kv = b""
+        if any(len(n) > 3 and n[3] for n in ns):
+            flat = []
+            for n in ns:
+                for k, v in (n[3] if len(n) > 3 else {}).items():
+                    flat += [sid(k), sid(v)]
+                flat.append(0)
+            kv = _packed(10, flat)
         lats = _packed_deltas(8, [round(n[1] / (granularity * 1e-9)) for n in ns])
         lons = _packed_deltas(9, [round(n[2] / (granularity * 1e-9)) for n in ns])
-        return _ld(2, ids + lats + lons)
+        return _ld(2, ids + kv + lats + lons)
 
     def way(w):
         wid, refs, tags = w
@@ -135,7 +143,7 @@ def test_zigzag_roundtrip():
 
 NODES = [(1, 51.5350000, -0.1250000), (2, 51.5360000, -0.1240000),
          (3, 51.5370000, -0.1230000), (4, 51.5340000, -0.1260000),
-         (5, 51.5355000, -0.1245000)]
+         (5, 51.5355000, -0.1245000, {"amenity": "cafe", "name": "Test Cafe"})]
 WAYS = [
     (10, [1, 2, 3], {"highway": "primary", "name": "test street"}),
     (11, [1, 2, 3, 4, 1], {"building": "yes"}),
@@ -154,11 +162,12 @@ def test_pbf_roundtrip_tables(spark, tmp_path):
     idx = pbf.blob_index(p)
     assert [t for t, _, _ in idx] == ["OSMHeader", "OSMData", "OSMData"]
     t = pbf.read_pbf(spark, p)
-    nodes = sorted(tuple(r) for r in t["nodes"].collect())
+    nodes = sorted(t["nodes"].collect(), key=lambda r: r.id)
     for got, want in zip(nodes, sorted(NODES)):
-        assert got[0] == want[0]
-        assert got[1] == pytest.approx(want[1], abs=1e-9)
-        assert got[2] == pytest.approx(want[2], abs=1e-9)
+        assert got.id == want[0]
+        assert got.lat == pytest.approx(want[1], abs=1e-9)
+        assert got.lon == pytest.approx(want[2], abs=1e-9)
+        assert dict(got.tags) == (want[3] if len(want) > 3 else {})
     ways = {r["id"]: r for r in t["ways"].collect()}
     assert ways[10]["refs"] == [1, 2, 3]
     assert dict(ways[10]["tags"]) == {"highway": "primary", "name": "test street"}
@@ -219,12 +228,13 @@ def test_package_encoder_roundtrip(spark, tmp_path):
     idx = pbf.blob_index(p)
     assert [t for t, _, _ in idx] == ["OSMHeader"] + ["OSMData"] * 4  # 3 node + 1 way blob
     t = pbf.read_pbf(spark, p)
-    nodes = sorted(tuple(r) for r in t["nodes"].collect())
+    nodes = sorted(t["nodes"].collect(), key=lambda r: r.id)
     assert len(nodes) == 20
-    for (nid, la, lo), want_id in zip(nodes, ids):
-        assert nid == want_id
-        assert la == pytest.approx(51.5 + 0.0001 * want_id, abs=1e-7)
-        assert lo == pytest.approx(-0.125 + 0.0001 * want_id, abs=1e-7)
+    for got, want_id in zip(nodes, ids):
+        assert got.id == want_id
+        assert got.lat == pytest.approx(51.5 + 0.0001 * want_id, abs=1e-7)
+        assert got.lon == pytest.approx(-0.125 + 0.0001 * want_id, abs=1e-7)
+        assert dict(got.tags) == {}
     ways = {r["id"]: r for r in t["ways"].collect()}
     assert ways[10]["refs"] == [1, 2, 3]
     assert dict(ways[11]["tags"]) == {"building": "yes"}
@@ -262,3 +272,25 @@ def test_blob_codec_rejection_and_lzma():
         assert False, "lz4 blob not rejected"
     except ValueError as e:
         assert "lz4" in str(e) and "field 6" in str(e)
+
+
+def test_package_encoder_node_tags_roundtrip(spark, tmp_path):
+    """write_pbf(node_tags=...) -> read_pbf: the DenseNodes keys_vals
+    stream (0-delimited pairs) survives the round trip, including the
+    re-sort of unsorted input ids."""
+    from diagonal_b6_spark.sources import pbf_encode
+
+    p = str(tmp_path / "tags.pbf")
+    ids = np.array([30, 10, 20], dtype=np.int64)  # deliberately unsorted
+    lats = np.array([51.51, 51.52, 51.53])
+    lons = np.array([-0.11, -0.12, -0.13])
+    tags = [{"amenity": "cafe", "name": "Vermuteria"}, {}, {"barrier": "gate"}]
+    pbf_encode.write_pbf(p, (ids, lats, lons), node_tags=tags)
+    t = pbf.read_pbf(spark, p)
+    got = {r.id: (r.lat, dict(r.tags)) for r in t["nodes"].collect()}
+    assert got[30] == (pytest.approx(51.51, abs=1e-7), {"amenity": "cafe", "name": "Vermuteria"})
+    assert got[10] == (pytest.approx(51.52, abs=1e-7), {})
+    assert got[20] == (pytest.approx(51.53, abs=1e-7), {"barrier": "gate"})
+
+    with pytest.raises(ValueError, match="node_tags length"):
+        pbf_encode.write_pbf(p, (ids, lats, lons), node_tags=[{}])
