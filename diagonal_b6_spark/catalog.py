@@ -3978,6 +3978,153 @@ FROM u GROUP BY way_id
 """
 
 
+# --- OSM world-assembly keys (node-tag mapping + closed-way rule) ----------
+
+N_OSM_WAYS = 200
+_OSM_AMENITIES = ["cafe", "pub", "bench"]
+_OSM_HIGHWAYS = ["residential", "service", "footway"]
+
+
+def _osm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic tagged .osm.pbf: every event is a dense node
+    (tags on event_id % 10 == 0 -> amenity/name, % 10 == 1 ->
+    wikidata/ele, encoded through the DenseNodes keys_vals stream);
+    ways group events by event_id % N_OSM_WAYS with refs ascending,
+    every 4th way CLOSED (first ref re-appended) and tagged building,
+    the rest open highways.  Separate file from _pbf_fixture so the
+    pbf_roundtrip key's way population is untouched."""
+    import os
+
+    import numpy as np
+
+    from .sources import pbf_encode
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/osm_fixture_{sfname}_w{N_OSM_WAYS}.osm.pbf"
+    if os.path.exists(path):
+        return path
+    pdf = _events_points(spark, sf_dir).toPandas()
+    order = np.argsort(pdf["event_id"].to_numpy())
+    ids = pdf["event_id"].to_numpy()[order]
+    lats = pdf["lat"].to_numpy()[order]
+    lons = pdf["lng"].to_numpy()[order]
+    tags: list[dict] = []
+    for i in ids:
+        i = int(i)
+        if i % 10 == 0:
+            tags.append(
+                {"amenity": _OSM_AMENITIES[(i // 10) % 3], "name": f"poi-{i}"}
+            )
+        elif i % 10 == 1:
+            tags.append({"wikidata": f"Q{i}", "ele": str(i % 100)})
+        else:
+            tags.append({})
+    ways = []
+    mod = ids % N_OSM_WAYS
+    for w in range(N_OSM_WAYS):
+        refs = [int(r) for r in ids[mod == w]]
+        if len(refs) < 2:
+            continue
+        if w % 4 == 0:
+            ways.append(
+                (w, refs + [refs[0]], {"building": "yes", "name": f"bld-{w}"})
+            )
+        else:
+            ways.append((w, refs, {"highway": _OSM_HIGHWAYS[w % 3]}))
+    tmp = path + ".tmp"
+    pbf_encode.write_pbf(tmp, (ids, lats, lons), ways, node_tags=tags)
+    os.replace(tmp, path)
+    return path
+
+
+def q_osm_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged OSM nodes -> point features: the keys_vals tag decode in
+    the distributed PBF reader -> nodes_to_points with the reference's
+    '#'-value / '@'-key searchable token mapping (ingest/osm.go:136-174
+    osmTagMapping/FillTagsFromOSM), exploded to (feature_id, key, value)
+    rows so the oracle replays the mapping relationally."""
+    from .sources import osm as osm_src
+    from .sources import pbf as pbf_src
+
+    t = pbf_src.read_pbf(spark, _osm_fixture(spark, sf_dir))
+    pts = osm_src.nodes_to_points(t["nodes"], tagged_only=True)
+    return pts.select("feature_id", F.explode("tags").alias("key", "value"))
+
+
+def sql_osm_points() -> str:
+    amen = ", ".join(f"'{a}'" for a in _OSM_AMENITIES)
+    return f"""
+SELECT 'point/osm/' || event_id AS feature_id, '#amenity' AS key,
+       ([{amen}])[CAST((event_id // 10) % 3 AS INT) + 1] AS value
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT 'point/osm/' || event_id, 'name', 'poi-' || event_id
+FROM events WHERE event_id % 10 = 0
+UNION ALL
+SELECT 'point/osm/' || event_id, '@wikidata', 'Q' || event_id
+FROM events WHERE event_id % 10 = 1
+UNION ALL
+SELECT 'point/osm/' || event_id, 'ele', CAST(event_id % 100 AS VARCHAR)
+FROM events WHERE event_id % 10 = 1
+"""
+
+
+def q_osm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way -> feature assembly under the reference's exact
+    classification: EVERY closed way an area (closing vertex dropped),
+    every open way a path (ingest/osm.go:214-216,357) -- no tag
+    allowlist.  The packed geometry is projected to quantized-unit sums
+    (the same floor(u + 0.5) recovery as pbf_roundtrip) so vertex
+    order, closure handling, and the distributed node join are all
+    value-checked against the raw events table."""
+    from .sources import osm as osm_src
+    from .sources import pbf as pbf_src
+
+    t = pbf_src.read_pbf(spark, _osm_fixture(spark, sf_dir))
+    feats = osm_src.ways_to_features(t["nodes"], t["ways"])
+    unit = F.lit(100 * 1e-9)
+    zero = F.lit(0).cast("long")
+    return feats.select(
+        "feature_id",
+        "feature_type",
+        F.col("tags")["building"].alias("building"),
+        F.col("tags")["highway"].alias("highway"),
+        F.size("xs").alias("n_vertices"),
+        F.aggregate(
+            "xs", zero, lambda a, x: a + F.floor(x / unit + F.lit(0.5))
+        ).alias("lon_u_sum"),
+        F.aggregate(
+            "ys", zero, lambda a, y: a + F.floor(y / unit + F.lit(0.5))
+        ).alias("lat_u_sum"),
+    )
+
+
+def sql_osm_features() -> str:
+    hws = ", ".join(f"'{h}'" for h in _OSM_HIGHWAYS)
+    return f"""
+WITH {_PTS_CTE},
+m AS (
+  SELECT event_id % {N_OSM_WAYS} AS way_id,
+         CAST(floor(lat / (100 * 1.0e-9) + 0.5) AS BIGINT) AS lat_u,
+         CAST(floor(lng / (100 * 1.0e-9) + 0.5) AS BIGINT) AS lon_u
+  FROM pts),
+g AS (
+  SELECT way_id, count(*) AS n,
+         sum(lat_u) AS lat_u_sum, sum(lon_u) AS lon_u_sum
+  FROM m GROUP BY way_id HAVING count(*) >= 2)
+SELECT CASE WHEN way_id % 4 = 0 THEN 'area/osm/' ELSE 'path/osm/' END
+         || way_id AS feature_id,
+       CASE WHEN way_id % 4 = 0 THEN 'area' ELSE 'path' END AS feature_type,
+       CASE WHEN way_id % 4 = 0 THEN 'yes' END AS building,
+       CASE WHEN way_id % 4 = 0 THEN NULL
+            ELSE ([{hws}])[CAST(way_id % 3 AS INT) + 1] END AS highway,
+       CAST(n AS INT) AS n_vertices,
+       CAST(lon_u_sum AS BIGINT) AS lon_u_sum,
+       CAST(lat_u_sum AS BIGINT) AS lat_u_sum
+FROM g
+"""
+
+
 SHP_GRID = 5
 
 
@@ -4872,6 +5019,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_rules": q_render_rules,
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
+    "osm_points": q_osm_points,
+    "osm_features": q_osm_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -4975,6 +5124,8 @@ ORACLES: dict[str, str] = {
     "corpus_pack": sql_corpus_pack(),
     "embedding_knn_arrow": sql_embedding_knn(),
     "geo_connect_cluster": sql_geo_connect_cluster(),
+    "osm_points": sql_osm_points(),
+    "osm_features": sql_osm_features(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -7,7 +7,7 @@ become polygons).  This module implements the ASSEMBLY stage against
 PBF-shaped DataFrames -- the three tables sources/pbf.py's wire-format
 reader (or any OSM parquet export) produces:
 
-    nodes(id long, lat double, lon double)
+    nodes(id long, lat double, lon double, tags map<string,string>)
     ways(id long, refs array<long>, tags map<string,string>)
     relations(id long, members array<struct<type:string, ref:long,
               role:string>>, tags map<string,string>)
@@ -15,8 +15,9 @@ reader (or any OSM parquet export) produces:
 Spark-first shapes:
   * ways_to_features: refs explode -> ONE equi-join against nodes ->
     ordered re-assembly per way (collect_list of (pos, lat, lon) sorted
-    in the aggregate).  Classification: closed ring + area-ish tags ->
-    'area' (closing vertex dropped, packed layout), else 'path'.
+    in the aggregate).  Classification: ANY closed ring -> 'area'
+    (closing vertex dropped, packed layout), else 'path' -- the
+    reference's exact rule, no tag allowlist.
   * relations_to_areas: member ways gathered per relation, ring
     stitching (endpoint matching, the polygons.go algorithm) runs in an
     Arrow-batched kernel per relation -- rings are small; the heavy
