@@ -1,0 +1,670 @@
+"""Evaluator: shell AST -> DataFrame plans over the existing operators.
+
+The reference evaluates parsed expressions on a stack VM with partial
+application (b6/api/vm.go:589-790): calling an n-ary function with k < n
+arguments yields a partial whose BOUND arguments fill the LAST k slots
+when the remaining ones arrive (vm.go:757-766).  That is exactly what
+makes `a | take 10` mean `take(a, 10)` and `map (get "name")` mean
+`get(item, "name")` -- the pipelined / mapped value arrives first.
+
+Spark-first compilation instead of row-at-a-time interpretation:
+
+* A feature collection is a DataFrame in the engine's world schema
+  (fixtures.FEATURE_SCHEMA).
+* `map` / `filter` lambdas are applied SYMBOLICALLY: the lambda argument
+  binds to a RowRef handle on the collection, accessor functions return
+  Column expressions, and the result is one `select`/`filter` -- pure
+  whole-stage-codegen, never a Python call per row.
+* Query literals compile to the Column predicates of operators/find.py,
+  so tag filters push down to the scan.
+* `intersecting <point>` routes to the oracle-passed containment join
+  (operators/spatial_join.py), not a new geometry path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import parse as P
+from ..operators import find as find_ops
+
+
+class ShellError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- values ---
+
+
+@dataclass
+class TagVal:
+    key: str
+    value: str
+
+
+@dataclass
+class RowRef:
+    """Symbolic handle for 'one feature of this collection' inside a
+    lambda body; accessors turn it into Column expressions."""
+
+    df: DataFrame
+
+
+@dataclass
+class ColVal:
+    """A per-feature Column expression derived from a RowRef."""
+
+    ref: RowRef
+    col: Column
+    name: str = "value"
+
+
+class Func:
+    def __init__(self, name: str, fn, arity: int):
+        self.name, self.fn, self.arity = name, fn, arity
+
+    def apply(self, env: "Env", args: list):
+        if len(args) < self.arity:
+            return Partial(self, list(args))
+        if len(args) > self.arity:
+            raise ShellError(
+                f"{self.name}: expected {self.arity} arguments, found {len(args)}"
+            )
+        return self.fn(env, *args)
+
+
+class Partial:
+    """Partial application; bound args fill the LAST slots on completion
+    (vm.go partialCall semantics)."""
+
+    def __init__(self, base: Func, bound: list):
+        self.base, self.bound = base, bound
+        self.name = base.name
+
+    @property
+    def arity(self) -> int:
+        return self.base.arity - len(self.bound)
+
+    def apply(self, env: "Env", args: list):
+        if len(args) + len(self.bound) < self.base.arity:
+            return Partial(self.base, list(args) + self.bound)
+        return self.base.apply(env, list(args) + self.bound)
+
+
+class LambdaVal:
+    def __init__(self, node: P.Lambda, bindings: dict):
+        self.node, self.bindings = node, dict(bindings)
+        self.arity = len(node.args)
+        self.name = "lambda"
+
+    def apply(self, env: "Env", args: list):
+        if len(args) < self.arity:
+            raise ShellError("lambda applied with too few arguments")
+        b = dict(self.bindings)
+        for name, v in zip(self.node.args, args):
+            b[name] = v
+        return _eval(self.node.body, env, b)
+
+
+# intersecting / intersecting-cap produce geometry queries that cannot be
+# a pure Column; `find` lowers them through the spatial-join operators.
+@dataclass
+class QIntersectsPoint:
+    lat: float
+    lng: float
+
+
+@dataclass
+class QIntersectsCap:
+    lat: float
+    lng: float
+    radius_m: float
+
+
+class Env:
+    """World context: the feature table plus the SparkSession."""
+
+    def __init__(self, spark, features: DataFrame):
+        self.spark = spark
+        self.features = features
+
+
+# ----------------------------------------------------------- query lower ---
+
+
+def _query_column(node) -> Column:
+    if isinstance(node, P.QKeyed):
+        return find_ops.keyed(node.key)
+    if isinstance(node, P.QTagged):
+        return find_ops.tagged(node.key, node.value)
+    if isinstance(node, P.QAnd):
+        return find_ops.and_(_query_column(node.a), _query_column(node.b))
+    if isinstance(node, P.QOr):
+        return find_ops.or_(_query_column(node.a), _query_column(node.b))
+    raise ShellError(f"query {node!r} is not a pure tag predicate")
+
+
+def _find(env: Env, q) -> DataFrame:
+    feats = env.features
+    if isinstance(q, P.Query):
+        q = q.node
+    if isinstance(q, str):  # `find "k=v"` convenience
+        k, _, v = q.partition("=")
+        q = P.QTagged(k, v) if v else P.QKeyed(k)
+    if isinstance(q, QIntersectsPoint):
+        from ..operators import spatial_join
+
+        probe = env.spark.createDataFrame(
+            [(0, q.lat, q.lng)], "probe_id long, lat double, lng double"
+        )
+        hits = spatial_join.intersects_feature(probe, feats, point_id="probe_id")
+        return feats.join(
+            F.broadcast(hits.select("feature_id").distinct()), "feature_id", "semi"
+        )
+    if isinstance(q, QIntersectsCap):
+        from ..kernels import geom
+        from ..operators.knn import _haversine_col
+
+        # Feature intersects the cap iff any vertex is within radius; for
+        # the point type this is the reference's exact cap test
+        # (b6/spatial.go:203-371).  Area/path curvature between vertices is
+        # not refined here -- documented v1 approximation.
+        v = feats.select(
+            "feature_id", F.explode(F.arrays_zip("xs", "ys")).alias("v")
+        ).select("feature_id", F.col("v.ys").alias("lat"), F.col("v.xs").alias("lng"))
+        near = v.filter(
+            _haversine_col(F.col("lat"), F.col("lng"), F.lit(q.lat), F.lit(q.lng))
+            <= q.radius_m
+        )
+        return feats.join(
+            F.broadcast(near.select("feature_id").distinct()), "feature_id", "semi"
+        )
+    return find_ops.find(feats, _as_query_col(q))
+
+
+def _as_query_col(q) -> Column:
+    if isinstance(q, Column):
+        return q
+    if isinstance(q, P.Query):
+        return _query_column(q.node)
+    if isinstance(q, (P.QKeyed, P.QTagged, P.QAnd, P.QOr)):
+        return _query_column(q)
+    raise ShellError(f"not a query: {q!r}")
+
+
+# ------------------------------------------------------------- functions ---
+
+
+def _as_callable(v):
+    if isinstance(v, (Func, Partial, LambdaVal)):
+        return v
+    raise ShellError(f"not callable: {v!r}")
+
+
+def _ordered(df: DataFrame) -> DataFrame:
+    """FeatureID iteration order (b6/world.go:401-411)."""
+    return df.orderBy("feature_id")
+
+
+def _col_of(v, ref: RowRef | None = None) -> Column:
+    if isinstance(v, ColVal):
+        return v.col
+    if isinstance(v, TagVal):
+        return F.lit(f"{v.key}={v.value}")
+    if isinstance(v, (int, float, str, bool)):
+        return F.lit(v)
+    raise ShellError(f"cannot use {v!r} as a per-feature value")
+
+
+def _fn_find(env, q):
+    return _find(env, q)
+
+
+def _fn_find_typed(ftype):
+    def fn(env, q):
+        return _find(env, q).filter(F.col("feature_type") == ftype)
+
+    return fn
+
+
+def _fn_find_feature(env, fid):
+    if isinstance(fid, P.FeatureId):
+        fid = fid.value
+    return find_ops.find_feature(env.features, fid)
+
+
+def _fn_all(env):
+    return env.features
+
+
+def _fn_take(env, coll, n):
+    return _ordered(_require_df(coll)).limit(int(n))
+
+
+def _fn_count(env, coll):
+    # `count` returns a scalar in the reference; as a DataFrame plan we
+    # return the 1-row count frame so pipelines stay lazy.
+    return _require_df(coll).agg(F.count(F.lit(1)).alias("value"))
+
+
+def _require_df(v) -> DataFrame:
+    if isinstance(v, DataFrame):
+        return v
+    raise ShellError(f"expected a collection, found {v!r}")
+
+
+def _fn_map(env, coll, fn):
+    fn = _as_callable(fn)
+    if isinstance(coll, DataFrame):
+        ref = RowRef(coll)
+        out = fn.apply(env, [ref])
+        if isinstance(out, ColVal):
+            return coll.select("feature_id", out.col.alias(out.name))
+        if isinstance(out, DataFrame):
+            return out
+        return coll.select("feature_id", _col_of(out).alias("value"))
+    raise ShellError("map expects a collection")
+
+
+def _fn_filter(env, coll, pred):
+    coll = _require_df(coll)
+    if isinstance(pred, (P.Query, P.QKeyed, P.QTagged, P.QAnd, P.QOr, Column)):
+        return coll.filter(_as_query_col(pred))
+    fn = _as_callable(pred)
+    out = fn.apply(env, [RowRef(coll)])
+    if isinstance(out, ColVal):
+        return coll.filter(out.col)
+    raise ShellError("filter lambda must produce a boolean expression")
+
+
+def _fn_get(env, f, key):
+    """get: feature x key -> tag value (fn features.go:131-174).  The
+    reference returns a Tag; materialized per-feature this is the value
+    column (the key is constant and recorded in the column name)."""
+    if isinstance(f, RowRef):
+        return ColVal(f, F.col("tags")[key], name="value")
+    if isinstance(f, DataFrame):
+        return find_ops.get_tag(f, key)
+    raise ShellError("get expects a feature")
+
+
+def _fn_get_string(env, f, key):
+    v = _fn_get(env, f, key)
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, F.coalesce(v.col, F.lit("")), name="value")
+    return v
+
+
+def _fn_get_float(env, f, key):
+    v = _fn_get(env, f, key)
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, v.col.cast("double"), name="value")
+    return v
+
+
+def _fn_get_int(env, f, key):
+    v = _fn_get(env, f, key)
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, v.col.cast("long"), name="value")
+    return v
+
+
+def _fn_tag(env, a, b):
+    """tag: key x value -> Tag literal (fn features.go:108-112).  Also
+    accepted feature-first (`{f -> tag f "name"}`, shell_test.go's
+    ExplicitLambdaWithArg): per-feature, a materialized Tag is its value
+    column -- the key is constant and recorded in the column name."""
+    if isinstance(a, (RowRef, DataFrame)):
+        return _fn_get(env, a, b)
+    return TagVal(a, b)
+
+
+def _fn_value(env, t):
+    if isinstance(t, TagVal):
+        return t.value
+    if isinstance(t, ColVal):
+        return t
+    raise ShellError("value expects a tag")
+
+
+def _fn_all_tags(env, f):
+    if isinstance(f, DataFrame):
+        return find_ops.all_tags(f)
+    if isinstance(f, RowRef):
+        return find_ops.all_tags(f.df)
+    raise ShellError("all-tags expects features")
+
+
+def _fn_count_values(env, coll):
+    coll = _require_df(coll)
+    vcol = "value" if "value" in coll.columns else coll.columns[-1]
+    return coll.groupBy(F.col(vcol).alias("value")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def _fn_count_tag_value(env, coll, key, value):
+    coll = _require_df(coll)
+    return coll.agg(
+        F.sum((F.col("tags")[key] == value).cast("long")).alias("value")
+    )
+
+
+def _fn_matches(env, f, q):
+    if isinstance(f, RowRef):
+        return ColVal(f, _as_query_col(q))
+    raise ShellError("matches expects a feature")
+
+
+def _fn_intersecting(env, g):
+    if isinstance(g, P.Point):
+        return QIntersectsPoint(g.lat, g.lng)
+    raise ShellError("intersecting expects a point (v1)")
+
+
+def _fn_intersecting_cap(env, g, radius):
+    if isinstance(g, P.Point):
+        return QIntersectsCap(g.lat, g.lng, float(radius))
+    raise ShellError("intersecting-cap expects a point")
+
+
+def _fn_tagged(env, key, value):
+    return P.QTagged(key, value)
+
+
+def _fn_keyed(env, key):
+    return P.QKeyed(key)
+
+
+def _fn_and(env, a, b):
+    return P.QAnd(_q(a), _q(b))
+
+
+def _fn_or(env, a, b):
+    return P.QOr(_q(a), _q(b))
+
+
+def _q(v):
+    return v.node if isinstance(v, P.Query) else v
+
+
+def _fn_typed(env, ftype, q):
+    # typed restricts by feature type (find.typed); keep as Column since
+    # the type test composes with tag predicates.
+    return find_ops.typed(ftype, _as_query_col(q))
+
+
+def _fn_top(env, coll, n):
+    coll = _require_df(coll)
+    vcol = "value" if "value" in coll.columns else coll.columns[-1]
+    return coll.orderBy(F.col(vcol).desc(), "feature_id").limit(int(n))
+
+
+def _fn_sum(env, coll):
+    coll = _require_df(coll)
+    vcol = "value" if "value" in coll.columns else coll.columns[-1]
+    return coll.agg(F.sum(F.col(vcol).cast("double")).alias("value"))
+
+
+def _fn_collection(env, *pairs):
+    rows = []
+    for p in pairs:
+        if not (isinstance(p, tuple) and len(p) == 2):
+            raise ShellError("collection expects pair items")
+        rows.append(p)
+    return env.spark.createDataFrame(
+        [(str(k), v) for k, v in rows], "key string, value string"
+    )
+
+
+def _fn_pair(env, k, v):
+    return (_scalar(k), _scalar(v))
+
+
+def _scalar(v):
+    if isinstance(v, (P.FeatureId,)):
+        return v.value
+    if isinstance(v, TagVal):
+        return f"{v.key}={v.value}"
+    return v
+
+
+def _fn_first(env, p):
+    return p[0]
+
+
+def _fn_second(env, p):
+    return p[1]
+
+
+def _feature_df(f) -> DataFrame:
+    if isinstance(f, RowRef):
+        return f.df
+    return _require_df(f)
+
+
+def _fn_get_centroid(env, f):
+    from ..operators import geo_fn
+
+    return geo_fn.with_centroid(_feature_df(f)).select(
+        "feature_id",
+        F.col("centroid_lat").alias("lat"),
+        F.col("centroid_lng").alias("lng"),
+    )
+
+
+def _fn_area(env, f):
+    from ..operators import geo_fn
+
+    return geo_fn.with_area_m2(_feature_df(f)).select(
+        "feature_id", F.col("area_m2").alias("value")
+    )
+
+
+def _fn_length(env, f):
+    from ..operators import geo_fn
+
+    return geo_fn.with_length_m(_feature_df(f)).select(
+        "feature_id", F.col("length_m").alias("value")
+    )
+
+
+def _fn_gt(env, a, b):
+    if isinstance(a, ColVal):
+        return ColVal(a.ref, a.col > _col_of(b))
+    return a > b
+
+
+def _fn_add(env, a, b):
+    if isinstance(a, ColVal):
+        return ColVal(a.ref, a.col + _col_of(b))
+    return a + b
+
+
+def _fn_divide(env, a, b):
+    if isinstance(a, ColVal):
+        return ColVal(a.ref, a.col / _col_of(b))
+    return a / b
+
+
+def _fn_clamp(env, v, lo, hi):
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, F.greatest(F.lit(lo), F.least(F.lit(hi), v.col)))
+    return max(lo, min(hi, v))
+
+
+def _fn_to_str(env, v):
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, v.col.cast("string"))
+    return str(v)
+
+
+def _fn_add_tag(env, coll, tag):
+    """`map (add-tag #k=v)` analogue, applied collection-wide as one
+    column expression (fn change.go:20-45 AddTags; existing keys
+    overwrite)."""
+    coll = _feature_df(coll)
+    if not isinstance(tag, TagVal):
+        raise ShellError("add-tag expects a tag literal")
+    merged = F.map_concat(
+        F.map_filter(F.col("tags"), lambda k, _: k != F.lit(tag.key)),
+        F.create_map(F.lit(tag.key), F.lit(tag.value)),
+    )
+    return coll.withColumn("tags", merged)
+
+
+def _fn_remove_tag(env, coll, key):
+    coll = _feature_df(coll)
+    pruned = F.map_filter(F.col("tags"), lambda k, _: k != F.lit(key))
+    return coll.withColumn("tags", pruned)
+
+
+def _fn_highlight(env, coll):
+    # UI-only in the reference (marks results on the map); identity here.
+    return _require_df(coll)
+
+
+def _registry() -> dict[str, Func]:
+    fns = {
+        "find": (_fn_find, 1),
+        "find-areas": (_fn_find_typed("area"), 1),
+        "find-relations": (_fn_find_typed("relation"), 1),
+        "find-feature": (_fn_find_feature, 1),
+        "find-area": (_fn_find_feature, 1),
+        "find-relation": (_fn_find_feature, 1),
+        "all": (lambda env: find_ops.all_(), 0),
+        "all-areas": (
+            lambda env: env.features.filter(F.col("feature_type") == "area"),
+            0,
+        ),
+        "all-points": (
+            lambda env: env.features.filter(F.col("feature_type") == "point"),
+            0,
+        ),
+        "all-paths": (
+            lambda env: env.features.filter(F.col("feature_type") == "path"),
+            0,
+        ),
+        "take": (_fn_take, 2),
+        "top": (_fn_top, 2),
+        "count": (_fn_count, 1),
+        "sum": (_fn_sum, 1),
+        "map": (_fn_map, 2),
+        "filter": (_fn_filter, 2),
+        "get": (_fn_get, 2),
+        "get-string": (_fn_get_string, 2),
+        "get-int": (_fn_get_int, 2),
+        "get-float": (_fn_get_float, 2),
+        "tag": (_fn_tag, 2),
+        "value": (_fn_value, 1),
+        "all-tags": (_fn_all_tags, 1),
+        "count-values": (_fn_count_values, 1),
+        "count-tag-value": (_fn_count_tag_value, 3),
+        "matches": (_fn_matches, 2),
+        "tagged": (_fn_tagged, 2),
+        "keyed": (_fn_keyed, 1),
+        "typed": (_fn_typed, 2),
+        "and": (_fn_and, 2),
+        "or": (_fn_or, 2),
+        "intersecting": (_fn_intersecting, 1),
+        "intersecting-cap": (_fn_intersecting_cap, 2),
+        "collection": (_fn_collection, -1),
+        "pair": (_fn_pair, 2),
+        "first": (_fn_first, 1),
+        "second": (_fn_second, 1),
+        "get-centroid": (_fn_get_centroid, 1),
+        "area": (_fn_area, 1),
+        "length": (_fn_length, 1),
+        "gt": (_fn_gt, 2),
+        "add": (_fn_add, 2),
+        "divide": (_fn_divide, 2),
+        "clamp": (_fn_clamp, 3),
+        "to-str": (_fn_to_str, 1),
+        "add-tag": (_fn_add_tag, 2),
+        "remove-tag": (_fn_remove_tag, 2),
+        "highlight": (_fn_highlight, 1),
+    }
+    return {name: Func(name, fn, ar) for name, (fn, ar) in fns.items()}
+
+
+REGISTRY = _registry()
+
+
+# ------------------------------------------------------------- evaluator ---
+
+
+def _eval(node, env: Env, bindings: dict):
+    if isinstance(node, P.Symbol):
+        if node.name in bindings:
+            return bindings[node.name]
+        if node.name in REGISTRY:
+            f = REGISTRY[node.name]
+            # zero-arity functions used as values evaluate immediately
+            return f.fn(env) if f.arity == 0 else f
+        raise ShellError(f"unknown symbol {node.name!r}")
+    if isinstance(node, (P.Str,)):
+        return node.value
+    if isinstance(node, P.Int):
+        return node.value
+    if isinstance(node, P.Float):
+        return node.value
+    if isinstance(node, (P.FeatureId, P.Point, P.Query)):
+        return node
+    if isinstance(node, P.Tag):
+        return TagVal(node.key, node.value)
+    if isinstance(node, P.Lambda):
+        return LambdaVal(node, bindings)
+    if isinstance(node, P.Call):
+        return _eval_call(node, env, bindings)
+    raise ShellError(f"cannot evaluate {node!r}")
+
+
+def _variadic_apply(f: Func, env, args):
+    return f.fn(env, *args)
+
+
+def _eval_call(node: P.Call, env: Env, bindings: dict):
+    args = [_eval(a, env, bindings) for a in node.args]
+    fn = node.fn
+    if isinstance(fn, P.Symbol):
+        name = fn.name
+        if name in bindings:
+            target = bindings[name]
+        elif name in REGISTRY:
+            target = REGISTRY[name]
+        else:
+            raise ShellError(f"unknown function {name!r}")
+        if isinstance(target, Func) and target.arity == -1:
+            return _variadic_apply(target, env, args)
+        if isinstance(target, Func) and target.arity == 0:
+            return target.fn(env)
+        if not args and isinstance(target, (Func, Partial, LambdaVal)):
+            # bare-symbol call stage: `... | filter | ...` means the
+            # function itself (shell.go simplifyCallWithNoArguments)
+            return target
+        return _as_callable(target).apply(env, args)
+    target = _eval(fn, env, bindings)
+    if isinstance(target, (Func, Partial, LambdaVal)):
+        return target.apply(env, args)
+    if node.pipelined and isinstance(target, DataFrame) and not node.args:
+        return target
+    raise ShellError(f"cannot call {target!r}")
+
+
+def evaluate_expression(expression, env: Env):
+    """Evaluate a parsed AST (or shell string) against a world Env."""
+    if isinstance(expression, str):
+        expression = P.parse_expression(expression)
+    return _eval(expression, env, {})
+
+
+def run(spark, features: DataFrame, expression: str):
+    """One-call surface: shell string + world DataFrame -> result.
+
+    DataFrame results come back as the lazy plan; scalars as Python
+    values.  This is the Spark analogue of the reference UI's evaluate
+    endpoint (b6/ui/ui.go:508-511 -> api.Evaluate)."""
+    return evaluate_expression(expression, Env(spark, features))

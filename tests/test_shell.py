@@ -1,0 +1,217 @@
+"""Shell-language front end: parse shapes vs the reference's grammar tests
+(b6/api/shell_test.go) and Spark evaluation vs direct operator calls."""
+
+import pytest
+
+import diagonal_b6_spark.shell.parse as P
+from diagonal_b6_spark import fixtures
+from diagonal_b6_spark.operators import find as find_ops
+from diagonal_b6_spark.shell import ParseError, parse_expression, run
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ parse shapes --
+# Mirrors the grammar cases of the reference's shell_test.go (parse trees,
+# not protos): literals, calls, pipelines, lambdas, queries, collections.
+
+
+def test_parse_literals():
+    assert parse_expression("42") == P.Int(42)
+    assert parse_expression("42.0") == P.Float(42.0)
+    assert parse_expression("19.4008, -99.1663") == P.Point(19.4008, -99.1663)
+    assert parse_expression("#highway=path") == P.Tag("#highway", "path")
+    assert parse_expression("#nhs:hospital=yes") == P.Tag("#nhs:hospital", "yes")
+    assert parse_expression('name="The Lighterman"') == P.Tag(
+        "name", "The Lighterman"
+    )
+
+
+def test_parse_condensed_feature_ids():
+    # alias table shell.go:60-110: /n /w /a /r expand into full ids
+    e = parse_expression("find-feature /n/6082053666")
+    assert e.args == [P.FeatureId("point/openstreetmap.org/6082053666")]
+    e = parse_expression("find-area /a/115912092")
+    assert e.args == [P.FeatureId("area/openstreetmap.org/115912092")]
+    e = parse_expression("find-feature /area/test/1")
+    assert e.args == [P.FeatureId("area/test/1")]
+
+
+def test_parse_pipeline_is_pipelined_call():
+    # `a | b` => Call(fn=b, args=[a], pipelined) (shell.go Pipeline)
+    e = parse_expression('find "highway=primary" | highlight')
+    assert isinstance(e, P.Call) and e.pipelined
+    assert e.fn.fn == P.Symbol("highlight")
+    assert isinstance(e.args[0], P.Call)
+    assert e.args[0].fn == P.Symbol("find")
+
+
+def test_parse_three_stage_pipeline_left_assoc():
+    e = parse_expression("all-areas | filter | highlight")
+    assert e.pipelined and e.fn.fn == P.Symbol("highlight")
+    inner = e.args[0]
+    assert inner.pipelined and inner.fn.fn == P.Symbol("filter")
+
+
+def test_parse_lambda_forms():
+    e = parse_expression('map {f -> tag f "name"} (all-areas)')
+    lam = e.args[0]
+    assert isinstance(lam, P.Lambda) and lam.args == ["f"]
+    e = parse_expression("with-change {-> building-access}")
+    lam = e.args[0]
+    assert isinstance(lam, P.Lambda) and lam.args == []
+
+
+def test_parse_query_nesting():
+    e = parse_expression(
+        "find [#building=yes & [#shop=supermarket | #shop=convenience]]"
+    )
+    q = e.args[0].node
+    assert isinstance(q, P.QAnd)
+    assert q.a == P.QTagged("#building", "yes")
+    assert isinstance(q.b, P.QOr)
+    assert q.b.a == P.QTagged("#shop", "supermarket")
+
+
+def test_parse_query_without_value():
+    e = parse_expression("find [#building]")
+    assert e.args[0].node == P.QKeyed("#building")
+
+
+def test_parse_collection_literals():
+    # explicit keys -> pair(k, v); implicit keys fill 0..n-1 (reduceCollectionItems)
+    e = parse_expression('{"motorway": 36.0, "primary": 32.0}')
+    assert e.fn == P.Symbol("collection") and len(e.args) == 2
+    assert e.args[0].args == [P.Str("motorway"), P.Float(36.0)]
+    e = parse_expression('{"motorway", "primary"}')
+    assert e.args[0].args == [P.Int(0), P.Str("motorway")]
+    assert e.args[1].args == [P.Int(1), P.Str("primary")]
+
+
+def test_parse_latlng_only_in_expression_position():
+    # inside a collection, FLOAT ',' FLOAT stays two items (goyacc context)
+    e = parse_expression("{36.0, 32.0}")
+    assert len(e.args) == 2
+    # in arg position it's a point literal
+    e = parse_expression("pair 55.614929, -2.8048709 /area/test/9")
+    assert e.args[0] == P.Point(55.614929, -2.8048709)
+
+
+def test_parse_group_nesting():
+    e = parse_expression("find (intersecting (find-area /area/test/1))")
+    inner = e.args[0]
+    assert inner.fn == P.Symbol("intersecting")
+    assert inner.args[0].fn == P.Symbol("find-area")
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse_expression('find "unterminated')
+    with pytest.raises(ParseError):
+        parse_expression("find [")
+    with pytest.raises(ParseError):
+        parse_expression("1.2.3")
+
+
+# -------------------------------------------------------------- evaluation --
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    return fixtures.features_table(spark)
+
+
+def test_eval_find_tag_query_matches_operator(spark, feats):
+    got = run(spark, feats, "find [#amenity=pub]").select("feature_id")
+    want = find_ops.find(feats, find_ops.tagged("#amenity", "pub")).select(
+        "feature_id"
+    )
+    assert sorted(r.feature_id for r in got.collect()) == sorted(
+        r.feature_id for r in want.collect()
+    )
+
+
+def test_eval_take_is_feature_id_ordered(spark, feats):
+    rows = run(spark, feats, "find [#amenity=pub] | take 3").collect()
+    ids = [r.feature_id for r in rows]
+    assert ids == sorted(ids) and len(ids) == 3
+
+
+def test_eval_map_lambda_compiles_to_columns(spark, feats):
+    out = run(spark, feats, 'find [#amenity] | map {f -> get f "#amenity"}')
+    assert isinstance(out, DataFrame)
+    # no Python row loop: the plan is a pure Project over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    vals = {r.value for r in out.collect()}
+    assert vals == {"bench", "cafe", "pub"}
+
+
+def test_eval_count_values(spark, feats):
+    out = run(
+        spark, feats, 'find [#amenity] | map {f -> get f "#amenity"} | count-values'
+    )
+    got = {r.value: r["count"] for r in out.collect()}
+    assert got == {"bench": 7, "cafe": 7, "pub": 6}
+
+
+def test_eval_implicit_lambda_partial_application(spark, feats):
+    # `map (tag "name")` binds the key; the mapped feature arrives first
+    # (vm.go partialCall: bound args fill the LAST slots)
+    out = run(spark, feats, 'all-areas | map (tag "name")')
+    got = dict((r.feature_id, r.value) for r in out.collect())
+    assert got["area/test/1"] == "square" and got["area/test/3"] == "concave"
+
+
+def test_eval_nested_query_and_or(spark, feats):
+    out = run(spark, feats, "find [#building=yes | #landuse=park]")
+    ids = {r.feature_id for r in out.collect()}
+    assert ids == {"area/test/1", "area/test/2", "area/test/3"}
+
+
+def test_eval_intersecting_point_routes_to_containment_join(spark, feats):
+    out = run(spark, feats, "find (intersecting 51.535, -0.125)")
+    ids = {r.feature_id for r in out.collect()}
+    assert ids == {"area/test/1"}
+
+
+def test_eval_filter_with_query_and_count(spark, feats):
+    out = run(spark, feats, "all-areas | filter [#building] | count")
+    assert out.collect()[0].value == 3
+
+
+def test_eval_find_feature_and_area(spark, feats):
+    out = run(spark, feats, "find-feature /area/test/1 | area")
+    v = out.collect()[0].value
+    assert v == pytest.approx(160000.0, rel=0.05)  # 400 m x 400 m square
+
+
+def test_eval_add_tag_overwrites(spark, feats):
+    out = run(spark, feats, "all-areas | add-tag #reviewed=yes")
+    tags = {r.feature_id: r.tags for r in out.collect()}
+    assert all(t["#reviewed"] == "yes" for t in tags.values())
+    assert tags["area/test/1"]["#building"] == "yes"  # others kept
+
+
+def test_eval_collection_literal(spark, feats):
+    out = run(spark, feats, '{"motorway": 36.0, "primary": 32.0}')
+    got = {r.key: r.value for r in out.collect()}
+    assert got == {"motorway": "36.0", "primary": "32.0"}
+
+
+def test_eval_string_query_convenience(spark, feats):
+    got = run(spark, feats, 'find "#amenity=cafe"').count()
+    assert got == 7
+
+
+def test_eval_intersecting_cap(spark, feats):
+    # 30 m cap around the first in-square POI catches only nearby points
+    out = run(
+        spark, feats, "find (intersecting-cap 51.535, -0.125 400.0)"
+    )
+    ids = {r.feature_id for r in out.collect()}
+    # all 10 in-square points are within 400 m of the square's centre;
+    # the square's own vertices too
+    assert "area/test/1" in ids
+    assert sum(1 for i in ids if i.startswith("point/")) == 10
