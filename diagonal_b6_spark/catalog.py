@@ -903,6 +903,55 @@ SELECT fid AS feature_id, k, v FROM tags
 """
 
 
+def q_shell_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shell front end driven end-to-end: a string expression parsed
+    by the reference grammar (b6/api/shell.y) and compiled onto the
+    engine's Column operators.  Covers query literals (nested |), the
+    pipeline sugar, and an implicit-lambda map via partial application."""
+    from .shell import run as shell_run
+
+    feats = fixtures.features_table(spark)
+    return shell_run(
+        spark, feats, 'find [#building=yes | #landuse=park] | map (tag "name")'
+    )
+
+
+def sql_shell_query() -> str:
+    return f"""
+WITH tags(fid, ftype, k, v) AS (VALUES
+    {_feature_tags_values()}),
+hits AS (
+  SELECT DISTINCT fid FROM tags
+  WHERE (k = '#building' AND v = 'yes') OR (k = '#landuse' AND v = 'park')
+)
+SELECT h.fid AS feature_id, n.v AS value
+FROM hits h LEFT JOIN tags n ON n.fid = h.fid AND n.k = 'name'
+"""
+
+
+def q_shell_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage shell pipeline with an explicit lambda: the lambda body
+    compiles to a Column projection (no per-row Python), then a
+    count-values aggregation."""
+    from .shell import run as shell_run
+
+    feats = fixtures.features_table(spark)
+    return shell_run(
+        spark,
+        feats,
+        'find [#amenity] | map {f -> get f "#amenity"} | count-values',
+    )
+
+
+def sql_shell_pipeline() -> str:
+    return f"""
+WITH tags(fid, ftype, k, v) AS (VALUES
+    {_feature_tags_values()})
+SELECT v AS value, COUNT(*) AS count FROM tags
+WHERE k = '#amenity' GROUP BY v
+"""
+
+
 def q_geo_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
     out = geo_fn.with_length_m(feats)
@@ -5021,6 +5070,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "osm_points": q_osm_points,
     "osm_features": q_osm_features,
+    "shell_query": q_shell_query,
+    "shell_pipeline": q_shell_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -5126,6 +5177,8 @@ ORACLES: dict[str, str] = {
     "geo_connect_cluster": sql_geo_connect_cluster(),
     "osm_points": sql_osm_points(),
     "osm_features": sql_osm_features(),
+    "shell_query": sql_shell_query(),
+    "shell_pipeline": sql_shell_pipeline(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
