@@ -124,6 +124,16 @@ class QIntersectsCap:
     radius_m: float
 
 
+@dataclass
+class QIntersectsArea:
+    """`intersecting <area feature>` (b6/spatial.go IntersectsArea):
+    matched by vertex containment -- a feature intersects the area iff
+    any of its vertices lies inside (plus the area itself).  Boundary
+    edge-crossings with no vertex inside are not refined in v1."""
+
+    areas: DataFrame
+
+
 class Env:
     """World context: the feature table plus the SparkSession."""
 
@@ -163,6 +173,23 @@ def _find(env: Env, q) -> DataFrame:
         hits = spatial_join.intersects_feature(probe, feats, point_id="probe_id")
         return feats.join(
             F.broadcast(hits.select("feature_id").distinct()), "feature_id", "semi"
+        )
+    if isinstance(q, QIntersectsArea):
+        from ..operators import spatial_join
+
+        verts = feats.select(
+            F.col("feature_id").alias("vid"),
+            F.explode(F.arrays_zip("xs", "ys")).alias("v"),
+        ).select("vid", F.col("v.ys").alias("lat"), F.col("v.xs").alias("lng"))
+        hits = spatial_join.containment_join_broadcast(
+            verts, q.areas, point_id="vid"
+        ).select(F.col("vid").alias("hit_id"))
+        self_ids = q.areas.select(F.col("feature_id").alias("hit_id"))
+        keep = hits.unionByName(self_ids).distinct()
+        return feats.join(
+            F.broadcast(keep.withColumnRenamed("hit_id", "feature_id")),
+            "feature_id",
+            "semi",
         )
     if isinstance(q, QIntersectsCap):
         from ..kernels import geom
@@ -362,7 +389,9 @@ def _fn_matches(env, f, q):
 def _fn_intersecting(env, g):
     if isinstance(g, P.Point):
         return QIntersectsPoint(g.lat, g.lng)
-    raise ShellError("intersecting expects a point (v1)")
+    if isinstance(g, DataFrame):  # e.g. `intersecting (find-area /a/...)`
+        return QIntersectsArea(g.filter(F.col("feature_type") == "area"))
+    raise ShellError("intersecting expects a point or an area feature")
 
 
 def _fn_intersecting_cap(env, g, radius):
@@ -571,6 +600,12 @@ def _registry() -> dict[str, Func]:
         "or": (_fn_or, 2),
         "intersecting": (_fn_intersecting, 1),
         "intersecting-cap": (_fn_intersecting_cap, 2),
+        "within": (_fn_intersecting, 1),
+        "within-cap": (_fn_intersecting_cap, 2),
+        "is-valid": (lambda env: find_ops.is_valid(), 0),
+        "type-point": (lambda env, q: find_ops.typed("point", _as_query_col(q)), 1),
+        "type-path": (lambda env, q: find_ops.typed("path", _as_query_col(q)), 1),
+        "type-area": (lambda env, q: find_ops.typed("area", _as_query_col(q)), 1),
         "collection": (_fn_collection, -1),
         "pair": (_fn_pair, 2),
         "first": (_fn_first, 1),

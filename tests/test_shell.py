@@ -215,3 +215,26 @@ def test_eval_intersecting_cap(spark, feats):
     # the square's own vertices too
     assert "area/test/1" in ids
     assert sum(1 for i in ids if i.startswith("point/")) == 10
+
+
+def test_eval_intersecting_area_feature(spark, feats):
+    # the reference's NestedGroups expression shape: features intersecting
+    # a named area (vertex-containment semantics, v1)
+    out = run(spark, feats, "find (intersecting (find-area /area/test/1))")
+    ids = {r.feature_id for r in out.collect()}
+    assert "area/test/1" in ids  # the area itself
+    pts = {i for i in ids if i.startswith("point/")}
+    assert len(pts) == 10  # exactly the 10 in-square POIs
+
+
+def test_eval_typed_constructor(spark, feats):
+    out = run(spark, feats, "find (type-point (keyed \"#amenity\"))")
+    assert out.count() == 20
+    out2 = run(spark, feats, "find (type-area (keyed \"#amenity\"))")
+    assert out2.count() == 0
+
+
+def test_repl_module_imports():
+    from diagonal_b6_spark.shell import __main__ as repl
+
+    assert callable(repl.main)
