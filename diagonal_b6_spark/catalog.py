@@ -3613,6 +3613,97 @@ FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
 """
 
 
+# printf template that plants one email, one phone, one IPv4, and two
+# URLs (one with fragment, one parenthesized) per document, all derived
+# from doc_id -- identical in Spark (format_string) and DuckDB (printf).
+_PII_FMT = (
+    " Contact: user%d@ex%d.org, tel +1 555 010 %04d, ip 10.%d.0.1,"
+    " see https://Example.COM/Page/%d?x=1#frag and"
+    " (http://sub.site%d.net/a.html)."
+)
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fixtures.testdata(spark, sf_dir, "documents")
+    aug = F.format_string(
+        _PII_FMT,
+        F.col("doc_id"),
+        F.col("doc_id") % 7,
+        F.col("doc_id") % 10000,
+        F.col("doc_id") % 256,
+        F.col("doc_id"),
+        F.col("doc_id") % 5,
+    )
+    return docs.select(
+        "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), aug).alias("text")
+    )
+
+
+_PII_CTE = f"""docs AS (
+  SELECT doc_id, coalesce(text, '') || printf(
+    '{_PII_FMT}',
+    doc_id, doc_id % 7, doc_id % 10000, doc_id % 256, doc_id, doc_id % 5
+  ) AS text FROM documents)"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.scrub_pii): per-category hit counts
+    plus the md5 of the scrubbed text, over documents deterministically
+    augmented with one email / phone / IPv4 / two URLs derived from
+    doc_id.  The oracle replays the same regex chain in DuckDB (RE2 and
+    Java agree on the patterns' common subset), so the byte-exact
+    scrubbed text is value-checked through the hash."""
+    out = text_ops.scrub_pii(_docs_with_pii(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+def sql_pii_scrub() -> str:
+    email, ip, phone = (p for _, p, _ in text_ops.PII_PATTERNS)
+    return f"""
+WITH {_PII_CTE}
+SELECT doc_id,
+  len(regexp_extract_all(text, '{email}')) AS n_email,
+  len(regexp_extract_all(text, '{ip}')) AS n_ip,
+  len(regexp_extract_all(text, '{phone}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{email}', '<EMAIL>', 'g'),
+        '{ip}', '<IP>', 'g'),
+        '{phone}', '<PHONE>', 'g')) AS scrub_md5
+FROM docs
+"""
+
+
+def q_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + normalization (operators/text.extract_urls) over
+    the PII-augmented documents: fragment stripped, trailing punctuation
+    trimmed, scheme+host lowercased.  Two planted URLs per document;
+    the oracle replays extraction and normalization with the same
+    regexes."""
+    return text_ops.extract_urls(_docs_with_pii(spark, sf_dir), "doc_id", "text")
+
+
+def sql_doc_urls() -> str:
+    return f"""
+WITH {_PII_CTE},
+raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s"''<>]+')) AS raw_url
+  FROM docs),
+trimmed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(raw_url, '#[^#]*$', '', 'g'),
+                        '[).,;!?]+$', '', 'g') AS t
+  FROM raw)
+SELECT doc_id,
+  lower(regexp_extract(t, '^(https?)://', 1)) || '://' ||
+  lower(regexp_extract(t, '^https?://([^/?#]+)', 1)) ||
+  regexp_replace(t, '^https?://[^/?#]*', '', 'g') AS url,
+  lower(regexp_extract(t, '^https?://([^/?#]+)', 1)) AS host
+FROM trimmed
+"""
+
+
 DECON_N = 13          # the standard 13-gram contamination rule
 DECON_BENCH_MOD = 37  # every 37th document seeds the benchmark
 DECON_BENCH_WORDS = 64  # benchmark docs are PREFIXES -> partial overlap
@@ -5072,6 +5163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "osm_features": q_osm_features,
     "shell_query": q_shell_query,
     "shell_pipeline": q_shell_pipeline,
+    "pii_scrub": q_pii_scrub,
+    "doc_urls": q_doc_urls,
 }
 
 ORACLES: dict[str, str] = {
@@ -5179,6 +5272,8 @@ ORACLES: dict[str, str] = {
     "osm_features": sql_osm_features(),
     "shell_query": sql_shell_query(),
     "shell_pipeline": sql_shell_pipeline(),
+    "pii_scrub": sql_pii_scrub(),
+    "doc_urls": sql_doc_urls(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -243,3 +243,66 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(dup_bi, 9).alias("dup_bigram_frac"),
         F.round(top_bi, 9).alias("top_bigram_frac"),
     )
+
+
+# PII categories scrubbed by scrub_pii, in application order.  Patterns
+# are kept to the Java-regex/RE2 common subset so the DuckDB oracle can
+# replay them byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d() -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction for training corpora: replace emails, IPv4
+    addresses, and international-format phone numbers with typed
+    placeholder tokens, and count the hits per category.
+
+    Pure JVM column expressions (regexp_extract_all + chained
+    regexp_replace) -- a map-only stage with no shuffle, so it runs at
+    corpus scale as a pure scan transform.  Counting happens BEFORE
+    replacement (on the original text) per category in PII_PATTERNS
+    order; replacement is sequential in the same order, so an email is
+    never double-counted as a phone once redacted."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+URL_PATTERN = r"""https?://[^\s"'<>]+"""
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """URL extraction + normalization (the URL-dedup / domain-filter
+    front end of a web-corpus pipeline): one row per URL occurrence with
+
+      url   normalized -- fragment stripped, trailing punctuation
+            trimmed, scheme+host lowercased (path case preserved)
+      host  the lowercased authority (for domain block/allow lists)
+
+    regexp_extract_all + explode: map-side only; the downstream
+    `groupBy(url)` or `groupBy(host)` is the caller's one shuffle."""
+    raw = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    ).alias("raw_url")
+    out = df.select(F.col(id_col), raw)
+    trimmed = F.regexp_replace(
+        F.regexp_replace(F.col("raw_url"), r"#[^#]*$", ""), r"[).,;!?]+$", ""
+    )
+    host = F.lower(F.regexp_extract(trimmed, r"^https?://([^/?#]+)", 1))
+    scheme = F.lower(F.regexp_extract(trimmed, r"^(https?)://", 1))
+    rest = F.regexp_replace(trimmed, r"^https?://[^/?#]*", "")
+    return out.select(
+        F.col(id_col),
+        F.concat(scheme, F.lit("://"), host, rest).alias("url"),
+        host.alias("host"),
+    )

@@ -141,3 +141,52 @@ def test_repetition_stats_closed_form(spark):
     assert out[3].top_bigram_frac == pt.approx(1.0)
     assert out[4].dup_word_frac == 0.0 and out[4].dup_bigram_frac == 0.0
     assert out[4].top_bigram_frac == pt.approx(1 / 2)
+
+
+def test_scrub_pii_categories_and_order(spark):
+    from diagonal_b6_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co.uk and d@e.io, call +44 20 7946 0958."),
+            (2, "server at 192.168.0.1 and 8.8.8.8; no mail"),
+            (3, "version 1.2.3.4.5 is not an ip boundary-wise? 10.0.0.1!"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in text_ops.scrub_pii(df, "doc_id", "text").collect()
+    }
+    assert (rows[1].n_email, rows[1].n_phone, rows[1].n_ip) == (2, 1, 0)
+    assert "<EMAIL>" in rows[1].scrubbed and "<PHONE>" in rows[1].scrubbed
+    assert "a.b+c@x-y.co.uk" not in rows[1].scrubbed
+    assert rows[2].n_ip == 2 and rows[2].scrubbed.count("<IP>") == 2
+    # 1.2.3.4.5: RE2/Java both match the first 4 octets ("1.2.3.4")
+    # because '.' is a word boundary -- pinned so both engines agree
+    assert rows[3].n_ip == 2
+    assert rows[4].n_email == 0 and rows[4].scrubbed == ""
+    assert rows[5].scrubbed is None
+
+
+def test_extract_urls_normalization(spark):
+    from diagonal_b6_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "see HTTPS is not matched; https://Example.COM/A/b?q=1#x!"),
+            (2, "(http://h.net/p.html), then https://h.net and http://h.net/."),
+            (3, "no urls here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.extract_urls(df, "doc_id", "text").collect()
+    urls = sorted((r.doc_id, r.url, r.host) for r in out)
+    assert urls == [
+        (1, "https://example.com/A/b?q=1", "example.com"),
+        (2, "http://h.net/", "h.net"),
+        (2, "http://h.net/p.html", "h.net"),
+        (2, "https://h.net", "h.net"),
+    ]
