@@ -3704,6 +3704,96 @@ FROM trimmed
 """
 
 
+# newline-joined generated lines exercising every C4 rule branch, all
+# derived from doc_id: two good sentences always; a third unless
+# doc_id % 5 == 1 (drops the doc below the 3-sentence floor); a
+# too-short line; a no-punctuation line; 'Lorem ipsum' when
+# doc_id % 3 == 0 (document-level drop).
+_C4_FMT = (
+    "First generated sentence number %d is long enough to pass.\n"
+    "Second generated sentence number %d also passes the filters.\n"
+    "%s\nshort line.\nmany words but no terminal punctuation at all %d"
+)
+
+
+def _docs_with_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fixtures.testdata(spark, sf_dir, "documents")
+    third = F.when(
+        F.col("doc_id") % 5 == 1, F.lit("")
+    ).otherwise(
+        F.format_string(
+            "Third generated sentence number %d closes the document.",
+            F.col("doc_id"),
+        )
+    )
+    aug = F.format_string(
+        _C4_FMT, F.col("doc_id"), F.col("doc_id"), third, F.col("doc_id")
+    )
+    lorem = F.when(F.col("doc_id") % 3 == 0, F.lit("\nLorem ipsum filler."))\
+        .otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit("\n"), aug, lorem
+        ).alias("text"),
+    )
+
+
+_C4_CTE = f"""docs AS (
+  SELECT doc_id, coalesce(text, '') || chr(10) || printf(
+    '{_C4_FMT.replace(chr(10), "' || chr(10) || '")}',
+    doc_id, doc_id,
+    CASE WHEN doc_id % 5 = 1 THEN ''
+         ELSE printf('Third generated sentence number %d closes the document.', doc_id) END,
+    doc_id
+  ) || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Lorem ipsum filler.' ELSE '' END AS text
+  FROM documents)"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/text.c4_clean) over documents
+    augmented with generated lines that exercise every rule branch.
+    The oracle replays the line filter with DuckDB list lambdas and the
+    document rules with the same predicates; the cleaned text is
+    value-checked byte-for-byte through its md5."""
+    out = text_ops.c4_clean(_docs_with_c4_lines(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("cleaned").alias("cleaned_md5"),
+        "n_lines_kept",
+        "n_sentences",
+        "keep",
+    )
+
+
+def sql_c4_clean() -> str:
+    return f"""
+WITH {_C4_CTE},
+split AS (
+  SELECT doc_id, text,
+    list_filter(
+      list_transform(string_split(text, chr(10)), l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"'']$')
+           AND len(string_split_regex(l, '\\s+')) >= 5
+           AND NOT contains(lower(l), 'javascript')
+    ) AS kept
+  FROM docs),
+agg AS (
+  SELECT doc_id, text, kept,
+         array_to_string(kept, chr(10)) AS cleaned,
+         len(kept) AS n_lines_kept
+  FROM split)
+SELECT doc_id,
+  md5(cleaned) AS cleaned_md5,
+  n_lines_kept,
+  len(regexp_extract_all(cleaned, '[.!?]')) AS n_sentences,
+  (len(regexp_extract_all(cleaned, '[.!?]')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(lower(text), '{{')) AS keep
+FROM agg
+"""
+
+
 DECON_N = 13          # the standard 13-gram contamination rule
 DECON_BENCH_MOD = 37  # every 37th document seeds the benchmark
 DECON_BENCH_WORDS = 64  # benchmark docs are PREFIXES -> partial overlap
@@ -5165,6 +5255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shell_pipeline": q_shell_pipeline,
     "pii_scrub": q_pii_scrub,
     "doc_urls": q_doc_urls,
+    "c4_clean": q_c4_clean,
 }
 
 ORACLES: dict[str, str] = {
@@ -5274,6 +5365,7 @@ ORACLES: dict[str, str] = {
     "shell_pipeline": sql_shell_pipeline(),
     "pii_scrub": sql_pii_scrub(),
     "doc_urls": sql_doc_urls(),
+    "c4_clean": sql_c4_clean(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

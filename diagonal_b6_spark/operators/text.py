@@ -306,3 +306,44 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.concat(scheme, F.lit("://"), host, rest).alias("url"),
         host.alias("host"),
     )
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style corpus cleaning (Raffel et al. 2020 §2.2, the published
+    line/document rules a web-scale text pipeline applies before
+    training):
+
+      line level  -- keep a (trimmed) line iff it ends in terminal
+                     punctuation (. ! ? " '), has >= 5 words, and does
+                     not mention 'javascript' (case-insensitive)
+      document    -- keep iff the cleaned text has >= 3 sentences
+                     (terminal-punctuation marks) and the ORIGINAL text
+                     contains neither 'lorem ipsum' nor '{'
+
+    Returns (id, cleaned, n_lines_kept, n_sentences, keep).  Everything
+    is higher-order array expressions over the newline split -- a
+    map-only stage with zero shuffles, scan-shaped at any corpus size."""
+    lines = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"), lambda l: F.trim(l)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r"""[.!?"']$""")
+        & (F.size(F.split(l, r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), F.lit(0)))
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    keep = (
+        (n_sent >= 3)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("cleaned"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep"),
+    )

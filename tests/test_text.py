@@ -190,3 +190,38 @@ def test_extract_urls_normalization(spark):
         (2, "http://h.net/p.html", "h.net"),
         (2, "https://h.net", "h.net"),
     ]
+
+
+def test_c4_clean_rule_branches(spark):
+    from diagonal_b6_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma delta epsilon zeta.\nshort.\n"
+                "Second good sentence with enough words here!\n"
+                "Third good sentence with enough words too?"),
+            (2, "Alpha beta gamma delta epsilon zeta.\n"
+                "no punctuation despite having many words here"),
+            (3, "Uses javascript for many sentences right here.\n"
+                "Good sentence one with many more words.\n"
+                "Good sentence two with many more words.\n"
+                "Good sentence three with many more words."),
+            (4, "Lorem ipsum dolor sit amet consectetur adipiscing.\n"
+                "Good sentence one with many more words.\n"
+                "Good sentence two with many more words.\n"
+                "Good sentence three with many more words."),
+            (5, "Contains {curly} braces but good sentences follow.\n"
+                "Good sentence one with many more words.\n"
+                "Good sentence two with many more words.\n"
+                "Good sentence three with many more words."),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_ops.c4_clean(df, "doc_id", "text").collect()}
+    assert rows[1].n_lines_kept == 3 and rows[1].keep  # short line dropped
+    assert rows[2].n_lines_kept == 1 and not rows[2].keep  # < 3 sentences
+    assert rows[3].n_lines_kept == 3 and rows[3].keep  # javascript line dropped
+    assert not rows[4].keep and rows[4].n_lines_kept == 4  # lorem ipsum page
+    assert not rows[5].keep  # curly-brace page
+    assert rows[6].n_lines_kept == 0 and not rows[6].keep and rows[6].cleaned == ""
