@@ -703,3 +703,8 @@ def run(spark, features: DataFrame, expression: str):
     values.  This is the Spark analogue of the reference UI's evaluate
     endpoint (b6/ui/ui.go:508-511 -> api.Evaluate)."""
     return evaluate_expression(expression, Env(spark, features))
+
+
+# The remaining reference surface (graph/geometry/geojson/change/...)
+# registers itself on import; evaluate.py stays the core language.
+from . import stdlib  # noqa: E402,F401  (registration side effect)

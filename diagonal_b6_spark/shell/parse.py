@@ -62,12 +62,22 @@ def tokenize(s: str) -> list[Token]:
             toks.append(Token(c, c, i))
             i += 1
         elif c == '"':
+            # backslash escapes (\" \\ \n \t) so JSON documents can ride
+            # inside string literals (parse-geojson); a lone backslash
+            # before any other rune passes through verbatim
             j = i + 1
+            buf: list[str] = []
             while j < n and s[j] != '"':
-                j += 1
+                if s[j] == "\\" and j + 1 < n:
+                    nxt = s[j + 1]
+                    buf.append({"n": "\n", "t": "\t"}.get(nxt, nxt))
+                    j += 2
+                else:
+                    buf.append(s[j])
+                    j += 1
             if j >= n:
                 raise ParseError("unterminated string constant")
-            toks.append(Token("STRING", s[i + 1 : j], i))
+            toks.append(Token("STRING", "".join(buf), i))
             i = j + 1
         elif c == "/":
             j = i
