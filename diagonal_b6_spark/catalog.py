@@ -1483,6 +1483,113 @@ SELECT event_id, round(num / denom, 3) AS elev FROM w
 """
 
 
+# --- terrain `ele` annotation (cmd/b6-ingest-terrain) -----------------------
+
+TERRAIN_RADIUS_M = 150.0
+TERRAIN_ELEV_SQL = "CAST((event_id * 13) % 97 AS DOUBLE)"
+
+
+def _street_vertex_points() -> list[tuple[str, float, float]]:
+    """Distinct street-fixture vertices as point features (in the OSM
+    model every path vertex IS a node); shared verbatim with the
+    terrain oracle's VALUES."""
+    seen: set[tuple[float, float]] = set()
+    for _pid, xs, ys in _street_path_rows():
+        for x, y in zip(xs, ys):
+            seen.add((y, x))
+    return [
+        (f"point/street/{k}", lat, lng)
+        for k, (lat, lng) in enumerate(sorted(seen))
+    ]
+
+
+def terrain_world_table(spark: SparkSession) -> DataFrame:
+    """Street paths (#highway) + their vertex node points + the fixture
+    POI points (on no path, so they must pass through unannotated)."""
+    nodes = [
+        {
+            "feature_id": pid,
+            "feature_type": "point",
+            "ns": "test/streets",
+            "tags": {},
+            "xs": [lng],
+            "ys": [lat],
+            "ring_offsets": [0],
+        }
+        for pid, lat, lng in _street_vertex_points()
+    ]
+    node_df = spark.createDataFrame(nodes, fixtures.FEATURE_SCHEMA)
+    pois = fixtures.features_table(spark).filter(F.col("feature_type") == "point")
+    return street_paths_table(spark).unionByName(node_df).unionByName(pois)
+
+
+def _terrain_spots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(LAT_SQL).alias("lat"),
+        F.expr(LNG_SQL).alias("lng"),
+        F.expr(TERRAIN_ELEV_SQL).alias("elev"),
+    )
+
+
+def q_terrain_ele(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b6-ingest-terrain's elevationSource (b6-ingest-terrain.go:185-215):
+    highway-path vertex nodes gain ele=str(round-half-away(IDW)); points
+    on no highway path stay untagged.  The spot field scales with the
+    events table; the vertex->spot candidate join is the bucketed
+    gridjoin, nothing driver-side."""
+    from .operators import network as net_ops
+
+    out = net_ops.annotate_elevations(
+        terrain_world_table(spark),
+        _terrain_spots(spark, sf_dir),
+        radius_m=TERRAIN_RADIUS_M,
+    )
+    return out.filter(F.col("feature_type") == "point").select(
+        "feature_id", F.col("tags").getItem("ele").alias("ele")
+    )
+
+
+def sql_terrain_ele() -> str:
+    verts = ",\n    ".join(
+        f"('{pid}', {lat!r}, {lng!r})" for pid, lat, lng in _street_vertex_points()
+    )
+    pois = ",\n    ".join(
+        f"('{f['feature_id']}')"
+        for f in fixtures.feature_rows()
+        if f["feature_type"] == "point"
+    )
+    hav = _HAV.format(lat1="v.vlat", lng1="v.vlng", lat2="s.slat", lng2="s.slng")
+    return f"""
+WITH verts(point_id, vlat, vlng) AS (VALUES
+    {verts}),
+pois(point_id) AS (VALUES
+    {pois}),
+spots AS (
+  SELECT {LAT_SQL} AS slat, {LNG_SQL} AS slng, {TERRAIN_ELEV_SQL} AS elev
+  FROM events
+),
+d AS (
+  SELECT v.point_id, s.elev, {hav} AS dist FROM verts v CROSS JOIN spots s
+),
+w AS (
+  SELECT point_id, sum(1.0 / greatest(dist, 1e-9)) AS denom,
+         sum((1.0 / greatest(dist, 1e-9)) * elev) AS num
+  FROM d WHERE dist < {TERRAIN_RADIUS_M!r} GROUP BY 1
+),
+ann AS (
+  SELECT v.point_id,
+         CASE WHEN w.point_id IS NULL THEN NULL
+              WHEN num / denom >= 0 THEN CAST(CAST(floor(num / denom + 0.5) AS INT) AS VARCHAR)
+              ELSE CAST(CAST(-floor(-(num / denom) + 0.5) AS INT) AS VARCHAR) END AS ele
+  FROM verts v LEFT JOIN w ON w.point_id = v.point_id
+)
+SELECT point_id AS feature_id, ele FROM ann
+UNION ALL
+SELECT point_id AS feature_id, CAST(NULL AS VARCHAR) AS ele FROM pois
+"""
+
+
 def q_geo_connect_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest street segment within 500 m (oracle: the equirectangular
     point-segment projection is closed-form SQL; also pinned vs numpy
@@ -5256,6 +5363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "doc_urls": q_doc_urls,
     "c4_clean": q_c4_clean,
+    "terrain_ele": q_terrain_ele,
 }
 
 ORACLES: dict[str, str] = {
@@ -5366,6 +5474,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": sql_pii_scrub(),
     "doc_urls": sql_doc_urls(),
     "c4_clean": sql_c4_clean(),
+    "terrain_ele": sql_terrain_ele(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -328,6 +328,61 @@ def elevation_idw(
     )
 
 
+def annotate_elevations(
+    features: DataFrame,
+    spots: DataFrame,
+    radius_m: float = 25.0,
+) -> DataFrame:
+    """The b6-ingest-terrain annotation pass (cmd/b6-ingest-terrain/
+    b6-ingest-terrain.go:185-215 elevationSource): every POINT feature
+    that lies on a path tagged #highway gains the tag
+    ``ele = strconv.Itoa(int(math.Round(e)))`` where e is the
+    ElevationField estimate at the point (IDW with weight 1/d over
+    spots STRICTLY inside ``radius_m``, b6/elevation.go:42-64; the
+    reference builds the field with Radius=25 m from OS Terrain 50
+    grids).  Points with no in-radius spot, points on no highway path,
+    and non-point features pass through unchanged.
+
+    Spark shape: highway-path vertices -> distinct exact (lat, lng)
+    (shared nodes are shared coordinates in the packed layout, the same
+    identity point_paths relies on) -> equi-join against point-feature
+    locations -> the gridjoin-bucketed elevation_idw -> one left join
+    back + a map_concat.  Go's math.Round is half-AWAY-FROM-ZERO, not
+    banker's: sign(e) * floor(|e| + 0.5)."""
+    hv = (
+        features.filter(
+            (F.col("feature_type") == "path")
+            & F.col("tags").getItem("#highway").isNotNull()
+        )
+        .select(F.explode(F.arrays_zip(F.col("ys").alias("lat"), F.col("xs").alias("lng"))).alias("v"))
+        .select(F.col("v.lat").alias("lat"), F.col("v.lng").alias("lng"))
+        .distinct()
+    )
+    pts = features.filter(F.col("feature_type") == "point").select(
+        "feature_id",
+        F.element_at("ys", 1).alias("lat"),
+        F.element_at("xs", 1).alias("lng"),
+    )
+    on_highway = pts.join(hv, ["lat", "lng"], "inner")
+    elev = elevation_idw(on_highway, spots, radius_m, point_id="feature_id")
+    e = F.col("elev")
+    ele = (
+        F.signum(e) * F.floor(F.abs(e) + F.lit(0.5))
+    ).cast("int").cast("string")
+    tagged = elev.select("feature_id", ele.alias("_ele"))
+    return (
+        features.join(tagged, "feature_id", "left")
+        .withColumn(
+            "tags",
+            F.when(
+                F.col("_ele").isNotNull(),
+                F.map_concat(F.col("tags"), F.create_map(F.lit("ele"), F.col("_ele"))),
+            ).otherwise(F.col("tags")),
+        )
+        .drop("_ele")
+    )
+
+
 def _haversine_cum_m(xs, ys):
     """Cumulative arc length (meters) along a polyline."""
     import numpy as np

@@ -314,3 +314,72 @@ def test_elevation_strict_radius(spark):
         [("q", lat0, lng0)], "image_id string, lat double, lng double"
     )
     assert net_ops.elevation_idw(pts, spots, radius_m=500.0).count() == 0
+
+
+def test_annotate_elevations_terrain_semantics(spark):
+    """b6-ingest-terrain.go:185-215: only point features lying on a
+    #highway path gain ele; the value is Go math.Round (half away from
+    zero) of the strict-radius IDW estimate, stringified."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    lat0, lng0 = 51.5, -0.1
+    d = 100.0 / 111195.0  # ~100 m in degrees lat
+    feats = spark.createDataFrame(
+        [
+            # highway path through (lat0, lng0) and (lat0+d, lng0)
+            ("path/h", "path", "t", {"#highway": "primary"}, [lng0, lng0], [lat0, lat0 + d], [0]),
+            # service path (no #highway) through (lat0+5d, lng0)
+            ("path/s", "path", "t", {"#service": "alley"}, [lng0, lng0], [lat0 + 5 * d, lat0 + 6 * d], [0]),
+            # node on the highway
+            ("point/on", "point", "t", {"name": "n"}, [lng0], [lat0], [0]),
+            # node on the service path only
+            ("point/service", "point", "t", {}, [lng0], [lat0 + 5 * d], [0]),
+            # free-standing point
+            ("point/free", "point", "t", {}, [lng0 + 5 * d], [lat0], [0]),
+            # highway node with NO spot in radius
+            ("point/far", "point", "t", {}, [lng0], [lat0 + d], [0]),
+        ],
+        fixtures.FEATURE_SCHEMA,
+    )
+    # two spots ~25 m either side of (lat0, lng0): IDW = mean = 36.5 -> "37"
+    # (round half away from zero); nothing within 60 m of (lat0+d, lng0)
+    s = 25.0 / 111195.0
+    spots = spark.createDataFrame(
+        [(lat0 + s, lng0, 36.0), (lat0 - s, lng0, 37.0)],
+        "lat double, lng double, elev double",
+    )
+    out = net_ops.annotate_elevations(feats, spots, radius_m=60.0)
+    tags = {r["feature_id"]: dict(r["tags"]) for r in out.collect()}
+    assert tags["point/on"] == {"name": "n", "ele": "37"}
+    assert "ele" not in tags["point/service"]
+    assert "ele" not in tags["point/free"]
+    assert "ele" not in tags["point/far"]
+    assert tags["path/h"] == {"#highway": "primary"}  # non-points untouched
+    assert out.count() == feats.count()
+
+
+def test_annotate_elevations_rounds_half_away_from_zero(spark):
+    """math.Round(-2.5) = -3, math.Round(2.5) = 3 (not banker's)."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    lat0, lng0 = 10.0, 10.0
+    feats = spark.createDataFrame(
+        [
+            ("path/h", "path", "t", {"#highway": "x"}, [lng0, lng0 + 0.001], [lat0, lat0], [0]),
+            ("point/a", "point", "t", {}, [lng0], [lat0], [0]),
+            ("point/b", "point", "t", {}, [lng0 + 0.001], [lat0], [0]),
+        ],
+        fixtures.FEATURE_SCHEMA,
+    )
+    s = 10.0 / 111195.0
+    spots = spark.createDataFrame(
+        [
+            (lat0 + s, lng0, 2.5), (lat0 - s, lng0, 2.5),
+            (lat0 + s, lng0 + 0.001, -2.5), (lat0 - s, lng0 + 0.001, -2.5),
+        ],
+        "lat double, lng double, elev double",
+    )
+    out = net_ops.annotate_elevations(feats, spots, radius_m=30.0)
+    tags = {r["feature_id"]: dict(r["tags"]) for r in out.collect()}
+    assert tags["point/a"]["ele"] == "3"
+    assert tags["point/b"]["ele"] == "-3"
