@@ -5157,6 +5157,75 @@ FROM norm
 # renderer/colours.go + renderer.go:375-401) ---
 
 # branch strings built from integer concat only, so Spark and DuckDB
+# --- GB Code-Point Open ingest (cmd/b6-ingest-gb-codepoint) -----------------
+
+# deterministic synthetic postcodes, INJECTIVE below event_id 1,757,600
+# (3 base-26 letters + 2 digits), with the 'QZ' suffix exercising all
+# three legal lengths; identical SQL text both engines
+CODEPOINT_PC_SQL = (
+    "substring(concat("
+    "chr(65 + CAST(CAST(floor(event_id / 67600.0) AS BIGINT) % 26 AS INT)), "
+    "CAST(CAST(floor(event_id / 10.0) AS BIGINT) % 10 AS INT), "
+    "chr(65 + CAST(CAST(floor(event_id / 2600.0) AS BIGINT) % 26 AS INT)), "
+    "CAST(event_id % 10 AS INT), "
+    "chr(65 + CAST(CAST(floor(event_id / 100.0) AS BIGINT) % 26 AS INT)), "
+    "'Q', 'Z'), 1, 5 + CAST(event_id % 3 AS INT))"
+)
+# National Grid coordinates over Greater London (exact integer mods)
+CODEPOINT_E_SQL = "CAST(520000 + ((event_id * 2654435761) % 40000) AS DOUBLE)"
+CODEPOINT_N_SQL = "CAST(160000 + ((event_id * 40503) % 30000) AS DOUBLE)"
+
+
+def q_codepoint_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b6-ingest-gb-codepoint: (postcode, easting, northing) rows ->
+    #place=postal_code point features -- the PointIDFromGBPostcode
+    packing as codegen column math and the published OS
+    TM-inverse + Helmert chain (kernels/bng.py) as one Arrow batch;
+    coordinates rounded to 6 dp (~11 cm) to absorb numpy-vs-DuckDB
+    transcendental ULP noise."""
+    from .sources import codepoint as cp
+
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    rows = ev.select(
+        F.expr(CODEPOINT_PC_SQL).alias("postcode"),
+        F.expr(CODEPOINT_E_SQL).alias("easting"),
+        F.expr(CODEPOINT_N_SQL).alias("northing"),
+    )
+    out = cp.codepoint_features(rows)
+    return out.select(
+        "feature_id",
+        F.round(F.element_at("ys", 1), 6).alias("lat"),
+        F.round(F.element_at("xs", 1), 6).alias("lng"),
+        F.col("tags").getItem("#place").alias("place"),
+    )
+
+
+def sql_codepoint_points() -> str:
+    from .kernels import bng
+
+    return f"""
+WITH pcs AS (
+  SELECT event_id, {CODEPOINT_PC_SQL} AS pc,
+         {CODEPOINT_E_SQL} AS easting, {CODEPOINT_N_SQL} AS northing
+  FROM events
+),
+src AS (SELECT event_id AS rid, easting, northing FROM pcs),
+{bng.sql_ctes("src")},
+ids AS (
+  SELECT event_id,
+         (list_reduce(list_transform(string_split(pc, ''),
+            c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c) - 48
+                           ELSE ascii(c) - 55 END AS BIGINT)),
+            (acc, v) -> acc * 64 + v) * 4 + (length(pc) - 5)) AS pid
+  FROM pcs
+)
+SELECT concat('point/gb/codepoint/', CAST(i.pid AS VARCHAR)) AS feature_id,
+       round(b.lat, 6) AS lat, round(b.lng, 6) AS lng,
+       'postal_code' AS place
+FROM ids i JOIN bng b ON b.rid = i.event_id
+"""
+
+
 # parse byte-identical text: hex via printf, palette ints, float text
 # "i.fff" spanning every gradient bracket plus the above-1.0 clamp
 _RCOL_V = (
@@ -5364,6 +5433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_urls": q_doc_urls,
     "c4_clean": q_c4_clean,
     "terrain_ele": q_terrain_ele,
+    "codepoint_points": q_codepoint_points,
 }
 
 ORACLES: dict[str, str] = {
@@ -5475,6 +5545,7 @@ ORACLES: dict[str, str] = {
     "doc_urls": sql_doc_urls(),
     "c4_clean": sql_c4_clean(),
     "terrain_ele": sql_terrain_ele(),
+    "codepoint_points": sql_codepoint_points(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
