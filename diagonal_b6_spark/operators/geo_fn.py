@@ -23,7 +23,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -41,9 +41,14 @@ def _length_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
     )
 
 
+def length_m_col() -> Column:
+    """Per-feature length expression over the packed (xs, ys) columns."""
+    return _length_udf(F.col("xs"), F.col("ys"))
+
+
 def with_length_m(features: DataFrame) -> DataFrame:
     """Polyline length in meters (paths; ring perimeter for single rings)."""
-    return features.withColumn("length_m", _length_udf(F.col("xs"), F.col("ys")))
+    return features.withColumn("length_m", length_m_col())
 
 
 @F.pandas_udf(T.DoubleType())
@@ -56,9 +61,14 @@ def _area_udf(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
     )
 
 
+def area_m2_col() -> Column:
+    """Per-feature spherical-area expression over the packed geometry."""
+    return _area_udf(F.col("xs"), F.col("ys"), F.col("ring_offsets"))
+
+
 def with_area_m2(features: DataFrame) -> DataFrame:
     """Spherical polygon area in m^2; holes subtract."""
-    return features.withColumn("area_m2", _area_udf(F.col("xs"), F.col("ys"), F.col("ring_offsets")))
+    return features.withColumn("area_m2", area_m2_col())
 
 
 _CENTROID_SCHEMA = T.StructType(

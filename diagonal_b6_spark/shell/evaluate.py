@@ -287,6 +287,18 @@ def _fn_map(env, coll, fn):
     fn = _as_callable(fn)
     if isinstance(coll, DataFrame):
         ref = RowRef(coll)
+        if "tags" not in coll.columns and "value" in coll.columns:
+            # scalar collection (a literal {..} or an earlier map's value
+            # table): the lambda receives the VALUE as a per-row Column;
+            # keys pass through unchanged (vm_test.go:329-368 map-over-
+            # literal-collection semantics)
+            out = fn.apply(env, [ColVal(ref, F.col("value"))])
+            keys = [c for c in coll.columns if c != "value"]
+            if isinstance(out, ColVal):
+                return coll.select(*keys, out.col.alias("value"))
+            if isinstance(out, DataFrame):
+                return out
+            return coll.select(*keys, _col_of(out).alias("value"))
         out = fn.apply(env, [ref])
         if isinstance(out, ColVal):
             return coll.select("feature_id", out.col.alias(out.name))
@@ -438,14 +450,32 @@ def _fn_sum(env, coll):
     return coll.agg(F.sum(F.col(vcol).cast("double")).alias("value"))
 
 
+def _collection_sqltype(vals):
+    """Narrowest common SQL type for literal-collection items (the
+    reference keeps collection values typed; vm_test.go:349-368 maps
+    `add` over {36, 42} and expects ints back)."""
+    if vals and all(isinstance(v, bool) for v in vals):
+        return "boolean", None
+    if vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+        return "bigint", None
+    if vals and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+    ):
+        return "double", float
+    return "string", str
+
+
 def _fn_collection(env, *pairs):
     rows = []
     for p in pairs:
         if not (isinstance(p, tuple) and len(p) == 2):
             raise ShellError("collection expects pair items")
-        rows.append(p)
+        rows.append((_scalar(p[0]), _scalar(p[1])))
+    kt, kc = _collection_sqltype([k for k, _ in rows])
+    vt, vc = _collection_sqltype([v for _, v in rows])
+    conv = lambda v, c: v if c is None else c(v)
     return env.spark.createDataFrame(
-        [(str(k), v) for k, v in rows], "key string, value string"
+        [(conv(k, kc), conv(v, vc)) for k, v in rows], f"key {kt}, value {vt}"
     )
 
 
@@ -488,6 +518,10 @@ def _fn_get_centroid(env, f):
 def _fn_area(env, f):
     from ..operators import geo_fn
 
+    if isinstance(f, RowRef):
+        # per-feature Column so pipelines inside lambdas keep composing
+        # (`area b | gt 1000.0`, vm_test.go:113-140)
+        return ColVal(f, geo_fn.area_m2_col())
     return geo_fn.with_area_m2(_feature_df(f)).select(
         "feature_id", F.col("area_m2").alias("value")
     )
@@ -496,6 +530,8 @@ def _fn_area(env, f):
 def _fn_length(env, f):
     from ..operators import geo_fn
 
+    if isinstance(f, RowRef):
+        return ColVal(f, geo_fn.length_m_col())
     return geo_fn.with_length_m(_feature_df(f)).select(
         "feature_id", F.col("length_m").alias("value")
     )

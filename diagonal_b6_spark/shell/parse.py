@@ -371,6 +371,11 @@ class _Parser:
     def _collection_scalar(self):
         t = self.peek()
         if t.kind == "STRING":
+            if self.peek(1).kind == "=":
+                # quoted tag key: {"highway"="motorway": 2}
+                key = self.next().text
+                self.expect("=")
+                return Tag(key, self._tagvalue())
             return Str(self.next().text)
         if t.kind == "INT":
             return Int(int(self.next().text))

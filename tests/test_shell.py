@@ -197,7 +197,7 @@ def test_eval_add_tag_overwrites(spark, feats):
 def test_eval_collection_literal(spark, feats):
     out = run(spark, feats, '{"motorway": 36.0, "primary": 32.0}')
     got = {r.key: r.value for r in out.collect()}
-    assert got == {"motorway": "36.0", "primary": "32.0"}
+    assert got == {"motorway": 36.0, "primary": 32.0}  # typed (vm_test.go:329)
 
 
 def test_eval_string_query_convenience(spark, feats):
@@ -238,3 +238,44 @@ def test_repl_module_imports():
     from diagonal_b6_spark.shell import __main__ as repl
 
     assert callable(repl.main)
+
+
+# --- vm_test.go semantics (the reference's own VM test expressions) ---------
+
+
+def test_vm_pipeline_inside_lambda(spark, feats):
+    """vm_test.go:113-140 TestWithVMAndPipelineInLamba:
+    `find [#building] | map {b -> area b | gt 1000.0} | count-values`
+    yields per-boolean counts covering every building."""
+    out = run(spark, feats, 'find [#building] | map {b -> area b | gt 1000.0} | count-values')
+    got = {r["value"]: r["count"] for r in out.collect()}
+    # fixtures: square (400 m) and hole (600 m) are > 1000 m2, tiny is not
+    assert got == {True: 2, False: 1}
+
+
+def test_vm_map_literal_collection_implicit_keys(spark, feats):
+    """vm_test.go:349-368: `map {36, 42} (add 10)` -> {0: 46, 1: 52},
+    values still integers."""
+    out = run(spark, feats, 'map {36, 42} (add 10)')
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(0, 46), (1, 52)]
+    assert dict(out.dtypes)["value"] == "bigint"
+
+
+def test_vm_map_literal_collection_tag_keys(spark, feats):
+    """vm_test.go:329-348: tag-literal keys survive the map and values
+    increment."""
+    out = run(spark, feats, 'map {highway="motorway": 2, highway="primary": 6} (add 1)')
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("highway=motorway", 3), ("highway=primary", 7)]
+
+
+def test_vm_quoted_tag_key_literal(spark, feats):
+    out = run(spark, feats, 'map {"highway"="motorway": 2} (add 1)')
+    assert [tuple(r) for r in out.collect()] == [("highway=motorway", 3)]
+
+
+def test_vm_length_pipeline_in_lambda(spark, feats):
+    out = run(spark, feats, 'find [#highway] | map {p -> length p | divide 1000.0} | take 2')
+    rows = out.collect()
+    assert len(rows) == 1 and abs(rows[0]["value"] - 1.3143) < 0.001

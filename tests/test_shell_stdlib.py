@@ -323,7 +323,7 @@ def test_map_items_swaps(spark, feats):
         '{"a": 1.0, "b": 2.0} | map-items {p -> pair (second p) (first p)}',
     )
     got = {r.key: r.value for r in out.collect()}
-    assert got == {"1.0": "a", "2.0": "b"}
+    assert got == {1.0: "a", 2.0: "b"}  # keys keep their type
 
 
 # ----------------------------------------------------------- symbol parity --
