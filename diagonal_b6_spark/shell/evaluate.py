@@ -222,6 +222,34 @@ def _as_query_col(q) -> Column:
     raise ShellError(f"not a query: {q!r}")
 
 
+def _predicate_column(node) -> Column:
+    """Query -> per-feature boolean WITHOUT the search-index key
+    restriction: the reference converts a query passed where a bool
+    function is needed into Query.Matches, which reads the feature's
+    tags directly (vm.go convertQueryToFunction; Tagged/Keyed.Matches in
+    b6/search.go test f.Get(key), never the token index) -- so
+    `filter [addr:postcode]` works on an unindexed key."""
+    if isinstance(node, P.QKeyed):
+        return F.col("tags")[node.key].isNotNull()
+    if isinstance(node, P.QTagged):
+        return F.col("tags")[node.key] == node.value
+    if isinstance(node, P.QAnd):
+        return _predicate_column(node.a) & _predicate_column(node.b)
+    if isinstance(node, P.QOr):
+        return _predicate_column(node.a) | _predicate_column(node.b)
+    raise ShellError(f"query {node!r} is not a pure tag predicate")
+
+
+def _as_predicate_col(q) -> Column:
+    if isinstance(q, Column):
+        return q
+    if isinstance(q, P.Query):
+        return _predicate_column(q.node)
+    if isinstance(q, (P.QKeyed, P.QTagged, P.QAnd, P.QOr)):
+        return _predicate_column(q)
+    raise ShellError(f"not a query: {q!r}")
+
+
 # ------------------------------------------------------------- functions ---
 
 
@@ -311,7 +339,7 @@ def _fn_map(env, coll, fn):
 def _fn_filter(env, coll, pred):
     coll = _require_df(coll)
     if isinstance(pred, (P.Query, P.QKeyed, P.QTagged, P.QAnd, P.QOr, Column)):
-        return coll.filter(_as_query_col(pred))
+        return coll.filter(_as_predicate_col(pred))
     fn = _as_callable(pred)
     out = fn.apply(env, [RowRef(coll)])
     if isinstance(out, ColVal):
@@ -394,7 +422,7 @@ def _fn_count_tag_value(env, coll, key, value):
 
 def _fn_matches(env, f, q):
     if isinstance(f, RowRef):
-        return ColVal(f, _as_query_col(q))
+        return ColVal(f, _as_predicate_col(q))
     raise ShellError("matches expects a feature")
 
 

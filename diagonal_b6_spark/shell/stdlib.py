@@ -670,6 +670,15 @@ def _fn_to_geojson(env, f):
     return geojson_src.to_geojson(_feature_df(f))
 
 
+def _fn_to_geojson_collection(env, f):
+    """to-geojson-collection keeps the feature columns alongside the
+    encoded document so geometry transforms can still compose after it
+    (vm_test.go:141-164 pipes it into map-geometries); the geojson
+    column is refreshed by map-geometries after any transform."""
+    df = _feature_df(f)
+    return df.join(geojson_src.to_geojson(df), "feature_id")
+
+
 def _fn_import_geojson(env, g, ns):
     stamped = _require_df(g).withColumn("ns", F.lit(str(ns)))
     return ChangeVal(added=stamped)
@@ -705,16 +714,37 @@ def _as_df_transform(env, fn, df: DataFrame) -> DataFrame:
         raise ShellError("apply-to-* function must return features")
     if isinstance(out, ColVal):
         return out.ref.df.select("feature_id", out.col.alias(out.name))
-    return _require_df(out)
+    out = _require_df(out)
+    if "xs" not in out.columns and {"feature_id", "lat", "lng"} <= set(out.columns):
+        # a geometry->point transform (centroid / interpolate): graft the
+        # new point geometry back onto the feature rows -- map-geometries
+        # REPLACES the geometry and keeps the feature's identity and tags
+        # (fn geojson.go:141-164 semantics)
+        pts = out.select("feature_id", "lat", "lng")
+        return (
+            df.drop("xs", "ys", "ring_offsets")
+            .join(pts, "feature_id")
+            .withColumn("feature_type", F.lit("point"))
+            .withColumn("xs", F.array(F.col("lng")))
+            .withColumn("ys", F.array(F.col("lat")))
+            .withColumn("ring_offsets", F.array(F.lit(0)))
+            .drop("lat", "lng")
+        )
+    return out
 
 
 def _fn_map_geometries(env, g, f):
     fn = f if isinstance(f, (Func, Partial, LambdaVal)) else None
     if fn is None:
         raise ShellError("map-geometries expects a function")
-    return geo_fn.map_geometries(
-        _require_df(g), lambda df: _as_df_transform(env, fn, df)
-    )
+    df = _require_df(g)
+    had_geojson = "geojson" in df.columns
+    if had_geojson:
+        df = df.drop("geojson")
+    out = geo_fn.map_geometries(df, lambda d: _as_df_transform(env, fn, d))
+    if had_geojson and "xs" in out.columns:
+        out = out.join(geojson_src.to_geojson(out), "feature_id")
+    return out
 
 
 # ----------------------------------------------------------------- change --
@@ -1363,7 +1393,7 @@ def _register() -> None:
         "parse-geojson": (_fn_parse_geojson, 1),
         "parse-geojson-file": (_fn_parse_geojson_file, 1),
         "to-geojson": (_fn_to_geojson, 1),
-        "to-geojson-collection": (_fn_to_geojson, 1),
+        "to-geojson-collection": (_fn_to_geojson_collection, 1),
         "import-geojson": (_fn_import_geojson, 2),
         "import-geojson-file": (_fn_import_geojson_file, 2),
         "geojson-areas": (_fn_geojson_areas, 1),

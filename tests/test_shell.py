@@ -279,3 +279,34 @@ def test_vm_length_pipeline_in_lambda(spark, feats):
     out = run(spark, feats, 'find [#highway] | map {p -> length p | divide 1000.0} | take 2')
     rows = out.collect()
     assert len(rows) == 1 and abs(rows[0]["value"] - 1.3143) < 0.001
+
+
+def test_vm_return_functions_geojson_chain(spark, feats):
+    """vm_test.go:141-164 TestReturnFunctions: to-geojson-collection |
+    map-geometries (apply-to-area {a -> centroid a}) turns every
+    building area into a Point document, keeping identity and tags."""
+    import json
+
+    out = run(
+        spark, feats,
+        'find (keyed "#building") | to-geojson-collection'
+        ' | map-geometries (apply-to-area {a -> centroid a})',
+    )
+    rows = out.collect()
+    assert len(rows) == 3  # square, hole, tiny
+    for r in rows:
+        assert r["feature_type"] == "point"
+        assert "#building" in r["tags"] and "name" in r["tags"]
+        doc = json.loads(r["geojson"])
+        assert doc["geometry"]["type"] == "Point"
+        assert doc["geometry"]["coordinates"] == [r["xs"][0], r["ys"][0]]
+
+
+def test_vm_filter_accepts_unindexed_query_keys(spark, feats):
+    """vm_test.go:192-219: a query passed where a bool function is
+    needed becomes Query.Matches -- a direct tag test with NO search-
+    index key restriction ('name' and 'addr:postcode' are unindexed)."""
+    assert run(spark, feats, "find [#building] | filter [name]").count() == 3
+    assert run(spark, feats, "find [#building] | filter [addr:postcode]").count() == 0
+    # and the indexed form still works through the same path
+    assert run(spark, feats, "find [#building] | filter [#building=yes]").count() == 2
