@@ -351,3 +351,54 @@ def paths_to_reach(routes: DataFrame) -> DataFrame:
         .groupBy(F.col("pred").alias("src"), F.col("node").alias("dst"))
         .agg(F.count("*").alias("n_paths"))
     )
+
+
+def interpolate_shortest_path_distances(segments: DataFrame) -> DataFrame:
+    """Per-vertex distances along a path segment whose two ends sit at
+    known shortest-path distances (graph.go:266-298
+    interpolateShortestPathDistances -- the forward/backward relaxation
+    with early break reduces to an elementwise
+    min(first + cum_i, last + (total - cum_i)) over the vertices walked
+    from `first` to `last`; an infinite end leaves one-sided
+    interpolation).  The OD-cost renderer uses this to colour segment
+    interiors between graph nodes.
+
+    Input columns: (xs, ys, first int, last int, first_m double,
+    last_m double) plus any id columns; adds `dists array<double>`
+    (meters, ordered from `first` toward `last`).  One Arrow batch per
+    partition, vectorized haversine inside."""
+
+    @F.pandas_udf("array<double>")
+    def interp(
+        xs: pd.Series, ys: pd.Series, first: pd.Series, last: pd.Series,
+        first_m: pd.Series, last_m: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for x, y, f, l, fm, lm in zip(xs, ys, first, last, first_m, last_m):
+            f, l = int(f), int(l)
+            step = 1 if l >= f else -1
+            idx = np.arange(f, l + step, step)
+            vx = np.asarray(x, dtype=np.float64)[idx]
+            vy = np.asarray(y, dtype=np.float64)[idx]
+            lat = np.radians(vy)
+            lng = np.radians(vx)
+            dphi = lat[1:] - lat[:-1]
+            dlmb = lng[1:] - lng[:-1]
+            h = (
+                np.sin(dphi / 2.0) ** 2
+                + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb / 2.0) ** 2
+            )
+            seg = 2.0 * 6371010.0 * np.arcsin(np.sqrt(h))
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            total = cum[-1]
+            d = np.minimum(float(fm) + cum, float(lm) + (total - cum))
+            out.append(d.tolist())
+        return pd.Series(out)
+
+    return segments.withColumn(
+        "dists",
+        interp(
+            F.col("xs"), F.col("ys"), F.col("first"), F.col("last"),
+            F.col("first_m"), F.col("last_m"),
+        ),
+    )

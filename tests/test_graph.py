@@ -242,3 +242,38 @@ def test_weight_factor_column(spark):
         for r in w_ops.weights_from_options(edges, {"walk:speed": "1.0"}).collect()
     }
     assert out[(1, 2)] == 200.0 and out[(2, 3)] == 100.0
+
+
+def test_interpolate_shortest_path_distances_reference_vectors(spark):
+    """graph_test.go:201-244 TestInterpolateShortestPathDistances: the
+    reference's own way 558345071 with all four first/last cases,
+    expected values within 1 m."""
+    import math
+
+    from diagonal_b6_spark.operators import graph as graph_ops
+
+    xs = [-0.1272493, -0.1271810, -0.1271628, -0.1270125]
+    ys = [51.5358664, 51.5359780, 51.5360033, 51.5362126]
+    n = len(xs)
+    cases = [
+        (0, n - 1, 100.0, 200.0, [100.0, 113.0, 116.0, 141.0]),
+        (0, n - 1, 100.0, 50.0, [91.0, 78.0, 75.0, 50.0]),
+        (n - 1, 0, 200.0, 100.0, [141.0, 116.0, 113.0, 100.0]),
+        (0, n - 1, 100.0, math.inf, [100.0, 113.0, 116.0, 141.0]),
+    ]
+    rows = [
+        (i, xs, ys, f, l, fm, lm) for i, (f, l, fm, lm, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "case_id int, xs array<double>, ys array<double>, first int, last int, "
+        "first_m double, last_m double",
+    )
+    got = {
+        r["case_id"]: r["dists"]
+        for r in graph_ops.interpolate_shortest_path_distances(df).collect()
+    }
+    for i, (_, _, _, _, want) in enumerate(cases):
+        assert len(got[i]) == len(want)
+        for g, w in zip(got[i], want):
+            assert abs(g - w) <= 1.0, (i, got[i], want)
