@@ -1286,6 +1286,43 @@ FROM cover GROUP BY tile_x, tile_y
 """
 
 
+def q_render_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRenderer (renderer/query.go:48-119): shell-query string ->
+    MVT 'query' layer, batch-rendered for every covered tile.  Oracle
+    covers the query match, tile fan-out and counts (the wire bytes are
+    decoder-pinned in tests/test_mvt.py)."""
+    from .operators import render as render_ops
+
+    out = render_ops.render_query_tiles(
+        spark, fixtures.features_table(spark), "[#amenity]", 16, v='get-string "name"'
+    )
+    return out.select(
+        "zoom", "tile_x", "tile_y", "n_features",
+        (F.length("mvt") > 0).alias("mvt_nonempty"),
+    )
+
+
+def sql_render_query() -> str:
+    n = float(1 << 16)
+    pois = ",\n    ".join(
+        f"('{f['feature_id']}', {f['ys'][0]!r}, {f['xs'][0]!r})"
+        for f in fixtures.feature_rows()
+        if f["feature_type"] == "point" and "#amenity" in f["tags"]
+    )
+    tx = f"CAST(floor((plng + 180.0) / 360.0 * {n!r}) AS BIGINT)"
+    ty = (
+        f"CAST(floor((1.0 - ln(tan(radians(plat)) + 1.0 / cos(radians(plat)))"
+        f" / pi()) / 2.0 * {n!r}) AS BIGINT)"
+    )
+    return f"""
+WITH pois(pid, plat, plng) AS (VALUES
+    {pois})
+SELECT 16 AS zoom, {tx} AS tile_x, {ty} AS tile_y,
+       CAST(count(*) AS INT) AS n_features, TRUE AS mvt_nonempty
+FROM pois GROUP BY 2, 3
+"""
+
+
 def q_geo_sightline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed per probe origin vs fixture buildings.  Oracle-backed:
     the angular sweep is closed-form trig (720 ray-segment minima +
@@ -5434,6 +5471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "terrain_ele": q_terrain_ele,
     "codepoint_points": q_codepoint_points,
+    "render_query": q_render_query,
 }
 
 ORACLES: dict[str, str] = {
@@ -5546,6 +5584,7 @@ ORACLES: dict[str, str] = {
     "c4_clean": sql_c4_clean(),
     "terrain_ele": sql_terrain_ele(),
     "codepoint_points": sql_codepoint_points(),
+    "render_query": sql_render_query(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -244,3 +244,106 @@ def apply_render_rules(features: DataFrame, zoom: int, rules=None) -> DataFrame:
     return features.filter(any_match).withColumn("layer", layer_expr).withColumn(
         "label", label_expr
     )
+
+
+# --- QueryRenderer: shell-query string -> MVT "query" layer ------------------
+
+# renderer/query.go:23-34 QueryRenderRules: the feature-type attribute
+# keys, first match wins, emitted with the '#' stripped.
+QUERY_RENDER_RULE_KEYS = [
+    "#amenity",
+    "#boundary",
+    "#highway",
+    "#landuse",
+    "#natural",
+    "#place",
+    "#railway",
+    "#water",
+    "#waterway",
+]
+
+QUERY_RENDERER_MAX_FEATURES_PER_TILE = 10_000  # query.go:36
+
+
+def render_query_tiles(
+    spark,
+    features: DataFrame,
+    q: str,
+    zoom: int,
+    v: str | None = None,
+) -> DataFrame:
+    """The QueryRenderer endpoint (renderer/query.go:48-119) Spark-first:
+    evaluate the shell-language query string against the feature table,
+    attach the feature-type attribute (first matching
+    QUERY_RENDER_RULE_KEYS key, '#' stripped) plus the optional value
+    function's result as tag "v", and batch-render EVERY covered tile of
+    the zoom (the per-request MightIntersect(tile) of the reference IS
+    the tile_cover join key here).
+
+    `v` is a shell expression returning a function (e.g.
+    'get-string "name"'); like the reference, only int- and
+    string-valued results are attached (query.go:96-104 switches on
+    int/string/Stringer and silently drops everything else).  The name
+    label the reference adds via RenderRule{Label: true} rides along as
+    the "name" tag when present."""
+    from ..shell import parse_expression
+    from ..shell.evaluate import (
+        ColVal,
+        Env,
+        RowRef,
+        ShellError,
+        _as_callable,
+        _find,
+        evaluate_expression,
+    )
+
+    env = Env(spark, features)
+    matched = _find(env, parse_expression(q))
+
+    # feature-type attribute: first matching rule key, '#' stripped
+    typed = F.coalesce(
+        *[
+            F.when(
+                F.col("tags").getItem(k).isNotNull(),
+                F.create_map(F.lit(k[1:]), F.col("tags").getItem(k)),
+            )
+            for k in QUERY_RENDER_RULE_KEYS
+        ],
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    )
+    label = F.when(
+        F.col("tags").getItem("name").isNotNull(),
+        F.create_map(F.lit("name"), F.col("tags").getItem("name")),
+    ).otherwise(
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    tags = F.map_concat(typed, label)
+
+    if v is not None:
+        fn = _as_callable(evaluate_expression(parse_expression(v), env))
+        out = fn.apply(env, [RowRef(matched)])
+        if not isinstance(out, ColVal):
+            raise ShellError(f"expected {v!r} to return a per-feature value")
+        dtype = matched.select(out.col.alias("_v")).schema["_v"].dataType.simpleString()
+        if dtype in ("string",) or dtype.startswith(("int", "bigint", "smallint", "tinyint", "long")):
+            vm = F.when(
+                out.col.isNotNull(),
+                F.create_map(F.lit("v"), out.col.cast("string")),
+            ).otherwise(
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                )
+            )
+            tags = F.map_concat(tags, vm)
+
+    staged = matched.withColumn("tags", tags)
+    return render_tiles(
+        staged,
+        zoom,
+        layer_name="query",
+        max_features_per_tile=QUERY_RENDERER_MAX_FEATURES_PER_TILE,
+    )

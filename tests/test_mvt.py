@@ -251,3 +251,46 @@ def test_render_rules_zoom_and_layers(spark):
     # max-zoom: city label gone above 12; footway appears at 14
     assert set(z14) == {"a", "b", "d", "e"}
     assert z14["d"] == ("road", False)
+
+
+def test_render_query_tiles_reference_semantics(spark):
+    """QueryRenderer (renderer/query.go:48-119 + query_test.go): layer
+    is named 'query'; matched features carry the first matching
+    QueryRenderRules key with '#' stripped; the value function's result
+    rides as tag 'v' (string/int only); the name label rides along;
+    #building is NOT a rule key so buildings get no type attribute."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.kernels import mvt
+    from diagonal_b6_spark.operators import render as render_ops
+
+    feats = fixtures.features_table(spark)
+
+    def tile_tags(row):
+        layer = mvt.decode_tile(bytes(row["mvt"]))[0]
+        assert layer["name"] == "query"
+        out = []
+        for f in layer["features"]:
+            out.append(
+                {
+                    layer["keys"][k]: layer["values"][v]
+                    for k, v in zip(f["tags"][::2], f["tags"][1::2])
+                }
+            )
+        return out
+
+    rows = render_ops.render_query_tiles(
+        spark, feats, '[#amenity=bench]', 16, v='get-string "name"'
+    ).collect()
+    n = sum(r["n_features"] for r in rows)
+    assert n == 7  # benches: every third of the 20 POI points
+    for r in rows:
+        for tags in tile_tags(r):
+            assert tags["amenity"] == "bench"
+            assert tags["v"] == ""  # benches are unnamed; get-string -> ""
+
+    rows2 = render_ops.render_query_tiles(spark, feats, "[#building]", 15).collect()
+    assert sum(r["n_features"] for r in rows2) >= 3
+    for r in rows2:
+        for tags in tile_tags(r):
+            assert "building" not in tags  # not a QueryRenderRules key
+            assert "name" in tags  # label rides along
