@@ -347,3 +347,57 @@ def render_query_tiles(
         layer_name="query",
         max_features_per_tile=QUERY_RENDERER_MAX_FEATURES_PER_TILE,
     )
+
+
+def render_collection_tiles(
+    features: DataFrame,
+    collection_id: str,
+    zoom: int,
+    rules=None,
+) -> DataFrame:
+    """The CollectionRenderer endpoint (renderer/collection.go:22-66):
+    resolve a stored collection feature's members -- ids appear on BOTH
+    the key and value sides (collection_test.go expects the distinct
+    union) -- find them in the world, attach the render-rules type
+    attribute ('#' stripped, first matching rule, no zoom gate in
+    AddTags) plus the name label, and render layer 'collection' for
+    every covered tile of the zoom.
+
+    Our collection features store members as member:<i> /
+    member_key:<i> tag entries (the FEATURE_SCHEMA pairing documented
+    at shell/stdlib._composite_feature_change)."""
+    rs = rules or BASEMAP_RENDER_RULES
+    ids = (
+        features.filter(F.col("feature_id") == collection_id)
+        .select(F.explode("tags").alias("k", "v"))
+        .filter(F.col("k").rlike("^member(_key)?:"))
+        .select(F.col("v").alias("feature_id"))
+        .distinct()
+    )
+    members = features.join(F.broadcast(ids), "feature_id", "semi")
+    typed = F.coalesce(
+        *[
+            F.when(
+                (
+                    F.col("tags").getItem(key).isNotNull()
+                    if value is None
+                    else (F.col("tags").getItem(key) == value)
+                ),
+                F.create_map(F.lit(key[1:]), F.col("tags").getItem(key)),
+            )
+            for key, value, _mn, _mx, _layer, _label in rs
+        ],
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ),
+    )
+    label = F.when(
+        F.col("tags").getItem("name").isNotNull(),
+        F.create_map(F.lit("name"), F.col("tags").getItem("name")),
+    ).otherwise(
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    staged = members.withColumn("tags", F.map_concat(typed, label))
+    return render_tiles(staged, zoom, layer_name="collection")

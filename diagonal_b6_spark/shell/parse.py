@@ -327,6 +327,9 @@ class _Parser:
     # --- '{' ... '}': lambda or collection, disambiguated by lookahead ---
     def _lambda_or_collection(self):
         self.expect("{")
+        if self.peek().kind == "}":
+            self.next()  # {} = the empty collection
+            return Call(Symbol("collection"), [])
         if self.peek().kind == "ARROW":
             self.next()
             body = self.pipeline()

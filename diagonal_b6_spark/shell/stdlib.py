@@ -852,15 +852,31 @@ def _fn_add_point(env, point, fid, tags):
 
 
 def _members_tags(members) -> list[tuple[str, str]]:
+    """Collection members as member:<i> (value) plus member_key:<i> when
+    the key itself is a feature id -- the reference's CollectionFeature
+    keeps Keys AND Values, and both sides can reference features
+    (renderer/collection.go:43-49 gathers ids from each)."""
     if members is None:
         return []
+
+    def is_fid(v) -> bool:
+        return isinstance(v, str) and "/" in v
+
     if isinstance(members, DataFrame):
         rows = members.limit(1025).collect()
         if len(rows) > 1024:
             raise ShellError("member collection exceeds 1024 entries")
-        return [(f"member:{i}", str(r[-1])) for i, r in enumerate(rows)]
+        out = []
+        for i, r in enumerate(rows):
+            out.append((f"member:{i}", str(r[-1])))
+            if len(r) > 1 and is_fid(r[0]) and r[0] != r[-1]:
+                out.append((f"member_key:{i}", str(r[0])))
+        return out
     if isinstance(members, tuple):
-        return [("member:0", str(members[-1]))]
+        out = [("member:0", str(members[-1]))]
+        if len(members) > 1 and is_fid(members[0]) and members[0] != members[-1]:
+            out.append(("member_key:0", str(members[0])))
+        return out
     raise ShellError(f"expected a member collection, found {members!r}")
 
 

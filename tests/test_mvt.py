@@ -294,3 +294,52 @@ def test_render_query_tiles_reference_semantics(spark):
         for tags in tile_tags(r):
             assert "building" not in tags  # not a QueryRenderRules key
             assert "name" in tags  # label rides along
+
+
+def test_render_collection_tiles_both_test_cases(spark):
+    """CollectionRenderer (renderer/collection_test.go): a collection's
+    member ids come from BOTH keys and values (distinct union); layer is
+    named 'collection'; members carry the render-rules type attribute
+    and the name label."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.kernels import mvt
+    from diagonal_b6_spark.operators import render as render_ops
+    from diagonal_b6_spark.shell import run
+
+    feats = fixtures.features_table(spark)
+
+    # case 1 (TestCollectionWithBoundaries): int keys, two area values
+    ch1 = run(
+        spark, feats,
+        'add-collection /collection/test/1 {} {0: /area/test/1, 1: /area/test/2}',
+    )
+    world1 = feats.unionByName(ch1.added)
+    out1 = render_ops.render_collection_tiles(world1, "collection/test/1", 14)
+    rows1 = out1.collect()
+    assert sum(r["n_features"] for r in rows1) >= 2
+    seen = set()
+    for r in rows1:
+        layer = mvt.decode_tile(bytes(r["mvt"]))[0]
+        assert layer["name"] == "collection"
+        for f in layer["features"]:
+            tags = {
+                layer["keys"][k]: layer["values"][v]
+                for k, v in zip(f["tags"][::2], f["tags"][1::2])
+            }
+            assert tags.get("building") == "yes"  # basemap type attribute
+            seen.add(tags["name"])
+    assert seen == {"square", "hole"}
+
+    # case 2 (TestCollectionWithFeatureKeysAndValues): feature-id keys
+    # contribute a THIRD distinct member
+    ch2 = run(
+        spark, feats,
+        'add-collection /collection/test/2 {} '
+        "{/point/test/7: /area/test/1, /point/test/7: /area/test/2}",
+    )
+    world2 = feats.unionByName(ch2.added)
+    # zoom 10: one tile covers the whole fixture, mirroring the
+    # reference's single-tile render (3 = two values + one distinct key)
+    out2 = render_ops.render_collection_tiles(world2, "collection/test/2", 10)
+    rows2 = out2.collect()
+    assert len(rows2) == 1 and rows2[0]["n_features"] == 3
