@@ -309,19 +309,9 @@ def render_query_tiles(
             )
             for k in QUERY_RENDER_RULE_KEYS
         ],
-        F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<string>")
-        ),
+        _empty_tag_map(),
     )
-    label = F.when(
-        F.col("tags").getItem("name").isNotNull(),
-        F.create_map(F.lit("name"), F.col("tags").getItem("name")),
-    ).otherwise(
-        F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<string>")
-        )
-    )
-    tags = F.map_concat(typed, label)
+    tags = F.map_concat(typed, _label_tag())
 
     if v is not None:
         fn = _as_callable(evaluate_expression(parse_expression(v), env))
@@ -333,11 +323,7 @@ def render_query_tiles(
             vm = F.when(
                 out.col.isNotNull(),
                 F.create_map(F.lit("v"), out.col.cast("string")),
-            ).otherwise(
-                F.map_from_arrays(
-                    F.array().cast("array<string>"), F.array().cast("array<string>")
-                )
-            )
+            ).otherwise(_empty_tag_map())
             tags = F.map_concat(tags, vm)
 
     staged = matched.withColumn("tags", tags)
@@ -347,6 +333,68 @@ def render_query_tiles(
         layer_name="query",
         max_features_per_tile=QUERY_RENDERER_MAX_FEATURES_PER_TILE,
     )
+
+
+def _empty_tag_map():
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+
+
+def _rules_type_tag(rs) -> "F.Column":
+    """RenderRules.AddTags (renderer.go:161-169): first matching rule's
+    key with '#' stripped, no zoom gate; value-specific rules need the
+    value to match, key rules need presence."""
+    return F.coalesce(
+        *[
+            F.when(
+                (
+                    F.col("tags").getItem(key).isNotNull()
+                    if value is None
+                    else (F.col("tags").getItem(key) == value)
+                ),
+                F.create_map(F.lit(key[1:]), F.col("tags").getItem(key)),
+            )
+            for key, value, _mn, _mx, _layer, _label in rs
+        ],
+        _empty_tag_map(),
+    )
+
+
+def _label_tag() -> "F.Column":
+    return F.when(
+        F.col("tags").getItem("name").isNotNull(),
+        F.create_map(F.lit("name"), F.col("tags").getItem("name")),
+    ).otherwise(_empty_tag_map())
+
+
+def render_histogram_tiles(
+    features: DataFrame,
+    buckets: DataFrame,
+    zoom: int,
+    rules=None,
+) -> DataFrame:
+    """The HistogramRenderer endpoint (renderer/histogram.go:23-81):
+    features that appear in a histogram collection render with their
+    bucket index as tag "bucket" (stringified int) plus the
+    render-rules type attribute and name label, layer 'histogram';
+    features absent from the histogram don't render.
+
+    `buckets` is the (feature_id, bucket int) table -- the natural
+    DataFrame form of the reference's bucketed collection (the
+    histogram_b6 / histogram_swatch operators emit exactly this)."""
+    rs = rules or BASEMAP_RENDER_RULES
+    b = buckets.select(
+        "feature_id", F.col("bucket").cast("int").alias("_bucket")
+    )
+    members = features.join(b, "feature_id")
+    tags = F.map_concat(
+        _rules_type_tag(rs),
+        _label_tag(),
+        F.create_map(F.lit("bucket"), F.col("_bucket").cast("string")),
+    )
+    staged = members.withColumn("tags", tags).drop("_bucket")
+    return render_tiles(staged, zoom, layer_name="histogram")
 
 
 def render_collection_tiles(
@@ -375,29 +423,7 @@ def render_collection_tiles(
         .distinct()
     )
     members = features.join(F.broadcast(ids), "feature_id", "semi")
-    typed = F.coalesce(
-        *[
-            F.when(
-                (
-                    F.col("tags").getItem(key).isNotNull()
-                    if value is None
-                    else (F.col("tags").getItem(key) == value)
-                ),
-                F.create_map(F.lit(key[1:]), F.col("tags").getItem(key)),
-            )
-            for key, value, _mn, _mx, _layer, _label in rs
-        ],
-        F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<string>")
-        ),
+    staged = members.withColumn(
+        "tags", F.map_concat(_rules_type_tag(rs), _label_tag())
     )
-    label = F.when(
-        F.col("tags").getItem("name").isNotNull(),
-        F.create_map(F.lit("name"), F.col("tags").getItem("name")),
-    ).otherwise(
-        F.map_from_arrays(
-            F.array().cast("array<string>"), F.array().cast("array<string>")
-        )
-    )
-    staged = members.withColumn("tags", F.map_concat(typed, label))
     return render_tiles(staged, zoom, layer_name="collection")

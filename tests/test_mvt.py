@@ -343,3 +343,30 @@ def test_render_collection_tiles_both_test_cases(spark):
     out2 = render_ops.render_collection_tiles(world2, "collection/test/2", 10)
     rows2 = out2.collect()
     assert len(rows2) == 1 and rows2[0]["n_features"] == 3
+
+
+def test_render_histogram_tiles(spark):
+    """HistogramRenderer (renderer/histogram.go:23-81 +
+    histogram_test.go): bucketed features render with tag
+    bucket=<index>; features absent from the histogram don't render."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.kernels import mvt
+    from diagonal_b6_spark.operators import render as render_ops
+
+    feats = fixtures.features_table(spark)
+    buckets = spark.createDataFrame(
+        [("area/test/1", 0), ("area/test/2", 2)], "feature_id string, bucket int"
+    )
+    rows = render_ops.render_histogram_tiles(feats, buckets, 10).collect()
+    assert len(rows) == 1
+    layer = mvt.decode_tile(bytes(rows[0]["mvt"]))[0]
+    assert layer["name"] == "histogram"
+    assert rows[0]["n_features"] == 2
+    got = {}
+    for f in layer["features"]:
+        tags = {
+            layer["keys"][k]: layer["values"][v]
+            for k, v in zip(f["tags"][::2], f["tags"][1::2])
+        }
+        got[tags["name"]] = (tags["bucket"], tags.get("building"))
+    assert got == {"square": ("0", "yes"), "hole": ("2", "yes")}
