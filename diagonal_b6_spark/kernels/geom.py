@@ -34,6 +34,18 @@ def haversine_m(lat1, lng1, lat2, lng2):
     return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
+def cum_arc_length_m(xs, ys) -> np.ndarray:
+    """Cumulative haversine arc length (meters) along a polyline --
+    out[0] = 0, out[-1] = total length.  The single shared kernel for
+    every per-vertex distance/interpolation consumer."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    out = np.zeros(len(xs))
+    if len(xs) > 1:
+        out[1:] = np.cumsum(haversine_m(ys[:-1], xs[:-1], ys[1:], xs[1:]))
+    return out
+
+
 def _norm_lng(lng, ref):
     """Shift longitudes into (ref-180, ref+180] -- antimeridian handling."""
     return ((np.asarray(lng, dtype=np.float64) - ref + 180.0) % 360.0) - 180.0 + ref

@@ -373,23 +373,17 @@ def interpolate_shortest_path_distances(segments: DataFrame) -> DataFrame:
         xs: pd.Series, ys: pd.Series, first: pd.Series, last: pd.Series,
         first_m: pd.Series, last_m: pd.Series,
     ) -> pd.Series:
+        from ..kernels.geom import cum_arc_length_m
+
         out = []
         for x, y, f, l, fm, lm in zip(xs, ys, first, last, first_m, last_m):
             f, l = int(f), int(l)
             step = 1 if l >= f else -1
             idx = np.arange(f, l + step, step)
-            vx = np.asarray(x, dtype=np.float64)[idx]
-            vy = np.asarray(y, dtype=np.float64)[idx]
-            lat = np.radians(vy)
-            lng = np.radians(vx)
-            dphi = lat[1:] - lat[:-1]
-            dlmb = lng[1:] - lng[:-1]
-            h = (
-                np.sin(dphi / 2.0) ** 2
-                + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlmb / 2.0) ** 2
+            cum = cum_arc_length_m(
+                np.asarray(x, dtype=np.float64)[idx],
+                np.asarray(y, dtype=np.float64)[idx],
             )
-            seg = 2.0 * 6371010.0 * np.arcsin(np.sqrt(h))
-            cum = np.concatenate([[0.0], np.cumsum(seg)])
             total = cum[-1]
             d = np.minimum(float(fm) + cum, float(lm) + (total - cum))
             out.append(d.tolist())

@@ -370,13 +370,18 @@ def annotate_elevations(
         F.signum(e) * F.floor(F.abs(e) + F.lit(0.5))
     ).cast("int").cast("string")
     tagged = elev.select("feature_id", ele.alias("_ele"))
+    # AddTag semantics: an existing ele tag is REPLACED (fn change.go:
+    # 20-45 'existing keys overwrite'); map_concat without the filter
+    # would throw DUPLICATED_MAP_KEY on re-annotation or on OSM points
+    # that already carry ele (peaks, survey points)
+    existing = F.map_filter(F.col("tags"), lambda k, _v: k != "ele")
     return (
         features.join(tagged, "feature_id", "left")
         .withColumn(
             "tags",
             F.when(
                 F.col("_ele").isNotNull(),
-                F.map_concat(F.col("tags"), F.create_map(F.lit("ele"), F.col("_ele"))),
+                F.map_concat(existing, F.create_map(F.lit("ele"), F.col("_ele"))),
             ).otherwise(F.col("tags")),
         )
         .drop("_ele")
@@ -384,18 +389,10 @@ def annotate_elevations(
 
 
 def _haversine_cum_m(xs, ys):
-    """Cumulative arc length (meters) along a polyline."""
-    import numpy as np
+    """Cumulative arc length (meters) along a polyline (shared kernel)."""
+    from ..kernels.geom import cum_arc_length_m
 
-    lat = np.radians(np.asarray(ys, dtype=np.float64))
-    lng = np.radians(np.asarray(xs, dtype=np.float64))
-    dlat = np.diff(lat)
-    dlng = np.diff(lng)
-    a = np.sin(dlat / 2) ** 2 + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlng / 2) ** 2
-    seg = 2 * 6371010.0 * np.arcsin(np.sqrt(a))
-    out = np.zeros(len(lat))
-    out[1:] = np.cumsum(seg)
-    return out
+    return cum_arc_length_m(xs, ys)
 
 
 def cluster_connections(

@@ -300,18 +300,11 @@ def render_query_tiles(
     env = Env(spark, features)
     matched = _find(env, parse_expression(q))
 
-    # feature-type attribute: first matching rule key, '#' stripped
-    typed = F.coalesce(
-        *[
-            F.when(
-                F.col("tags").getItem(k).isNotNull(),
-                F.create_map(F.lit(k[1:]), F.col("tags").getItem(k)),
-            )
-            for k in QUERY_RENDER_RULE_KEYS
-        ],
-        _empty_tag_map(),
-    )
-    tags = F.map_concat(typed, _label_tag())
+    # feature-type attribute: first matching rule key, '#' stripped --
+    # the same AddTags semantics as the other renderers, over the
+    # query-renderer's key-only rule list
+    query_rules = [(k, None, 0, 0, None, False) for k in QUERY_RENDER_RULE_KEYS]
+    tags = F.map_concat(_rules_type_tag(query_rules), _label_tag())
 
     if v is not None:
         fn = _as_callable(evaluate_expression(parse_expression(v), env))

@@ -860,7 +860,18 @@ def _members_tags(members) -> list[tuple[str, str]]:
         return []
 
     def is_fid(v) -> bool:
-        return isinstance(v, str) and "/" in v
+        # the reference gathers only FeatureID-TYPED keys
+        # (renderer/collection.go:43-49); by the time members reach this
+        # helper the parse-node type is gone, so require the engine's
+        # id shape (type/ns/...) rather than any '/'-bearing string --
+        # a plain label like "roads/primary" must NOT become a member
+        return isinstance(v, str) and v.split("/", 1)[0] in (
+            "point",
+            "path",
+            "area",
+            "relation",
+            "collection",
+        ) and "/" in v
 
     if isinstance(members, DataFrame):
         rows = members.limit(1025).collect()

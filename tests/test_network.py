@@ -383,3 +383,27 @@ def test_annotate_elevations_rounds_half_away_from_zero(spark):
     tags = {r["feature_id"]: dict(r["tags"]) for r in out.collect()}
     assert tags["point/a"]["ele"] == "3"
     assert tags["point/b"]["ele"] == "-3"
+
+
+def test_annotate_elevations_overwrites_existing_ele(spark):
+    """AddTag semantics (fn change.go:20-45): an existing ele tag is
+    REPLACED, not duplicated -- re-annotation and OSM points that
+    already carry ele (peaks, survey points) must not crash with
+    DUPLICATED_MAP_KEY."""
+    from diagonal_b6_spark.operators import network as net_ops
+
+    lat0, lng0 = 51.5, -0.1
+    feats = spark.createDataFrame(
+        [
+            ("path/h", "path", "t", {"#highway": "x"}, [lng0, lng0 + 0.001], [lat0, lat0], [0]),
+            ("point/peak", "point", "t", {"ele": "999", "name": "peak"}, [lng0], [lat0], [0]),
+        ],
+        fixtures.FEATURE_SCHEMA,
+    )
+    s = 10.0 / 111195.0
+    spots = spark.createDataFrame(
+        [(lat0 + s, lng0, 42.0)], "lat double, lng double, elev double"
+    )
+    out = net_ops.annotate_elevations(feats, spots, radius_m=30.0)
+    tags = {r["feature_id"]: dict(r["tags"]) for r in out.collect()}
+    assert tags["point/peak"] == {"name": "peak", "ele": "42"}
