@@ -111,6 +111,10 @@ def tokenize(s: str) -> list[Token]:
                     break
                 j += 1
             text = s[i:j]
+            if not any(ch.isdigit() for ch in text):
+                # a lone '-' or '.' is not a number (fuzz-found: it
+                # previously escaped as a raw ValueError at int()/float())
+                raise ParseError(f"bad number {text!r} at {i}")
             toks.append(Token("FLOAT" if decimal else "INT", text, i))
             i = j
         elif c in _SYMBOL_START:

@@ -323,3 +323,53 @@ def test_dsatur_per_component_equals_global(e1, e2):
         r = _dsatur(part)
         for fid, c in zip(r.feature_id, r.colour):
             assert gm[fid] == c
+
+
+# --- shell parser totality -------------------------------------------------
+
+from hypothesis import example as hexample
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+@hsettings(max_examples=300, deadline=2000)
+@hexample('find [#a=')
+@hexample('{x -> ')
+@hexample('map {')
+@hexample('"unterminated')
+@hexample("1 | | 2")
+@hexample("((((((((((")
+def test_shell_parser_is_total(s):
+    """The recursive-descent parser must either return a tree or raise
+    ParseError -- never hang, never raise anything else -- on arbitrary
+    printable input (the reference's goyacc grammar has the same
+    guarantee via yacc error recovery)."""
+    from diagonal_b6_spark.shell import ParseError, parse_expression
+
+    try:
+        parse_expression(s)
+    except ParseError:
+        pass
+
+
+@given(st.recursive(
+    st.sampled_from(["1", "2.5", '"x"', "[#k=v]", "[#k]", "all"]),
+    lambda inner: st.builds(
+        lambda a, b, op: {
+            "pipe": f"{a} | take 3",
+            "call": f"(and {a} {b})" if a.startswith("[") and b.startswith("[") else f"(add 1 2)",
+            "lambda": "{f -> " + a + "}" if not a.startswith("{") else a,
+            # collection values are STRING|INT|FEATURE_ID|FLOAT|tag|group
+            # (shell.y:149-156) -- anything else must be a '(...)' group
+            "coll": "{0: " + (a if __import__("re").fullmatch(r'[0-9.]+|"[^"]*"', a) else "(" + a + ")") + "}",
+        }[op],
+        inner, inner, st.sampled_from(["pipe", "call", "lambda", "coll"]),
+    ),
+    max_leaves=8,
+))
+@hsettings(max_examples=200, deadline=2000)
+def test_shell_parser_accepts_generated_grammar(s):
+    """Well-formed expressions produced from the grammar's own
+    constructors always parse."""
+    from diagonal_b6_spark.shell import parse_expression
+
+    parse_expression(s)
