@@ -310,3 +310,39 @@ def test_vm_filter_accepts_unindexed_query_keys(spark, feats):
     assert run(spark, feats, "find [#building] | filter [addr:postcode]").count() == 0
     # and the indexed form still works through the same path
     assert run(spark, feats, "find [#building] | filter [#building=yes]").count() == 2
+
+
+def test_eval_generated_expressions_total(spark, feats):
+    """Evaluator totality over a deterministic sweep of generated
+    well-formed expressions: every one either evaluates (DataFrame /
+    scalar / query / change) or raises ShellError -- never a raw
+    Python exception from inside the evaluator."""
+    from diagonal_b6_spark.shell.evaluate import ShellError
+
+    leaves = ['1', '2.5', '"x"', '[#building]', '[#amenity=bench]', 'all']
+    pipes = ['take 2', 'count', 'count-values', 'map {f -> get f "name"}',
+             'filter [#building=yes]', 'map {b -> area b | gt 100.0}']
+    exprs = []
+    for leaf in leaves:
+        exprs.append(leaf)
+        if leaf.startswith('['):
+            exprs.append(f'find {leaf}')
+            for p in pipes:
+                exprs.append(f'find {leaf} | {p}')
+    exprs += [
+        'map {1, 2, 3} (add 1) | count-values',
+        '{0: (find [#building] | count)}',
+        'find [#building] | map {b -> get-centroid b} | take 1',
+        'add 1 (divide 4 2.0)',
+        'find-feature /area/test/1 | to-geojson',
+        'all-tags (find [#amenity])',
+    ]
+    for e in exprs:
+        try:
+            out = run(spark, feats, e)
+            if isinstance(out, DataFrame):
+                out.limit(1).collect()
+        except ShellError:
+            pass
+        except Exception as ex:  # noqa: BLE001 -- the assertion itself
+            raise AssertionError(f"{e!r} leaked {type(ex).__name__}: {ex}") from ex
