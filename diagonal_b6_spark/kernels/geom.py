@@ -156,6 +156,81 @@ def interpolate_along(xs, ys, fraction):
     return float(ys[k] + t * (ys[k + 1] - ys[k])), float(xs[k] + t * (xs[k + 1] - xs[k]))
 
 
+def sample_points_spacing(xs, ys, spacing_m):
+    """b6.SamplePoints (b6/path.go SamplePoints): walk the polyline
+    emitting a point every `spacing_m` meters of arc length, skipping
+    sub-epsilon (~1 cm) segments, and ALWAYS finishing with the exact
+    final vertex.  The start vertex is NOT emitted (the first sample
+    lands `spacing_m` along) -- so a path of length L yields
+    floor(L / spacing_m) interior samples plus the endpoint, the count
+    b6/path_test.go pins.  Returns (lats, lngs) float64 arrays."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    out_lat: list[float] = []
+    out_lng: list[float] = []
+    if len(xs) < 2:
+        return np.asarray(out_lat), np.asarray(out_lng)
+    eps_m = 0.0102  # the reference's 1.6e-9 rad epsilon, in meters
+    i = 0
+    px, py = float(xs[0]), float(ys[0])
+    remaining = float(spacing_m)
+    while True:
+        if i + 1 == len(xs):
+            out_lat.append(float(ys[i]))
+            out_lng.append(float(xs[i]))
+            break
+        nx, ny = float(xs[i + 1]), float(ys[i + 1])
+        d = float(haversine_m(np.float64(py), np.float64(px), np.float64(ny), np.float64(nx)))
+        if d < eps_m:
+            px, py = nx, ny
+            i += 1
+        elif d < remaining:
+            remaining -= d
+            px, py = nx, ny
+            i += 1
+        else:
+            t = remaining / d
+            px, py = px + t * (nx - px), py + t * (ny - py)
+            out_lat.append(py)
+            out_lng.append(px)
+            remaining = float(spacing_m)
+    return np.asarray(out_lat), np.asarray(out_lng)
+
+
+def sample_fractions_stepped(xs, ys, distance_m):
+    """The api/functions sampler's fraction ladder
+    (fn features.go appendUnseenSampledPoints): step = distance_m /
+    length; samples at j = 0, step, 2*step, ... and a final clamped
+    j = 1.0.  Endpoints are emitted as the EXACT input vertices (the
+    reference interpolates at j=0/1 which returns the vertex unchanged;
+    float-exactness is what makes the caller's seen-point dedup
+    collapse shared path junctions).  Returns (lats, lngs)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) == 0:
+        return np.asarray([]), np.asarray([])
+    eps_m = 0.0102
+    total = polyline_length_m(xs, ys)
+    step = (float(distance_m) / total) if total > eps_m else 1.0
+    out_lat: list[float] = []
+    out_lng: list[float] = []
+    j = 0.0
+    while True:
+        if j >= 1.0:
+            out_lat.append(float(ys[-1]))
+            out_lng.append(float(xs[-1]))
+            break
+        if j == 0.0:
+            out_lat.append(float(ys[0]))
+            out_lng.append(float(xs[0]))
+        else:
+            lat, lng = interpolate_along(xs, ys, j)
+            out_lat.append(lat)
+            out_lng.append(lng)
+        j += step
+    return np.asarray(out_lat), np.asarray(out_lng)
+
+
 def ring_centroid(xs, ys):
     """Planar area-weighted centroid of a ring (shoelace), adequate at
     city scales (reference: b6/world.go:868-886 uses loop centroids).

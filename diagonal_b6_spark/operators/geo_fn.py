@@ -210,6 +210,47 @@ def sample_points_along_paths(paths: DataFrame, n_samples: int) -> DataFrame:
     ).select("feature_id", "sample_idx", F.col("s.lat").alias("lat"), F.col("s.lng").alias("lng"))
 
 
+_EVERY_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("lat", T.DoubleType()), T.StructField("lng", T.DoubleType())]
+    )
+)
+
+
+def sample_points_every(
+    paths: DataFrame, distance_m: float, dedup: bool = True
+) -> DataFrame:
+    """The reference's `sample-points` / `sample-points-along-paths`
+    EXACT semantics (fn features.go samplePointsAlongPaths /
+    appendUnseenSampledPoints): per path, fractions j = 0, s, 2s, ...
+    (s = distance_m / length) plus a final clamped j = 1.0; then points
+    already seen on an earlier path are dropped (the reference keeps a
+    global `seen` set keyed on the exact s2.Point -- shared junction
+    vertices collapse).  Spark shape: one Arrow kernel pass per path,
+    then ONE distinct on the exact (lat, lng) doubles -- equivalent to
+    the seen-set because the kernel emits endpoint vertices bit-exactly.
+
+    Distinct from :func:`sample_points_along_paths` (the engine's
+    n-samples convenience form, which this module keeps)."""
+
+    @F.pandas_udf(_EVERY_SCHEMA)
+    def _samples(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            la, lo = geom.sample_fractions_stepped(
+                np.asarray(x, dtype=np.float64),
+                np.asarray(y, dtype=np.float64),
+                float(distance_m),
+            )
+            out.append([{"lat": a, "lng": o} for a, o in zip(la, lo)])
+        return pd.Series(out)
+
+    pts = paths.select(
+        F.explode(_samples(F.col("xs"), F.col("ys"))).alias("s")
+    ).select(F.col("s.lat").alias("lat"), F.col("s.lng").alias("lng"))
+    return pts.distinct() if dedup else pts
+
+
 # --- S2 cell table functions -------------------------------------------------
 
 

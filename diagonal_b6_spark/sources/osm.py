@@ -366,3 +366,37 @@ def relations_to_polygons(
                 )
 
     return gathered.mapInPandas(assemble, schema)
+
+
+def world_from_pbf(
+    spark, path: str, tagged_points_only: bool = False
+) -> DataFrame:
+    """ingest.NewWorldFromPBFFile analogue: one call from a .osm.pbf
+    file to the engine's packed world-feature contract.
+
+      * every node -> a point feature (pass tagged_points_only=True for
+        the analytical subset),
+      * every way -> a path, or an area when closed (the reference's
+        isWayClosed rule),
+      * every type=multipolygon relation -> a stitched multi-ring area,
+
+    with the reference's OSM -> searchable tag mapping
+    (ingest/osm.go osmTagMapping: building -> #building, ...) applied to
+    EVERY feature, so find(keyed("#building")) etc. match the counts the
+    reference's own Granary Square tests pin (test/camden/camden.go).
+    The decode is the distributed blob reader (sources/pbf.py); assembly
+    is the distributed join/stitch above -- nothing on the driver."""
+    from .pbf import read_pbf
+
+    t = read_pbf(spark, path)
+    pts = nodes_to_points(t["nodes"], tagged_only=tagged_points_only)
+    ways = ways_to_features(t["nodes"], t["ways"]).withColumn(
+        "tags", fill_tags_from_osm(F.col("tags"))
+    )
+    rels = relations_to_areas(t["nodes"], t["ways"], t["relations"]).withColumn(
+        "tags", fill_tags_from_osm(F.col("tags"))
+    )
+    return (
+        pts.unionByName(ways, allowMissingColumns=True)
+        .unionByName(rels, allowMissingColumns=True)
+    )
