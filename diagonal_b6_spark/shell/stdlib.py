@@ -851,6 +851,20 @@ def _fn_add_point(env, point, fid, tags):
     return ChangeVal(added=row)
 
 
+def _is_feature_id(v) -> bool:
+    """The reference gathers only FeatureID-TYPED keys
+    (renderer/collection.go:43-49); by the time values reach these
+    helpers the parse-node type is gone, so require the engine's id
+    shape (type/ns/...) rather than any '/'-bearing string -- a plain
+    label like "roads/primary" must NOT become a member reference."""
+    return (
+        isinstance(v, str)
+        and v.split("/", 1)[0]
+        in ("point", "path", "area", "relation", "collection")
+        and "/" in v
+    )
+
+
 def _members_tags(members) -> list[tuple[str, str]]:
     """Collection members as member:<i> (value) plus member_key:<i> when
     the key itself is a feature id -- the reference's CollectionFeature
@@ -859,19 +873,7 @@ def _members_tags(members) -> list[tuple[str, str]]:
     if members is None:
         return []
 
-    def is_fid(v) -> bool:
-        # the reference gathers only FeatureID-TYPED keys
-        # (renderer/collection.go:43-49); by the time members reach this
-        # helper the parse-node type is gone, so require the engine's
-        # id shape (type/ns/...) rather than any '/'-bearing string --
-        # a plain label like "roads/primary" must NOT become a member
-        return isinstance(v, str) and v.split("/", 1)[0] in (
-            "point",
-            "path",
-            "area",
-            "relation",
-            "collection",
-        ) and "/" in v
+    is_fid = _is_feature_id
 
     if isinstance(members, DataFrame):
         rows = members.limit(1025).collect()
@@ -887,6 +889,19 @@ def _members_tags(members) -> list[tuple[str, str]]:
         out = [("member:0", str(members[-1]))]
         if len(members) > 1 and is_fid(members[0]) and members[0] != members[-1]:
             out.append(("member_key:0", str(members[0])))
+        return out
+    if isinstance(members, list):
+        if len(members) > 1024:
+            raise ShellError("member collection exceeds 1024 entries")
+        out = []
+        for i, m in enumerate(members):
+            if isinstance(m, tuple) and len(m) > 1:
+                k, v = m[0], m[-1]
+            else:
+                k, v = None, (m[-1] if isinstance(m, tuple) else m)
+            out.append((f"member:{i}", str(v)))
+            if k is not None and is_fid(k) and str(k) != str(v):
+                out.append((f"member_key:{i}", str(k)))
         return out
     raise ShellError(f"expected a member collection, found {members!r}")
 
@@ -1015,25 +1030,178 @@ def _fn_id_to_relation_id(env, ns, target):
 
 
 def _fn_materialise(env, fid, fn):
-    """fn materialise.go:37-63: evaluate and record.  Spark-first the
-    persistent half is checkpoint.write_snapshot (lineage + resume);
-    the shell form records the expression feature and carries the
-    evaluated plan on the change (.result)."""
+    """fn materialise.go:37-63: evaluate the no-arg function, store its
+    collection under the given collection id, and add an expression
+    feature with the SAME namespace/value (FeatureTypeExpression,
+    materialise.go:56-59) holding the function's expression.  Spark-first
+    the persistent half is checkpoint.write_snapshot (lineage + resume);
+    the evaluated plan also rides on the change (.result)."""
     if not isinstance(fn, (Func, Partial, LambdaVal)):
         raise ShellError("materialise expects a function")
     result = _fn_with_change(env, ChangeVal(), fn)
-    ch = _fn_add_expression(env, fid, None, "materialised")
+    fid_s = fid.value if isinstance(fid, P.FeatureId) else str(fid)
+    expr_fid = (
+        "expression/" + fid_s.split("/", 1)[1] if "/" in fid_s else f"expression/shell/{fid_s}"
+    )
+    members = result
+    if isinstance(members, DataFrame) and {"feature_id", "feature_type", "tags"} <= set(
+        members.columns
+    ):
+        # a feature collection materialises as feature-id references
+        # (materialiseCollection stores ids for both keys and values)
+        members = members.select("feature_id")
+    kv = _members_tags(members) if isinstance(members, (DataFrame, list, tuple)) else []
+    coll_tags = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in kv]),
+            F.array(*[F.lit(v) for _, v in kv]),
+        )
+        if kv
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    cols = env.features.columns
+    coll_row = _feature_row_df(
+        env, fid_s, "collection", coll_tags, F.array(), F.array(), _one_row(env)
+    ).select(*cols)
+    expr_tags = F.map_from_arrays(
+        F.array(F.lit("b6:expression")),
+        F.array(F.lit(getattr(fn, "name", "materialised"))),
+    )
+    expr_row = _feature_row_df(
+        env, expr_fid, "expression", expr_tags, F.array(), F.array(), _one_row(env)
+    ).select(*cols)
+    ch = ChangeVal(added=coll_row.unionByName(expr_row))
     ch.result = result  # type: ignore[attr-defined]
     return ch
 
 
 def _fn_materialise_map(env, coll, fid, fn):
+    """fn materialise.go:65-179 materialiseMap: per input feature,
+    fn(feature)'s collection is materialised under its OWN collection
+    feature (plus a bound expression feature re-deriving it); the target
+    collection maps feature id -> materialised collection id; and
+    entries of an EXISTING collection stored under the target id whose
+    keys were not re-produced this run are carried over
+    (materialise_test.go TestMaterialiseMapMergesExistingCollectionItems).
+
+    Spark shape: the per-feature materialised rows and their expression
+    rows are pure column expressions over one groupBy -- distributed at
+    any corpus size; only the TOP collection's member list touches the
+    driver, under the same 1024-entry cap every stored collection has.
+
+    Documented deviation: materialised ids are md5(target id | feature
+    id) rather than the reference's rand.Uint64 -- deterministic, so a
+    re-run or a resumed job emits byte-identical changes."""
     if not isinstance(fn, (Func, Partial, LambdaVal)):
         raise ShellError("materialise-map expects a function")
     from .evaluate import _fn_map
 
+    fid_s = fid.value if isinstance(fid, P.FeatureId) else str(fid)
     result = _fn_map(env, coll, fn)
-    ch = _fn_add_expression(env, fid, None, "materialised-map")
+    if not isinstance(result, DataFrame) or "feature_id" not in result.columns:
+        # materialise.go:94-96: per-feature results must be collections
+        raise ShellError(f"expected a collection, found {type(result).__name__}")
+    other = [c for c in result.columns if c != "feature_id"]
+    if len(other) == 2:
+        item = F.concat_ws(
+            "=", F.col(other[0]).cast("string"), F.col(other[1]).cast("string")
+        )
+    elif len(other) == 1:
+        item = F.col(other[0]).cast("string")
+    else:
+        raise ShellError("materialise-map function must produce a collection")
+
+    digest = F.md5(F.concat(F.lit(fid_s + "|"), F.col("feature_id")))
+    grouped = (
+        result.select("feature_id", item.alias("item"))
+        .groupBy("feature_id")
+        .agg(F.collect_list("item").alias("items"))
+        .withColumn(
+            "mat_id", F.concat(F.lit("collection/materialised/"), digest)
+        )
+    )
+    member_tags = F.map_from_entries(
+        F.transform(
+            F.col("items"),
+            lambda it, i: F.struct(
+                F.concat(F.lit("member:"), i.cast("string")).alias("key"),
+                it.alias("value"),
+            ),
+        )
+    )
+    cols = env.features.columns
+    empty_d = F.array().cast("array<double>")
+    mat_rows = grouped.select(
+        F.col("mat_id").alias("feature_id"),
+        F.lit("collection").alias("feature_type"),
+        F.lit("diagonal.works/shell").alias("ns"),
+        member_tags.alias("tags"),
+        empty_d.alias("xs"),
+        empty_d.alias("ys"),
+        F.array(F.lit(0)).cast("array<int>").alias("ring_offsets"),
+    ).select(*cols)
+    # the per-entry bound expression (materialise.go:104-125): replaying
+    # it re-derives the materialised collection from the live feature
+    fn_name = getattr(fn, "name", "fn")
+    bound_expr = F.concat(
+        F.lit(f"({fn_name} (find-feature "), F.col("feature_id"), F.lit("))")
+    )
+    expr_rows = grouped.select(
+        F.concat(F.lit("expression/materialised/"), digest).alias("feature_id"),
+        F.lit("expression").alias("feature_type"),
+        F.lit("diagonal.works/shell").alias("ns"),
+        F.map_from_arrays(
+            F.array(F.lit("b6:expression")), F.array(bound_expr)
+        ).alias("tags"),
+        empty_d.alias("xs"),
+        empty_d.alias("ys"),
+        F.array(F.lit(0)).cast("array<int>").alias("ring_offsets"),
+    ).select(*cols)
+
+    pairs = grouped.select("feature_id", "mat_id").limit(1025).collect()
+    if len(pairs) > 1024:
+        raise ShellError("materialise-map target collection exceeds 1024 entries")
+    entries = [(str(r["feature_id"]), str(r["mat_id"])) for r in pairs]
+    entries.sort()
+    new_keys = {k for k, _ in entries}
+    existing = find_ops.find_feature(env.features, fid_s).select("tags").collect()
+    if existing and existing[0]["tags"]:
+        old: dict[int, list] = {}
+        for k, v in existing[0]["tags"].items():
+            for prefix, slot in (("member:", 1), ("member_key:", 0)):
+                if k.startswith(prefix):
+                    i = int(k.split(":", 1)[1])
+                    old.setdefault(i, [None, None])[slot] = v
+        for i in sorted(old):
+            key, val = old[i]
+            if val is not None and (key or val) not in new_keys:
+                entries.append((key if key is not None else val, val))
+
+    kv: list[tuple[str, str]] = []
+    for i, (k, v) in enumerate(entries):
+        kv.append((f"member:{i}", v))
+        if _is_feature_id(k) and k != v:
+            kv.append((f"member_key:{i}", k))
+    top_tags = (
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in kv]),
+            F.array(*[F.lit(v) for _, v in kv]),
+        )
+        if kv
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    top_row = _feature_row_df(
+        env, fid_s, "collection", top_tags, F.array(), F.array(), _one_row(env)
+    ).select(*cols)
+
+    # the reference adds NO expression record under the target id
+    # (materialise.go:75-79: the change is the target collection, the
+    # per-feature materialised collections, and their bound expressions)
+    ch = ChangeVal(added=mat_rows.unionByName(expr_rows).unionByName(top_row))
     ch.result = result  # type: ignore[attr-defined]
     return ch
 

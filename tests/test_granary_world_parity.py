@@ -454,3 +454,95 @@ def test_find_areas_containing_points_camden(spark, camden_tables):
     hits = containment_join_broadcast(v, shops, point_id="point_id").collect()
     containing = {r["feature_id"] for r in hits}
     assert f"area/osm/{COAL_DROPS_ENCLOSURE_WAY}" in containing
+
+
+# ------------------------------------------------------- materialise-map --
+
+
+def test_materialise_map_real(spark, granary_world):
+    """materialise_test.go TestMaterialiseMap (Granary Square world):
+    materialise-map over the buildings stores one collection feature per
+    building; the Lighterman's materialised collection carries its
+    website tag, readable back through list-feature."""
+    from diagonal_b6_spark.shell import run
+    from diagonal_b6_spark.shell.stdlib import ChangeVal
+
+    ch = run(
+        spark,
+        granary_world,
+        "materialise-map (find [#building]) /collection/test/0 all-tags",
+    )
+    assert isinstance(ch, ChangeVal)
+    world2 = ch.apply(granary_world)
+    top = (
+        world2.filter(F.col("feature_id") == "collection/test/0")
+        .select(F.explode("tags").alias("k", "v"))
+        .collect()
+    )
+    tags = {r["k"]: r["v"] for r in top}
+    keys = {v: k for k, v in tags.items() if k.startswith("member_key:")}
+    assert f"area/osm/{LIGHTERMAN_WAY}" in keys
+    idx = keys[f"area/osm/{LIGHTERMAN_WAY}"].split(":", 1)[1]
+    mat_id = tags[f"member:{idx}"]
+    members = (
+        world2.filter(F.col("feature_id") == mat_id)
+        .select(F.explode("tags").alias("k", "v"))
+        .collect()
+    )
+    values = {r["v"] for r in members if r["k"].startswith("member:")}
+    assert "website=https://thelighterman.co.uk/" in values
+    # 13 buildings -> 13 materialised collections + 13 bound expressions
+    assert (
+        world2.filter(
+            F.col("feature_id").startswith("collection/materialised/")
+        ).count()
+        == BUILDINGS_IN_GRANARY_SQUARE
+    )
+
+
+def test_materialise_map_merges_existing_items(spark, granary_world):
+    """materialise_test.go TestMaterialiseMapMergesExistingCollectionItems:
+    an entry already stored under the target id whose key (the Stable
+    Street bridge -- not a building, so not re-produced) survives the
+    re-materialisation."""
+    from diagonal_b6_spark.shell import run
+
+    bridge = "path/osm/140633010"  # camden.go StableStreetBridgeWay
+    pre = spark.createDataFrame(
+        [
+            (
+                "collection/test/0",
+                "collection",
+                "test",
+                {"member:0": "collection/test/1", "member_key:0": bridge},
+                [],
+                [],
+                [0],
+            )
+        ],
+        granary_world.schema,
+    )
+    world_pre = granary_world.unionByName(pre)
+    ch = run(
+        spark,
+        world_pre,
+        "materialise-map (find [#building]) /collection/test/0 all-tags",
+    )
+    world2 = ch.apply(world_pre)
+    rows = (
+        world2.filter(F.col("feature_id") == "collection/test/0")
+        .select(F.explode("tags").alias("k", "v"))
+        .collect()
+    )
+    tags_list = [(r["k"], r["v"]) for r in rows]
+    # the world overlay keeps the NEW feature's tags; find the carried
+    # bridge entry: its member_key survives pointing at the old value
+    tags = dict(tags_list)
+    keys = {v: k for k, v in tags.items() if k.startswith("member_key:")}
+    assert bridge in keys
+    idx = keys[bridge].split(":", 1)[1]
+    assert tags[f"member:{idx}"] == "collection/test/1"
+    # and the buildings are all present alongside it
+    assert sum(1 for k in tags if k.startswith("member:")) == (
+        BUILDINGS_IN_GRANARY_SQUARE + 1
+    )
