@@ -242,7 +242,13 @@ def dijkstra_cogrouped(
     subgraph and the driver never materializes the edge table
     (b6 per-origin goroutine fan-out, fn graph.go:209-230, at cluster
     scale).  Returns DataFrame[origin, node, dist, pred]."""
-    sub = origin_subgraph_edges(edges, origins, max_rounds)
+    # re-id the subgraph's output attributes: it descends from `origins`,
+    # and cogrouping two frames that share attribute ids trips the
+    # analyzer's ambiguous-self-join check when origins/edges also share
+    # an upstream lineage (one world table feeding both)
+    sub = origin_subgraph_edges(edges, origins, max_rounds).toDF(
+        "origin", "src", "dst", "w"
+    )
 
     def run(key, seeds: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
         adj: dict[int, list[tuple[int, float]]] = {}

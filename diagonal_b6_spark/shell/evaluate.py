@@ -565,21 +565,35 @@ def _fn_length(env, f):
     )
 
 
+def _value_df_op(df: DataFrame, f) -> DataFrame:
+    """Map an arithmetic op over a collection/scalar frame's `value`
+    column (count/sum yield 1-row ['value'] frames; the reference's
+    `count | divide 10.0` style chains keep working)."""
+    other = [c for c in df.columns if c != "value"]
+    return df.select(*other, f(F.col("value")).alias("value"))
+
+
 def _fn_gt(env, a, b):
     if isinstance(a, ColVal):
         return ColVal(a.ref, a.col > _col_of(b))
+    if isinstance(a, DataFrame) and "value" in a.columns:
+        return _value_df_op(a, lambda c: c > F.lit(b))
     return a > b
 
 
 def _fn_add(env, a, b):
     if isinstance(a, ColVal):
         return ColVal(a.ref, a.col + _col_of(b))
+    if isinstance(a, DataFrame) and "value" in a.columns:
+        return _value_df_op(a, lambda c: c + F.lit(b))
     return a + b
 
 
 def _fn_divide(env, a, b):
     if isinstance(a, ColVal):
         return ColVal(a.ref, a.col / _col_of(b))
+    if isinstance(a, DataFrame) and "value" in a.columns:
+        return _value_df_op(a, lambda c: c / F.lit(b))
     return a / b
 
 

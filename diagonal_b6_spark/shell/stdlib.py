@@ -212,9 +212,17 @@ def _network(env: Env) -> dict:
             "dist_m"
         ),
     )
-    edges_raw = segs.select(
-        "src", "dst", "dist_m", F.lit(0.0).alias("elev_gain_m")
+    # both directions: the reference's walking traversal iterates
+    # SegmentsByPoint regardless of digitization order (pedestrians
+    # ignore oneway); weights_from_options weights each directed row
+    fwd = segs.select("src", "dst", "dist_m", F.lit(0.0).alias("elev_gain_m"))
+    rev = segs.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        "dist_m",
+        F.lit(0.0).alias("elev_gain_m"),
     )
+    edges_raw = fwd.unionByName(rev)
     nodes = (
         segs.select(F.col("src").alias("node"), F.col("y1").alias("lat"), F.col("x1").alias("lng"))
         .unionByName(
@@ -232,7 +240,7 @@ def _network(env: Env) -> dict:
 def _rep_points(feats: DataFrame, id_alias: str = "_fid") -> DataFrame:
     """A feature's representative point: its first vertex (the entrance
     proxy the fixture graphs use)."""
-    return feats.select(
+    return feats.filter(F.size("xs") > 0).select(
         F.col("feature_id").alias(id_alias),
         F.element_at("ys", 1).alias("lat"),
         F.element_at("xs", 1).alias("lng"),
@@ -282,13 +290,26 @@ def _sssp(env: Env, origin_feats: DataFrame, options, max_cost: float):
     origins = snapped.select(
         F.xxhash64("feature_id").alias("origin"), "node"
     ).distinct()
+    # "origin_key", NOT "origin": dist descends from the same snapped
+    # lineage, and a same-name same-attribute join is ambiguous to the
+    # analyzer on worlds where the plans stay structurally identical
     omap = snapped.select(
-        F.xxhash64("feature_id").alias("origin"),
+        F.xxhash64("feature_id").alias("origin_key"),
         F.col("feature_id").alias("origin_id"),
     ).distinct()
     edges = weights_ops.weights_from_options(net["edges_raw"], _options_dict(options))
     dist = graph_ops.dijkstra_cogrouped(origins, edges, max_cost=float(max_cost))
     return dist, omap
+
+
+def _join_origin(df: DataFrame, omap: DataFrame) -> DataFrame:
+    """Join a (origin, ...) frame onto the origin-hash map, yielding
+    origin as the feature id string."""
+    return (
+        df.join(omap, df["origin"] == omap["origin_key"])
+        .drop("origin", "origin_key")
+        .withColumnRenamed("origin_id", "origin")
+    )
 
 
 def _reachable_features(env: Env, dist: DataFrame, omap: DataFrame, query) -> DataFrame:
@@ -299,9 +320,10 @@ def _reachable_features(env: Env, dist: DataFrame, omap: DataFrame, query) -> Da
     hits = dist.join(msnap, "node").groupBy("origin", "feature_id").agg(
         F.min("dist").alias("dist")
     )
-    return hits.join(omap, "origin").select(
-        F.col("origin_id").alias("origin"), "feature_id", "dist"
-    )
+    ids = _join_origin(hits, omap).select("origin", "feature_id", "dist")
+    # carry the matched FEATURE rows (the reference's reachable yields a
+    # collection of features -- get/map/filter chain straight off it)
+    return ids.join(matches, "feature_id")
 
 
 # ------------------------------------------------------------------- graph --
@@ -326,10 +348,10 @@ def _fn_accessible_routes(env, origin, destinations, duration, options):
     routes = graph_ops.routes_from_pred(dist, dests)
     net = _network(env)
     return (
-        routes.join(omap, "origin")
+        _join_origin(routes, omap)
         .join(net["nodes"], "node")
         .select(
-            F.col("origin_id").alias("origin"),
+            "origin",
             F.col("dest").alias("dest_node"),
             "step_idx",
             "lat",
@@ -350,9 +372,10 @@ def _fn_closest(env, origin, options, distance, query):
     best = r.groupBy("origin").agg(
         F.min(F.struct("dist", "feature_id")).alias("b")
     )
-    return best.select(
+    ids = best.select(
         "origin", F.col("b.feature_id").alias("feature_id"), F.col("b.dist").alias("dist")
     )
+    return ids.join(env.features, "feature_id")
 
 
 def _fn_closest_distance(env, origin, options, distance, query):
@@ -389,9 +412,7 @@ def _fn_paths_to_reach(env, origin, options, distance, query):
 def _fn_reachable_area(env, origin, options, distance):
     dist, omap = _sssp(env, _feature_df(origin), options, _scalar_float(distance))
     area = graph_ops.reachable_area(dist, _network(env)["nodes"], float(distance))
-    return area.join(omap, "origin").select(
-        F.col("origin_id").alias("origin"), "area_m2"
-    )
+    return _join_origin(area, omap).select("origin", "area_m2")
 
 
 def _fn_building_access(env, origins, limit, mode):
@@ -408,9 +429,8 @@ def _fn_building_access(env, origins, limit, mode):
         dist, bsnap.select("node").distinct(), float(limit)
     )
     return (
-        hits.join(bsnap, "node")
-        .join(omap, "origin")
-        .select(F.col("origin_id").alias("origin"), "building_id", "dist")
+        _join_origin(hits.join(bsnap, "node"), omap)
+        .select("origin", "building_id", "dist")
         .groupBy("origin", "building_id")
         .agg(F.min("dist").alias("dist"))
     )
@@ -1346,7 +1366,7 @@ def _fn_containing_areas(env, points, query):
     point features -- the oracle-passed broadcast containment join."""
     from ..operators import spatial_join
 
-    pts = _require_df(points).select(
+    pts = _require_df(points).filter(F.size("xs") > 0).select(
         F.col("feature_id").alias("_pid"),
         F.element_at("ys", 1).alias("lat"),
         F.element_at("xs", 1).alias("lng"),

@@ -236,6 +236,60 @@ def relations_to_areas(
     return gathered.mapInPandas(assemble, schema)
 
 
+def relations_to_relation_features(relations: DataFrame) -> DataFrame:
+    """Non-multipolygon OSM relations -> relation features.
+
+    ingest/osm.go:361-391: isRelationArea (type=multipolygon) relations
+    become areas; every OTHER relation becomes a RelationFeature carrying
+    its members with roles (route relations like the Jubilee Greenway,
+    networks, restrictions).  In the engine's packed schema the members
+    live in tags as member:<i> feature-id entries plus member_role:<i>
+    when the role is non-empty -- the same composite-feature convention
+    add-relation writes and list-feature reads back.  Member node ids
+    map to point ids and way ids to path ids (the reference's effective
+    mapping: its areaWays promotion test at osm.go:378 checks the
+    RELATION's id rather than the member's and so never fires).
+    Pure column expressions -- no UDF, no driver work."""
+    rels = relations.filter(
+        F.col("tags")["type"].isNull() | (F.col("tags")["type"] != "multipolygon")
+    )
+    member_entries = F.transform(
+        F.col("members"),
+        lambda m, i: F.struct(
+            F.concat(F.lit("member:"), i.cast("string")).alias("key"),
+            F.concat(
+                F.when(m["type"] == "node", F.lit("point"))
+                .when(m["type"] == "way", F.lit("path"))
+                .otherwise(F.lit("relation")),
+                F.lit("/osm/"),
+                m["ref"].cast("string"),
+            ).alias("value"),
+        ),
+    )
+    role_entries = F.filter(
+        F.transform(
+            F.col("members"),
+            lambda m, i: F.struct(
+                F.concat(F.lit("member_role:"), i.cast("string")).alias("key"),
+                m["role"].alias("value"),
+            ),
+        ),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+    tags = F.map_concat(
+        F.col("tags"), F.map_from_entries(F.concat(member_entries, role_entries))
+    )
+    return rels.select(
+        F.concat(F.lit("relation/osm/"), F.col("id")).alias("feature_id"),
+        F.lit("relation").alias("feature_type"),
+        F.lit("osm").alias("ns"),
+        tags.alias("tags"),
+        F.array().cast("array<double>").alias("xs"),
+        F.array().cast("array<double>").alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+
+
 def relations_to_polygons(
     nodes: DataFrame,
     ways: DataFrame,
@@ -396,7 +450,11 @@ def world_from_pbf(
     rels = relations_to_areas(t["nodes"], t["ways"], t["relations"]).withColumn(
         "tags", fill_tags_from_osm(F.col("tags"))
     )
+    rel_feats = relations_to_relation_features(t["relations"]).withColumn(
+        "tags", fill_tags_from_osm(F.col("tags"))
+    )
     return (
         pts.unionByName(ways, allowMissingColumns=True)
         .unionByName(rels, allowMissingColumns=True)
+        .unionByName(rel_feats, allowMissingColumns=True)
     )
