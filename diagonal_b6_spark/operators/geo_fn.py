@@ -163,6 +163,40 @@ def point_features(features: DataFrame) -> DataFrame:
     )
 
 
+def area_ring_paths(areas: DataFrame) -> DataFrame:
+    """Area perimeters as closed pseudo-paths: one (feature_id, tags,
+    xs, ys) row per ring, closing vertex restored; rings past the first
+    get a /ring-<i> id suffix.  The reference emits a PATH TWIN for
+    every closed way (ingest/osm.go:350-360), so perimeters are
+    traversable -- they count toward point degree and carry the walking
+    graph across closed #highway ways (pedestrian squares).  Pure
+    column expressions."""
+    r = areas.select(
+        "feature_id",
+        "tags",
+        "xs",
+        "ys",
+        "ring_offsets",
+        F.posexplode("ring_offsets").alias("ri", "start"),
+    ).withColumn(
+        "end",
+        F.when(
+            F.col("ri") + 2 <= F.size("ring_offsets"),
+            F.element_at("ring_offsets", F.col("ri") + 2),
+        ).otherwise(F.size("xs")),
+    ).filter(F.col("end") > F.col("start"))
+    rx = F.slice("xs", F.col("start") + 1, F.col("end") - F.col("start"))
+    ry = F.slice("ys", F.col("start") + 1, F.col("end") - F.col("start"))
+    return r.select(
+        F.when(F.col("ri") == 0, F.col("feature_id"))
+        .otherwise(F.concat("feature_id", F.lit("/ring-"), F.col("ri")))
+        .alias("feature_id"),
+        "tags",
+        F.concat(rx, F.array(F.element_at(rx, 1))).alias("xs"),
+        F.concat(ry, F.array(F.element_at(ry, 1))).alias("ys"),
+    )
+
+
 def point_paths(features: DataFrame) -> DataFrame:
     """`point-paths` (fn features.go:383-406): for every vertex location,
     the paths passing through it -- an exact-coordinate self-join of the

@@ -157,6 +157,14 @@ def _query_column(node) -> Column:
     raise ShellError(f"query {node!r} is not a pure tag predicate")
 
 
+def _geometry_query(q) -> bool:
+    if isinstance(q, (QIntersectsPoint, QIntersectsCap, QIntersectsArea)):
+        return True
+    if isinstance(q, (P.QAnd, P.QOr)):
+        return _geometry_query(q.a) or _geometry_query(q.b)
+    return False
+
+
 def _find(env: Env, q) -> DataFrame:
     feats = env.features
     if isinstance(q, P.Query):
@@ -164,6 +172,14 @@ def _find(env: Env, q) -> DataFrame:
     if isinstance(q, str):  # `find "k=v"` convenience
         k, _, v = q.partition("=")
         q = P.QTagged(k, v) if v else P.QKeyed(k)
+    if isinstance(q, (P.QAnd, P.QOr)) and _geometry_query(q):
+        # mixed tag/geometry combinators lower to set algebra over the
+        # two sides' id sets (b6.and_(tagged(...), intersecting(...)))
+        a = _find(env, q.a)
+        b = _find(env, q.b)
+        if isinstance(q, P.QAnd):
+            return a.join(b.select("feature_id"), "feature_id", "semi")
+        return a.unionByName(b).dropDuplicates(["feature_id"])
     if isinstance(q, QIntersectsPoint):
         from ..operators import spatial_join
 
@@ -550,7 +566,16 @@ def _fn_area(env, f):
         # per-feature Column so pipelines inside lambdas keep composing
         # (`area b | gt 1000.0`, vm_test.go:113-140)
         return ColVal(f, geo_fn.area_m2_col())
-    return geo_fn.with_area_m2(_feature_df(f)).select(
+    df = _feature_df(f)
+    # geometry-only frames (collect-areas pieces, sightline polygons)
+    # measure too: default the ring table and key
+    if "ring_offsets" not in df.columns and "xs" in df.columns:
+        df = df.withColumn("ring_offsets", F.array(F.lit(0)))
+    if "feature_id" not in df.columns:
+        df = df.withColumn(
+            "feature_id", F.monotonically_increasing_id().cast("string")
+        )
+    return geo_fn.with_area_m2(df).select(
         "feature_id", F.col("area_m2").alias("value")
     )
 

@@ -25,6 +25,7 @@ Spark-first compilation rules (same as evaluate.py):
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -196,6 +197,10 @@ def _network(env: Env) -> dict:
     net = getattr(env, "_b6_network", None)
     if net is not None:
         return net
+    # path features ONLY: the reference's path twin of a closed way is
+    # emitted with its tags STRIPPED (ingest/features.go:112-115), so a
+    # pedestrian square's perimeter carries no #highway tag and is NOT
+    # walkable -- it still counts toward degree (see _fn_degree)
     paths = env.features.filter(
         (F.col("feature_type") == "path") & F.col("tags")["#highway"].isNotNull()
     )
@@ -237,6 +242,20 @@ def _network(env: Env) -> dict:
     return net
 
 
+def _routable_paths(feats: DataFrame) -> DataFrame:
+    """Traversable pseudo-paths: path features plus the ring perimeters
+    of closed-way areas (the reference's path twins for closed ways --
+    ingest/osm.go:350-360).  Relation-assembled areas (area/osm/r<id>)
+    are excluded: their member ways are path features already."""
+    cols = ["feature_id", "tags", "xs", "ys"]
+    paths = feats.filter(F.col("feature_type") == "path").select(*cols)
+    way_areas = feats.filter(
+        (F.col("feature_type") == "area")
+        & ~F.col("feature_id").startswith("area/osm/r")
+    )
+    return paths.unionByName(geo_fn.area_ring_paths(way_areas).select(*cols))
+
+
 def _rep_points(feats: DataFrame, id_alias: str = "_fid") -> DataFrame:
     """A feature's representative point: its first vertex (the entrance
     proxy the fixture graphs use)."""
@@ -250,13 +269,30 @@ def _rep_points(feats: DataFrame, id_alias: str = "_fid") -> DataFrame:
 def _snap(env: Env, feats: DataFrame, threshold_m: float = 500.0) -> DataFrame:
     """Snap features onto network vertices: (feature_id, node).
 
-    connect-to-network projection (grid-candidate join, JVM refine)
-    picks the closest segment; the snapped vertex is the segment
-    endpoint nearer the projection (the reference inserts a connection
-    vertex -- reusing an existing endpoint keeps the graph unchanged,
-    deviation documented at connect-to-network)."""
+    Two tiers, mirroring the reference's access semantics: any vertex of
+    the feature that IS a network vertex (a shared OSM node -- the
+    boundary-node contract graph/graph.go's ShortestPathSearch seeds
+    building access with) snaps exactly, contributing ALL such vertices;
+    a feature sharing no network node falls back to the
+    connect-to-network projection of its first vertex, snapped to the
+    nearer endpoint of the closest segment (the reference inserts a
+    connection vertex -- reusing an existing endpoint keeps the graph
+    unchanged, deviation documented at connect-to-network)."""
     net = _network(env)
-    pts = _rep_points(feats)
+    verts = (
+        feats.filter(F.size("xs") > 0)
+        .select("feature_id", F.explode(F.arrays_zip("xs", "ys")).alias("v"))
+        .select(
+            "feature_id",
+            _vertex_key(F.col("v.ys"), F.col("v.xs")).alias("node"),
+        )
+        .distinct()
+    )
+    exact = verts.join(net["nodes"].select("node").distinct(), "node").select(
+        "feature_id", "node"
+    )
+    rest = feats.join(exact.select("feature_id").distinct(), "feature_id", "left_anti")
+    pts = _rep_points(rest)
     c = net_ops.connect_to_network(
         pts, net["paths"], threshold_m=threshold_m, point_id="_fid"
     )
@@ -275,10 +311,11 @@ def _snap(env: Env, feats: DataFrame, threshold_m: float = 500.0) -> DataFrame:
     )
     d1 = _haversine_col(F.col("proj_lat"), F.col("proj_lng"), F.col("y1"), F.col("x1"))
     d2 = _haversine_col(F.col("proj_lat"), F.col("proj_lng"), F.col("y2"), F.col("x2"))
-    return j.select(
+    projected = j.select(
         F.col("_fid").alias("feature_id"),
         F.when(d1 <= d2, F.col("src")).otherwise(F.col("dst")).alias("node"),
-    ).distinct()
+    )
+    return exact.unionByName(projected).distinct()
 
 
 def _sssp(env: Env, origin_feats: DataFrame, options, max_cost: float):
@@ -531,6 +568,81 @@ def _fn_cap_polygon(env, center, radius):
     return geo_fn.cap_polygon(env.spark, p.lat, p.lng, _scalar_float(radius))
 
 
+def _wkt_groups(s: str) -> list[str]:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ShellError(f"expected a bracketed WKT group: {s!r}")
+    groups: list[str] = []
+    depth, start = 0, 0
+    for i in range(1, len(s) - 1):
+        ch = s[i]
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+        elif depth == 0 and ch not in " ,":
+            raise ShellError(f"invalid character {ch!r} in WKT group {s!r}")
+    return groups
+
+
+def _wkt_points(s: str) -> list[tuple[float, float]]:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ShellError(f"expected a bracketed WKT point list: {s!r}")
+    out = []
+    for coord in s[1:-1].split(","):
+        cs = [float(c) for c in coord.split() if c]
+        if len(cs) != 2:
+            raise ShellError(f"expected a 2-value WKT coordinate, found {coord!r}")
+        out.append((cs[1], cs[0]))  # WKT is lng lat; we carry (lat, lng)
+    return out
+
+
+def _fn_wkt(env, s):
+    """WKT POLYGON / MULTIPOLYGON literal -> a one-row area feature,
+    usable wherever a found area is (intersecting, area, centroid...).
+    The reference parses WKT on the CLIENT into an area literal
+    (python/diagonal_b6/geometry.py:69-138); this is the same surface
+    with the engine's packed multi-ring layout."""
+    s = str(s)
+    if s.startswith("POLYGON "):
+        polys = [s[len("POLYGON ") :]]
+    elif s.startswith("MULTIPOLYGON "):
+        polys = _wkt_groups(s[len("MULTIPOLYGON ") :])
+    else:
+        raise ShellError(f"can't parse WKT {s[:40]!r}")
+    xs: list[float] = []
+    ys: list[float] = []
+    offs: list[int] = []
+    for p in polys:
+        for ring in _wkt_groups(p):
+            offs.append(len(xs))
+            for lat, lng in _wkt_points(ring):
+                xs.append(lng)
+                ys.append(lat)
+    if not xs:
+        raise ShellError("WKT literal has no coordinates")
+    digest = hashlib.md5(s.encode()).hexdigest()[:12]
+    return env.spark.createDataFrame(
+        [
+            (
+                f"area/diagonal.works/shell/wkt-{digest}",
+                "area",
+                "diagonal.works/shell",
+                {},
+                xs,
+                ys,
+                offs,
+            )
+        ],
+        env.features.schema,
+    )
+
+
 def _fn_collect_areas(env, areas):
     return geo_fn.collect_areas(
         _require_df(areas).filter(F.col("feature_type") == "area")
@@ -575,10 +687,52 @@ def _fn_snap_area_edges(env, area, query, threshold):
 # ------------------------------------------------------------------ s2 ----
 
 
+def _cell_token_udf(lvl: int):
+    @F.pandas_udf("string")
+    def tok(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        ids = cm.cell_id_from_latlng(lat.to_numpy(), lng.to_numpy(), lvl)
+        return pd.Series(cm.token(ids))
+
+    return tok
+
+
 def _fn_s2_points(env, area, min_level, max_level):
-    return geo_fn.s2_points(
-        _feature_df(area), min_level=int(min_level), max_level=int(max_level)
-    )
+    lo, hi = int(min_level), int(max_level)
+    if lo == hi:
+        # RegionCoverer pinned to one level IS the fixed-level grid
+        # (s2.go:13-28 with MinLevel == MaxLevel).  The reference keeps
+        # cells INTERSECTING the polygon; the fixed-level cover is
+        # bbox-based, so refine by center containment (documented
+        # approximation: boundary cells whose center falls outside are
+        # dropped)
+        from ..operators import spatial_join
+
+        af = _feature_df(area)
+        cov = (
+            geo_fn.s2_covering(af, fixed_level=lo)
+            .select("token", "center_lat", "center_lng")
+            .distinct()
+        )
+        pts = cov.select(
+            "token",
+            F.col("center_lat").alias("lat"),
+            F.col("center_lng").alias("lng"),
+        )
+        hits = spatial_join.containment_join_broadcast(pts, af, point_id="token")
+        inside = hits.select("token").distinct()
+        # boundary-intersecting cells: sample the rings at half a cell
+        # edge and take each sample's fixed-level cell (they lie inside
+        # the ring's bbox cover by construction)
+        edge_m = 6371010.0 * 1.7 / (1 << lo)  # ~avg cell edge at level lo
+        samples = geo_fn.sample_points_every(
+            geo_fn.area_ring_paths(af), max(edge_m / 2.0, 0.5)
+        )
+        boundary = samples.select(
+            _cell_token_udf(lo)(F.col("lat"), F.col("lng")).alias("token")
+        ).distinct()
+        keep = inside.unionByName(boundary).distinct()
+        return cov.join(F.broadcast(keep), "token", "semi")
+    return geo_fn.s2_points(_feature_df(area), min_level=lo, max_level=hi)
 
 
 def _fn_s2_covering(env, area, min_level, max_level):
@@ -1382,15 +1536,22 @@ def _fn_containing_areas(env, points, query):
 
 
 def _fn_degree(env, point):
-    """fn features.go:212-220: number of paths using the point --
-    exact-coordinate match against the path vertex table (shared nodes
-    are shared coordinates in the packed layout)."""
-    pp = geo_fn.point_paths(env.features)
+    """pointDegree (fn features.go:208-219): the number of path
+    SEGMENTS at the point -- World.Traverse counts a through-path
+    twice, an end once, and includes closed-way perimeters (the
+    reference keeps a path twin for every closed way,
+    ingest/osm.go:350-360).  Relation-assembled areas are excluded:
+    their member ways are path features already."""
+    segs = net_ops.path_segments(_routable_paths(env.features))
+    ends = segs.select(F.col("y1").alias("lat"), F.col("x1").alias("lng")).unionByName(
+        segs.select(F.col("y2").alias("lat"), F.col("x2").alias("lng"))
+    )
+    val = ends.groupBy("lat", "lng").agg(F.count("*").alias("n"))
     pts = _rep_points(_feature_df(point), "point_id")
     return (
-        pts.join(pp, ["lat", "lng"], "left")
+        pts.join(val, ["lat", "lng"], "left")
         .groupBy("point_id")
-        .agg(F.sum(F.when(F.col("path_id").isNotNull(), 1).otherwise(0)).alias("degree"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("int").alias("degree"))
     )
 
 
@@ -1589,6 +1750,7 @@ def _register() -> None:
         "centroid": (_fn_centroid, 1),
         "rectangle-polygon": (_fn_rectangle_polygon, 2),
         "cap-polygon": (_fn_cap_polygon, 2),
+        "wkt": (_fn_wkt, 1),
         "collect-areas": (_fn_collect_areas, 1),
         "convex-hull": (_fn_convex_hull, 1),
         "sightline": (_fn_sightline, 2),

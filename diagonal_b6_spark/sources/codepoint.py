@@ -53,6 +53,36 @@ def postcode_valid_col(norm) -> "F.Column":
     )
 
 
+UK_ONS_NAMESPACE = "statistics.gov.uk/datasets/regions"  # b6/world.go:357
+
+
+def uk_ons_id_col(code, year: int = 2011) -> "F.Column":
+    """FeatureIDFromUKONSCode (ids.go:71-83): an ONS code is a letter
+    followed by 8 digits; the id packs ascii(letter)<<40 |
+    uint8(year-1900)<<32 | int(digits).  Invalid codes -> NULL (the
+    reference's FeatureIDInvalid)."""
+    c = F.col(code) if isinstance(code, str) else code
+    valid = c.rlike("^[A-Za-z][0-9]{8}$")
+    v = (
+        F.ascii(F.substring(c, 1, 1)).cast("long") * F.lit(1 << 40)
+        + F.lit((int(year) - 1900) & 0xFF).cast("long") * F.lit(1 << 32)
+        + F.substring(c, 2, 8).cast("long")
+    )
+    return F.when(valid, v)
+
+
+def uk_ons_code_col(value) -> "F.Column":
+    """UKONSCodeFromFeatureID (ids.go:85-92): (code, year) back out of
+    the packed value."""
+    v = F.col(value) if isinstance(value, str) else value
+    letter = F.char(F.shiftright(v, 40).bitwiseAND(F.lit(0xFF)))
+    year = (F.shiftright(v, 32).bitwiseAND(F.lit(0xFF)) + 1900).cast("int")
+    number = F.lpad((v.bitwiseAND(F.lit(0xFFFFFFFF))).cast("string"), 8, "0")
+    return F.struct(
+        F.concat(letter, number).alias("code"), year.alias("year")
+    )
+
+
 def postcode_id_col(norm) -> "F.Column":
     """PointIDFromGBPostcode's packed id (ids.go:21-39): 6 bits per
     char (0-9 -> 0..9, A-Z -> 10..35), then two length bits."""
