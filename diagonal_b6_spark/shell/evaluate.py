@@ -304,6 +304,13 @@ def _fn_find_typed(ftype):
 def _fn_find_feature(env, fid):
     if isinstance(fid, P.FeatureId):
         fid = fid.value
+    if isinstance(fid, ColVal):
+        # mapped over a collection of ids: re-root the row frame onto
+        # the world joined by id (b6_test.py get_tags_from_list_of_ids)
+        base = fid.ref.df
+        feats = env.features
+        joined = base.join(feats, fid.col == feats["feature_id"], "left")
+        return RowRef(joined)
     return find_ops.find_feature(env.features, fid)
 
 
@@ -339,7 +346,14 @@ def _fn_map(env, coll, fn):
             out = fn.apply(env, [ColVal(ref, F.col("value"))])
             keys = [c for c in coll.columns if c != "value"]
             if isinstance(out, ColVal):
-                return coll.select(*keys, out.col.alias("value"))
+                src = out.ref.df
+                if src is coll:
+                    return coll.select(*keys, out.col.alias("value"))
+                # the lambda re-rooted the row frame (find-feature over a
+                # collection of ids joins the world) -- select there,
+                # keeping whichever keys survived the join
+                cols = [k for k in keys if k in src.columns]
+                return src.select(*cols, out.col.alias("value"))
             if isinstance(out, DataFrame):
                 return out
             return coll.select(*keys, _col_of(out).alias("value"))
@@ -402,6 +416,17 @@ def _fn_tag(env, a, b):
     column -- the key is constant and recorded in the column name."""
     if isinstance(a, (RowRef, DataFrame)):
         return _fn_get(env, a, b)
+    # a mapped Tag construction ({v -> tag "#highway" v} or the partial
+    # (tag "#highway") over a scalar collection): materialize as the
+    # engine's "key=value" tag doubles, per element
+    if isinstance(b, ColVal):
+        return ColVal(
+            b.ref, F.concat(F.lit(str(a) + "="), b.col.cast("string")), name="value"
+        )
+    if isinstance(a, ColVal):
+        return ColVal(
+            a.ref, F.concat(F.lit(str(b) + "="), a.col.cast("string")), name="value"
+        )
     return TagVal(a, b)
 
 
@@ -546,6 +571,20 @@ def _fn_second(env, p):
 def _feature_df(f) -> DataFrame:
     if isinstance(f, RowRef):
         return f.df
+    if isinstance(f, (list, tuple)):
+        # a collection literal of features ({(find-feature a), ...} or
+        # (k, v) pairs from map) unions into one frame -- the client
+        # passes origin LISTS to accessible-all
+        dfs = []
+        for item in f:
+            v = item[-1] if isinstance(item, tuple) else item
+            dfs.append(_require_df(v))
+        if not dfs:
+            raise ShellError("expected a non-empty feature collection")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
     return _require_df(f)
 
 

@@ -349,10 +349,24 @@ def _join_origin(df: DataFrame, omap: DataFrame) -> DataFrame:
     )
 
 
+def _matches_df(env: Env, query) -> DataFrame:
+    """Destination matching is query.Matches (tag-direct), NOT an index
+    search: reachable/accessibleFromOrigin/findClosest/pathsToReach all
+    test visited features with Matches (fn graph.go:35-52, 374-400), so
+    un-indexed keys like a plain `entrance` work.  Geometry queries keep
+    the find lowering."""
+    from .evaluate import _as_predicate_col
+
+    try:
+        return env.features.filter(_as_predicate_col(query))
+    except ShellError:
+        return _find(env, query)
+
+
 def _reachable_features(env: Env, dist: DataFrame, omap: DataFrame, query) -> DataFrame:
     """(origin, feature_id, dist): query-matched features whose snapped
     node is in the origin's tree (fn graph.go:83-180 reachable)."""
-    matches = _find(env, query)
+    matches = _matches_df(env, query)
     msnap = _snap(env, matches)
     hits = dist.join(msnap, "node").groupBy("origin", "feature_id").agg(
         F.min("dist").alias("dist")
@@ -381,7 +395,7 @@ def _fn_accessible_routes(env, origin, destinations, duration, options):
     (fn graph.go:312-339): (origin, dest_node, step_idx, lat, lng,
     cum_cost) rows from the cogrouped predecessor-tree walk."""
     dist, omap = _sssp(env, _feature_df(origin), options, _scalar_float(duration))
-    dests = _snap(env, _find(env, destinations)).select("node").distinct()
+    dests = _snap(env, _matches_df(env, destinations)).select("node").distinct()
     routes = graph_ops.routes_from_pred(dist, dests)
     net = _network(env)
     return (
@@ -424,7 +438,7 @@ def _fn_paths_to_reach(env, origin, options, distance, query):
     features (fn graph.go:451-499): route-step edges joined back onto
     the segment table (either direction), summed per path feature."""
     dist, omap = _sssp(env, _feature_df(origin), options, _scalar_float(distance))
-    dests = _snap(env, _find(env, query)).select("node").distinct()
+    dests = _snap(env, _matches_df(env, query)).select("node").distinct()
     routes = graph_ops.routes_from_pred(dist, dests)
     a = routes.select(
         "origin", "dest", (F.col("step_idx") + 1).alias("step_idx"), F.col("node").alias("u")
@@ -481,10 +495,10 @@ def _connection_rows(env, pts: DataFrame) -> DataFrame:
     withp = pts.join(c, "_fid")
     return withp.select(
         F.concat(
-            F.lit("path/diagonal.works/shell/connect-"), F.abs(F.xxhash64("_fid"))
+            F.lit("path/diagonal.works/ns/access-point/"), F.abs(F.xxhash64("_fid"))
         ).alias("feature_id"),
         F.lit("path").alias("feature_type"),
-        F.lit("diagonal.works/shell").alias("ns"),
+        F.lit("diagonal.works/ns/access-point").alias("ns"),
         F.map_from_arrays(
             F.array(F.lit("#diagonal"), F.lit("connects")),
             F.array(F.lit("connection"), F.col("_fid")),
@@ -504,11 +518,11 @@ def _fn_connect(env, a, b):
     pb = _rep_points(_feature_df(b), "_fb")
     row = pa.crossJoin(pb).select(
         F.concat(
-            F.lit("path/diagonal.works/shell/connect-"),
+            F.lit("path/diagonal.works/ns/access-point/"),
             F.abs(F.xxhash64("_fa", "_fb")),
         ).alias("feature_id"),
         F.lit("path").alias("feature_type"),
-        F.lit("diagonal.works/shell").alias("ns"),
+        F.lit("diagonal.works/ns/access-point").alias("ns"),
         F.map_from_arrays(
             F.array(F.lit("#diagonal")), F.array(F.lit("connection"))
         ).alias("tags"),
@@ -841,7 +855,12 @@ def _fn_parse_geojson_file(env, path):
 
 
 def _fn_to_geojson(env, f):
-    return geojson_src.to_geojson(_feature_df(f))
+    """Like to-geojson-collection, the feature columns ride along so
+    map-geometries can still transform after encoding (the client's
+    to_geojson(...).map_geometries(...) chain, b6_test.py
+    test_geojson_map_areas)."""
+    df = _feature_df(f)
+    return df.join(geojson_src.to_geojson(df), "feature_id")
 
 
 def _fn_to_geojson_collection(env, f):
@@ -904,6 +923,21 @@ def _as_df_transform(env, fn, df: DataFrame) -> DataFrame:
             .withColumn("ring_offsets", F.array(F.lit(0)))
             .drop("lat", "lng")
         )
+    if "feature_type" not in out.columns and {"feature_id", "xs", "ys"} <= set(
+        out.columns
+    ):
+        # a geometry->geometry transform (snap-area-edges): graft the
+        # new rings back onto the feature rows, keeping identity + tags.
+        # toDF re-ids the attributes -- new_geo descends from df, and a
+        # same-id self join trips the analyzer
+        geo_cols = [
+            c for c in ("feature_id", "xs", "ys", "ring_offsets") if c in out.columns
+        ]
+        new_geo = out.select(*geo_cols).toDF(*geo_cols)
+        joined = df.drop("xs", "ys", "ring_offsets").join(new_geo, "feature_id")
+        if "ring_offsets" not in new_geo.columns:
+            joined = joined.withColumn("ring_offsets", F.array(F.lit(0)))
+        return joined.select(*df.columns)
     return out
 
 
@@ -1560,7 +1594,23 @@ def _fn_points(env, g):
 
 
 def _fn_point_features(env, f):
-    return geo_fn.point_features(_feature_df(f))
+    """point-features (fn features.go:362-380): a path's vertices as
+    point FEATURES -- when a vertex coincides with a world point (the
+    shared OSM node), its real id is returned; otherwise the derived
+    <fid>/<idx> row stands in (packed layout drops node ids)."""
+    pf = geo_fn.point_features(_feature_df(f))
+    world_pts = env.features.filter(F.col("feature_type") == "point").select(
+        F.col("feature_id").alias("_wid"),
+        F.element_at("ys", 1).alias("lat"),
+        F.element_at("xs", 1).alias("lng"),
+    )
+    return pf.join(world_pts, ["lat", "lng"], "left").select(
+        F.coalesce("_wid", "point_id").alias("point_id"),
+        "parent_id",
+        "idx",
+        "lat",
+        "lng",
+    )
 
 
 def _fn_point_paths(env, f):
