@@ -216,7 +216,11 @@ class Lambda:
 
 
 _ALIAS = {"n": "point", "w": "path", "a": "area", "r": "relation"}
-_ALIAS_NS = "openstreetmap.org"
+# The reference expands /n/123 into the openstreetmap.org namespace
+# (shell.go:60-110); our OSM worlds (sources/osm.world_from_pbf) mint ids
+# under the short ns "osm", so the alias targets that -- the short forms
+# exist to address the OSM world either way.
+_ALIAS_NS = "osm"
 
 
 def normalize_feature_id(token: str) -> str:

@@ -1887,6 +1887,10 @@ def _register() -> None:
         # debug (fn debug.go)
         "debug-tokens": (_fn_debug_tokens, 1),
         "debug-all-query": (_fn_debug_all_query, 1),
+        # name (fn expression.go NameExpression): a UI display label --
+        # semantically the identity on the value (b6_test.py
+        # test_name_expression only asserts the wrapped value evaluates)
+        "name": (lambda env, value, label: value, 2),
     }
     for name, (fn, ar) in fns.items():
         if name not in REGISTRY:

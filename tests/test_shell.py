@@ -30,10 +30,11 @@ def test_parse_literals():
 
 def test_parse_condensed_feature_ids():
     # alias table shell.go:60-110: /n /w /a /r expand into full ids
+    # (targeting the OSM world's "osm" namespace, parse.py:_ALIAS_NS)
     e = parse_expression("find-feature /n/6082053666")
-    assert e.args == [P.FeatureId("point/openstreetmap.org/6082053666")]
+    assert e.args == [P.FeatureId("point/osm/6082053666")]
     e = parse_expression("find-area /a/115912092")
-    assert e.args == [P.FeatureId("area/openstreetmap.org/115912092")]
+    assert e.args == [P.FeatureId("area/osm/115912092")]
     e = parse_expression("find-feature /area/test/1")
     assert e.args == [P.FeatureId("area/test/1")]
 
