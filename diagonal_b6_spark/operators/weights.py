@@ -116,12 +116,14 @@ def weights_from_options(edges: DataFrame, options: dict[str, str]) -> DataFrame
       walk:speed, elevation:uphill, elevation:downhill  float strings;
                           junk raises, mirroring the reference's errors
 
-    Deviation, documented: the reference's WalkingTimeWeights.Weight
-    MULTIPLIES length by speed (graph.go:225-227); this engine divides
-    (meters / (m/s) = seconds).  The orderings -- and therefore every
-    shortest PATH -- are identical; only the absolute scale of the
-    budget comparison differs, and this engine's budgets are specified
-    in seconds throughout.
+    Unit convention: WalkingTimeWeights.Weight MULTIPLIES length by
+    speed (graph.go:225-227), so costs and budgets are meters x m/s
+    (at the default 1.25 m/s: ref_units = meters * 1.25).  This
+    dispatcher mirrors that exactly -- the reference's own test goldens
+    (python/diagonal_b6/b6_test.py test_closest_from_point_distance:
+    128 < d < 129 for a 103.0 m walk) are stated in those units, and
+    the shell's reachable/closest/accessible family is value-parity
+    against them.
     """
 
     def fval(key: str, default: float) -> float:
@@ -141,7 +143,7 @@ def weights_from_options(edges: DataFrame, options: dict[str, str]) -> DataFrame
     speed = fval("walk:speed", WALKING_METERS_PER_SECOND)
     gain = F.coalesce(F.col("elev_gain_m"), F.lit(0.0)) if "elev_gain_m" in edges.columns else F.lit(0.0)
     dist = _edge_dist(edges)
-    w = dist / F.lit(speed)
+    w = dist * F.lit(speed)
     if "elevation" in options:
         up = fval("elevation:uphill", 1.0)
         down = fval("elevation:downhill", 0.0)

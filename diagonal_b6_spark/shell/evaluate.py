@@ -392,6 +392,9 @@ def _fn_get_string(env, f, key):
     v = _fn_get(env, f, key)
     if isinstance(v, ColVal):
         return ColVal(v.ref, F.coalesce(v.col, F.lit("")), name="value")
+    if isinstance(v, DataFrame) and "value" in v.columns:
+        # getString returns "" for a missing tag (fn features.go:149-157)
+        return v.withColumn("value", F.coalesce(F.col("value"), F.lit("")))
     return v
 
 
