@@ -196,6 +196,28 @@ def feature_rows() -> list[dict]:
         }
     )
 
+    # 27/28: shops ON street vertices (shared network nodes -- the
+    # reference's reachable only sees point features sitting on reached
+    # vertices, graph/graph.go PointDistances); 29: an origin point on a
+    # street vertex (NewShortestPathSearchFromPoint seeds only connected
+    # nodes)
+    for pid, vi, ptags in (
+        (27, 3, {"#shop": "coffee"}),
+        (28, 9, {"#shop": "coffee"}),
+        (29, 0, {"entrance": "yes"}),
+    ):
+        rows.append(
+            {
+                "feature_id": f"point/test/{pid}",
+                "feature_type": "point",
+                "ns": "test/fixtures",
+                "tags": ptags,
+                "xs": [float(s_lngs[vi])],
+                "ys": [float(s_lats[vi])],
+                "ring_offsets": [0],
+            }
+        )
+
     # 7..26: POI points; 10 inside square, 5 inside hole's solid part, 5 outside
     sq_xs, sq_ys = _square(51.535, -0.125, 160.0)  # strictly inside square
     amen = ["bench", "cafe", "pub"]

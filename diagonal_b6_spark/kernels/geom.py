@@ -17,6 +17,8 @@ test correctly (SURVEY.md §7.3.3).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 EARTH_RADIUS_M = 6371010.0  # b6/units/units.go:7-23
@@ -131,6 +133,33 @@ def point_polyline_distance_m(px, py, xs, ys):
         d = point_segment_distance_m(px, py, xs[k], ys[k], xs[k + 1], ys[k + 1])
         best = np.minimum(best, d)
     return best
+
+
+def arc_length_to_projection_m(px, py, xs, ys):
+    """Distance ALONG a polyline from its start to the projection of a
+    point onto it -- the reference's distanceToPointMeters (fn
+    geometry.go:44-54: polyline.Project gives (projection, vertex);
+    result = Length(polyline[0:vertex]) + dist(polyline[vertex-1],
+    projection)).  NOT the closest-approach distance."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 2:
+        return 0.0
+    lat0 = math.radians(float(py))
+    kx = math.cos(lat0) * math.radians(1.0) * EARTH_RADIUS_M
+    ky = math.radians(1.0) * EARTH_RADIUS_M
+    dlng = np.mod(xs - float(px) + 180.0, 360.0) - 180.0
+    sx = -dlng * kx  # segment-local planar coords with the probe at 0
+    sy = (ys - float(py)) * ky
+    ex, ey = sx[1:] - sx[:-1], sy[1:] - sy[:-1]
+    seg_len2 = ex * ex + ey * ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(np.where(seg_len2 > 0, -(sx[:-1] * ex + sy[:-1] * ey) / seg_len2, 0.0), 0.0, 1.0)
+    qx, qy = sx[:-1] + t * ex, sy[:-1] + t * ey
+    d2 = qx * qx + qy * qy
+    k = int(np.argmin(d2))
+    seg = haversine_m(ys[:-1], xs[:-1], ys[1:], xs[1:])
+    return float(seg[:k].sum() + t[k] * seg[k])
 
 
 def polyline_length_m(xs, ys):
@@ -252,6 +281,21 @@ def ring_centroid(xs, ys):
     return float(cy), float(cx)
 
 
+def hull_centroid(xs, ys):
+    """Centroid of the convex hull of a vertex set -- the reference's
+    area centroid (fn geometry.go:59-76: s2.ConvexHullQuery over every
+    polygon, then the hull loop's centroid).  Planar hull + shoelace
+    centroid, adequate at city scales like ring_centroid."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 3:
+        return float(ys.mean()), float(xs.mean())
+    idx = convex_hull(xs, ys)
+    if len(idx) < 3:
+        return float(ys.mean()), float(xs.mean())
+    return ring_centroid(xs[idx], ys[idx])
+
+
 def polyline_centroid(xs, ys):
     """Length-weighted centroid of a polyline, returned (lat, lng)
     (reference: path centroid = polyline centroid, b6/world.go:868-886)."""
@@ -291,12 +335,40 @@ def spherical_ring_area_m2(xs, ys):
 
 
 def polygon_area_m2(xs, ys, ring_offsets):
-    """Multi-ring polygon area: outer ring minus holes."""
+    """Multi-ring polygon area with even-odd ring nesting.
+
+    A ring contained in an odd number of OTHER rings is a hole and
+    subtracts; even depth (incl. disjoint sibling outers of an OSM
+    multipolygon relation, e.g. granary-square's 3-part building
+    relation 7972217) adds.  Matches s2.Polygon/GEOS semantics for
+    single polygons with holes AND multi-outer multipolygons; the old
+    rule (ring 0 outer, every later ring a hole) clamped multi-outer
+    relations to 0."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
     offs = list(np.asarray(ring_offsets, dtype=np.int64)) + [len(xs)]
+    n = len(offs) - 1
+    if n <= 1:
+        return spherical_ring_area_m2(xs, ys)
+    rings = [
+        (xs[offs[r] : offs[r + 1]], ys[offs[r] : offs[r + 1]]) for r in range(n)
+    ]
     total = 0.0
-    for r in range(len(offs) - 1):
-        a = spherical_ring_area_m2(xs[offs[r] : offs[r + 1]], ys[offs[r] : offs[r + 1]])
-        total += a if r == 0 else -a
+    for i, (rx, ry) in enumerate(rings):
+        if len(rx) < 3:
+            continue
+        depth = 0
+        for j, (ox, oy) in enumerate(rings):
+            if i == j or len(ox) < 3:
+                continue
+            if bool(
+                points_in_polygon(
+                    rx[:1], ry[:1], ox, oy, np.array([0], dtype=np.int64)
+                )[0]
+            ):
+                depth += 1
+        a = spherical_ring_area_m2(rx, ry)
+        total += a if depth % 2 == 0 else -a
     return max(total, 0.0)
 
 

@@ -105,6 +105,39 @@ def with_centroid(features: DataFrame) -> DataFrame:
 
 
 @F.pandas_udf(_CENTROID_SCHEMA)
+def _fn_centroid_udf(ftype: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+    """The `centroid` FUNCTION's semantics (fn geometry.go:59-76):
+    points pass through, paths take the polyline centroid, and areas
+    take the centroid of the CONVEX HULL of all their vertices (the
+    reference builds an s2.ConvexHullQuery over every polygon) --
+    distinct from world.go's internal Centroid, which uses the outer
+    loop directly.  b6_test.py test_centroid pins the Lighterman's hull
+    centroid to 0.1 m."""
+    lats, lngs = [], []
+    for t, x, y in zip(ftype, xs, ys):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if t == "point" or len(x) == 1:
+            lats.append(float(y[0]))
+            lngs.append(float(x[0]))
+        elif t == "path":
+            clat, clng = geom.polyline_centroid(x, y)
+            lats.append(clat)
+            lngs.append(clng)
+        else:
+            clat, clng = geom.hull_centroid(x, y)
+            lats.append(clat)
+            lngs.append(clng)
+    return pd.DataFrame({"lat": lats, "lng": lngs})
+
+
+def with_fn_centroid(features: DataFrame) -> DataFrame:
+    """fn geometry.go:59-76 `centroid` (see _fn_centroid_udf)."""
+    c = _fn_centroid_udf(F.col("feature_type"), F.col("xs"), F.col("ys"))
+    return features.withColumn("centroid_lat", c["lat"]).withColumn("centroid_lng", c["lng"])
+
+
+@F.pandas_udf(_CENTROID_SCHEMA)
 def _interpolate_udf(xs: pd.Series, ys: pd.Series, fraction: pd.Series) -> pd.DataFrame:
     lats, lngs = [], []
     for x, y, f in zip(xs, ys, fraction):
@@ -121,14 +154,16 @@ def with_interpolate(features: DataFrame, fraction: float) -> DataFrame:
 
 
 def with_distance_to_point_m(features: DataFrame, lat: float, lng: float) -> DataFrame:
-    """Min distance from a fixed probe point to each polyline
-    (fn geometry.go:45-54 semantics, closest-approach form)."""
+    """Distance ALONG each polyline from its start to the projection of
+    the probe point onto it (fn geometry.go:44-54: polyline.Project ->
+    prefix length + partial segment; b6_test.py:360-363 pins (24, 25) m
+    for way 377974549 -- the closest-approach distance there is 22.8)."""
 
     @F.pandas_udf(T.DoubleType())
     def _d(xs: pd.Series, ys: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                float(geom.point_polyline_distance_m(lng, lat, np.asarray(x), np.asarray(y)))
+                float(geom.arc_length_to_projection_m(lng, lat, np.asarray(x), np.asarray(y)))
                 for x, y in zip(xs, ys)
             ]
         )
@@ -887,6 +922,8 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
             idx = geom.convex_hull(x, y)  # hull vertex indices, CCW
             yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
 
+    final_schema = "lat double, lng double, vertex_idx int"
+
     def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # concatenate ALL partial-hull batches before the final hull:
         # hulling each Arrow batch independently would return several
@@ -897,12 +934,14 @@ def convex_hull_agg(points: DataFrame, lat: str = "lat", lng: str = "lng") -> Da
         x = pdf["lng"].to_numpy()
         y = pdf["lat"].to_numpy()
         idx = geom.convex_hull(x, y)
-        yield pd.DataFrame({"lat": y[idx], "lng": x[idx]})
+        yield pd.DataFrame(
+            {"lat": y[idx], "lng": x[idx], "vertex_idx": np.arange(len(idx), dtype=np.int32)}
+        )
 
     partials = points.select(F.col(lat).alias("lat"), F.col(lng).alias("lng")).mapInPandas(
         partial, schema=schema
     )
-    return partials.coalesce(1).mapInPandas(final, schema=schema)
+    return partials.coalesce(1).mapInPandas(final, schema=final_schema)
 
 
 def join_paths(pairs: DataFrame, pair_id: str = "pair_id") -> DataFrame:

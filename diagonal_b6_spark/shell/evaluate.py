@@ -314,6 +314,16 @@ def _fn_find_feature(env, fid):
     return find_ops.find_feature(env.features, fid)
 
 
+def _fn_find_feature_typed(ftype):
+    def fn(env, fid):
+        out = _fn_find_feature(env, fid)
+        if isinstance(out, DataFrame) and "feature_type" in out.columns:
+            return out.filter(F.col("feature_type") == ftype)
+        return out
+
+    return fn
+
+
 def _fn_all(env):
     return env.features
 
@@ -325,7 +335,19 @@ def _fn_take(env, coll, n):
 def _fn_count(env, coll):
     # `count` returns a scalar in the reference; as a DataFrame plan we
     # return the 1-row count frame so pipelines stay lazy.
-    return _require_df(coll).agg(F.count(F.lit(1)).alias("value"))
+    if isinstance(coll, (list, tuple)):
+        return env.spark.createDataFrame([(len(coll),)], "value bigint")
+    df = _require_df(coll)
+    if "feature_type" in df.columns and "tags" in df.columns:
+        # a stored COLLECTION feature counts its items, not itself
+        # (b6_test.py test_materialise: count(find_feature(cid)) is the
+        # materialised row count; members live in member:<i> tags)
+        per_row = F.when(
+            F.col("feature_type") == "collection",
+            F.size(F.filter(F.map_keys(F.col("tags")), lambda k: k.startswith("member:"))),
+        ).otherwise(F.lit(1))
+        return df.agg(F.coalesce(F.sum(per_row), F.lit(0)).alias("value"))
+    return df.agg(F.count(F.lit(1)).alias("value"))
 
 
 def _require_df(v) -> DataFrame:
@@ -336,6 +358,19 @@ def _require_df(v) -> DataFrame:
 
 def _fn_map(env, coll, fn):
     fn = _as_callable(fn)
+    if isinstance(coll, (list, tuple)):
+        # a keyed Python collection (queries / feature collections):
+        # apply per item; DataFrame results stay keyed for flatten
+        out = [(k, fn.apply(env, [v])) for k, v in coll]
+        if out and all(isinstance(v, DataFrame) for _, v in out):
+            return out
+        rows = [(k, _scalar(v)) for k, v in out]
+        kt, kc = _collection_sqltype([k for k, _ in rows])
+        vt, vc = _collection_sqltype([v for _, v in rows])
+        conv = lambda v, c: v if c is None else c(v)
+        return env.spark.createDataFrame(
+            [(conv(k, kc), conv(v, vc)) for k, v in rows], f"key {kt}, value {vt}"
+        )
     if isinstance(coll, DataFrame):
         ref = RowRef(coll)
         if "tags" not in coll.columns and "value" in coll.columns:
@@ -362,6 +397,12 @@ def _fn_map(env, coll, fn):
             return coll.select("feature_id", out.col.alias(out.name))
         if isinstance(out, DataFrame):
             return out
+        if hasattr(out, "changed_ids"):
+            # a change op inside the lambda already applied to the whole
+            # collection (remove-tag h "#k" compiles collection-wide);
+            # the mapped "collection of changes" IS that one ChangeVal
+            # (b6_test.py test_merge_changes)
+            return out
         return coll.select("feature_id", _col_of(out).alias("value"))
     raise ShellError("map expects a collection")
 
@@ -377,10 +418,22 @@ def _fn_filter(env, coll, pred):
     raise ShellError("filter lambda must produce a boolean expression")
 
 
+def _resolve_identifiable(env, f):
+    """Functions taking b6.Identifiable resolve ids against the world
+    (api.Resolve; b6_test.py get_tags_from_list_of_ids maps bare ids
+    straight into get_string).  A ColVal holding feature-id strings
+    re-roots the row frame onto the world joined by id; anything else
+    passes through."""
+    if isinstance(f, ColVal):
+        return _fn_find_feature(env, f)
+    return f
+
+
 def _fn_get(env, f, key):
     """get: feature x key -> tag value (fn features.go:131-174).  The
     reference returns a Tag; materialized per-feature this is the value
     column (the key is constant and recorded in the column name)."""
+    f = _resolve_identifiable(env, f)
     if isinstance(f, RowRef):
         return ColVal(f, F.col("tags")[key], name="value")
     if isinstance(f, DataFrame):
@@ -537,12 +590,21 @@ def _collection_sqltype(vals):
     return "string", str
 
 
+_COMPLEX_ITEM = (DataFrame, P.Query, P.QKeyed, P.QTagged, P.QAnd, P.QOr, P.Point)
+
+
 def _fn_collection(env, *pairs):
     rows = []
     for p in pairs:
         if not (isinstance(p, tuple) and len(p) == 2):
             raise ShellError("collection expects pair items")
         rows.append((_scalar(p[0]), _scalar(p[1])))
+    # the reference's collections hold arbitrary values -- queries,
+    # feature collections (b6_test.py test_flatten maps find over a
+    # collection OF QUERIES); keep those as keyed Python items, which
+    # map/flatten consume directly
+    if any(isinstance(v, _COMPLEX_ITEM) for _, v in rows):
+        return rows
     kt, kc = _collection_sqltype([k for k, _ in rows])
     vt, vc = _collection_sqltype([v for _, v in rows])
     conv = lambda v, c: v if c is None else c(v)
@@ -592,9 +654,11 @@ def _feature_df(f) -> DataFrame:
 
 
 def _fn_get_centroid(env, f):
+    # features.go:140 getCentroid delegates to the geometry.go centroid
+    # (hull centroid for areas), not world.go's internal Centroid
     from ..operators import geo_fn
 
-    return geo_fn.with_centroid(_feature_df(f)).select(
+    return geo_fn.with_fn_centroid(_feature_df(f)).select(
         "feature_id",
         F.col("centroid_lat").alias("lat"),
         F.col("centroid_lng").alias("lng"),
@@ -604,11 +668,21 @@ def _fn_get_centroid(env, f):
 def _fn_area(env, f):
     from ..operators import geo_fn
 
+    f = _resolve_identifiable(env, f)
     if isinstance(f, RowRef):
         # per-feature Column so pipelines inside lambdas keep composing
         # (`area b | gt 1000.0`, vm_test.go:113-140)
         return ColVal(f, geo_fn.area_m2_col())
     df = _feature_df(f)
+    # hull-vertex frames (convex-hull output: CCW lat/lng/vertex_idx
+    # rows) collapse to one ring before measuring
+    if "xs" not in df.columns and {"lat", "lng", "vertex_idx"} <= set(df.columns):
+        v = F.array_sort(F.collect_list(F.struct("vertex_idx", "lng", "lat")))
+        df = df.agg(v.alias("v")).select(
+            F.lit("hull").alias("feature_id"),
+            F.transform("v", lambda p: p["lng"]).alias("xs"),
+            F.transform("v", lambda p: p["lat"]).alias("ys"),
+        )
     # geometry-only frames (collect-areas pieces, sightline polygons)
     # measure too: default the ring table and key
     if "ring_offsets" not in df.columns and "xs" in df.columns:
@@ -625,9 +699,16 @@ def _fn_area(env, f):
 def _fn_length(env, f):
     from ..operators import geo_fn
 
+    f = _resolve_identifiable(env, f)
     if isinstance(f, RowRef):
         return ColVal(f, geo_fn.length_m_col())
-    return geo_fn.with_length_m(_feature_df(f)).select(
+    df = _feature_df(f)
+    # geometry-only frames (join/ordered-join output) measure too
+    if "feature_id" not in df.columns:
+        df = df.withColumn(
+            "feature_id", F.monotonically_increasing_id().cast("string")
+        )
+    return geo_fn.with_length_m(df).select(
         "feature_id", F.col("length_m").alias("value")
     )
 
@@ -673,6 +754,10 @@ def _fn_clamp(env, v, lo, hi):
 def _fn_to_str(env, v):
     if isinstance(v, ColVal):
         return ColVal(v.ref, v.col.cast("string"))
+    if isinstance(v, DataFrame) and "value" in v.columns:
+        # count/sum frames stringify their value (fn math.go toStr;
+        # b6_test.py test_to_str pipes count straight into to_str)
+        return _value_df_op(v, lambda c: c.cast("string"))
     return str(v)
 
 
@@ -707,8 +792,10 @@ def _registry() -> dict[str, Func]:
         "find-areas": (_fn_find_typed("area"), 1),
         "find-relations": (_fn_find_typed("relation"), 1),
         "find-feature": (_fn_find_feature, 1),
-        "find-area": (_fn_find_feature, 1),
-        "find-relation": (_fn_find_feature, 1),
+        # typed finds yield nothing for a wrong-typed id
+        # (b6_test.py test_find_area_by_wrong_id_type)
+        "find-area": (_fn_find_feature_typed("area"), 1),
+        "find-relation": (_fn_find_feature_typed("relation"), 1),
         "all": (lambda env: find_ops.all_(), 0),
         "all-areas": (
             lambda env: env.features.filter(F.col("feature_type") == "area"),

@@ -328,7 +328,9 @@ class _Parser:
 
     def _tagvalue(self) -> str:
         t = self.next()
-        if t.kind not in ("SYMBOL", "STRING"):
+        # numbers are legal tag values (tag values are strings in the
+        # reference; `add-tag /w/X maxspeed=10`, b6_test.py:617-649)
+        if t.kind not in ("SYMBOL", "STRING", "INT", "FLOAT"):
             raise ParseError(f"bad tag value {t.text!r} at {t.pos}")
         return t.text
 

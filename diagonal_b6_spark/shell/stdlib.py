@@ -133,6 +133,12 @@ class ChangeVal:
 def _pt(v) -> P.Point:
     if isinstance(v, P.Point):
         return v
+    if isinstance(v, DataFrame) and {"lat", "lng"} <= set(v.columns):
+        # a single evaluated point (centroid / get-centroid of one
+        # feature) is a scalar in the reference; bounded 1-row collect
+        rows = v.select("lat", "lng").limit(2).collect()
+        if len(rows) == 1:
+            return P.Point(float(rows[0].lat), float(rows[0].lng))
     raise ShellError(f"expected a point (`lat, lng` or ll), found {v!r}")
 
 
@@ -266,18 +272,29 @@ def _rep_points(feats: DataFrame, id_alias: str = "_fid") -> DataFrame:
     )
 
 
-def _snap(env: Env, feats: DataFrame, threshold_m: float = 500.0) -> DataFrame:
+def _snap(
+    env: Env, feats: DataFrame, threshold_m: float = 500.0, fallback: bool = True
+) -> DataFrame:
     """Snap features onto network vertices: (feature_id, node).
 
-    Two tiers, mirroring the reference's access semantics: any vertex of
+    Exact tier, mirroring the reference's access semantics: any vertex of
     the feature that IS a network vertex (a shared OSM node -- the
     boundary-node contract graph/graph.go's ShortestPathSearch seeds
-    building access with) snaps exactly, contributing ALL such vertices;
-    a feature sharing no network node falls back to the
-    connect-to-network projection of its first vertex, snapped to the
-    nearer endpoint of the closest segment (the reference inserts a
-    connection vertex -- reusing an existing endpoint keeps the graph
-    unchanged, deviation documented at connect-to-network)."""
+    building access with) snaps exactly, contributing ALL such vertices.
+
+    With fallback=False (origin seeding, the reference's
+    NewShortestPathSearchFromPoint/-Building graph.go:443-478): a point
+    feature sharing no network node seeds from the connected vertices of
+    #building areas whose boundary references it; anything else sharing
+    no node contributes NOTHING -- a severed origin reaches nowhere
+    (b6_test.py test_reachable_with_changed_world depends on this).
+
+    With fallback=True (destination snapping): a feature sharing no
+    network node falls back to the connect-to-network projection of its
+    first vertex, snapped to the nearer endpoint of the closest segment
+    (the reference inserts a connection vertex -- reusing an existing
+    endpoint keeps the graph unchanged, deviation documented at
+    connect-to-network)."""
     net = _network(env)
     verts = (
         feats.filter(F.size("xs") > 0)
@@ -288,10 +305,38 @@ def _snap(env: Env, feats: DataFrame, threshold_m: float = 500.0) -> DataFrame:
         )
         .distinct()
     )
-    exact = verts.join(net["nodes"].select("node").distinct(), "node").select(
-        "feature_id", "node"
-    )
+    net_nodes = net["nodes"].select("node").distinct()
+    exact = verts.join(net_nodes, "node").select("feature_id", "node")
     rest = feats.join(exact.select("feature_id").distinct(), "feature_id", "left_anti")
+    if not fallback:
+        # disconnected POINT -> connected vertices of buildings whose
+        # boundary references it (FillOriginsFromBuildings)
+        pts = rest.filter(F.col("feature_type") == "point").select(
+            "feature_id",
+            _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node"),
+        )
+        bldg = env.features.filter(
+            (F.col("feature_type") == "area")
+            & F.col("tags")["#building"].isNotNull()
+        )
+        bldg_nodes = (
+            bldg.select(
+                F.col("feature_id").alias("_bid"),
+                F.explode(F.arrays_zip("xs", "ys")).alias("v"),
+            )
+            .select(
+                "_bid", _vertex_key(F.col("v.ys"), F.col("v.xs")).alias("node")
+            )
+            .distinct()
+        )
+        via = (
+            pts.join(bldg_nodes, "node")
+            .select("feature_id", "_bid")
+            .join(bldg_nodes, "_bid")
+            .join(net_nodes, "node")
+            .select("feature_id", "node")
+        )
+        return exact.unionByName(via).distinct()
     pts = _rep_points(rest)
     c = net_ops.connect_to_network(
         pts, net["paths"], threshold_m=threshold_m, point_id="_fid"
@@ -323,7 +368,7 @@ def _sssp(env: Env, origin_feats: DataFrame, options, max_cost: float):
     the origin-hash -> feature-id map (cogrouped Dijkstra wants a long
     origin key, operators/graph.py:277)."""
     net = _network(env)
-    snapped = _snap(env, origin_feats)
+    snapped = _snap(env, origin_feats, fallback=False)
     origins = snapped.select(
         F.xxhash64("feature_id").alias("origin"), "node"
     ).distinct()
@@ -364,10 +409,28 @@ def _matches_df(env: Env, query) -> DataFrame:
 
 
 def _reachable_features(env: Env, dist: DataFrame, omap: DataFrame, query) -> DataFrame:
-    """(origin, feature_id, dist): query-matched features whose snapped
-    node is in the origin's tree (fn graph.go:83-180 reachable)."""
+    """(origin, feature_id, dist): query-matched POINT features sitting
+    on reached network vertices plus AREA features referencing one
+    (graph/graph.go:452-460 AddOrUpdate + api/functions/graph.go:35-52:
+    the search yields PointDistances over visited vertices and
+    AreaDistances via FindAreasByPoint; paths are never candidates)."""
     matches = _matches_df(env, query)
-    msnap = _snap(env, matches)
+    pts = matches.filter(
+        (F.col("feature_type") == "point") & (F.size("xs") > 0)
+    ).select(
+        "feature_id",
+        _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node"),
+    )
+    area_nodes = (
+        matches.filter(F.col("feature_type") == "area")
+        .select("feature_id", F.explode(F.arrays_zip("xs", "ys")).alias("v"))
+        .select(
+            "feature_id",
+            _vertex_key(F.col("v.ys"), F.col("v.xs")).alias("node"),
+        )
+        .distinct()
+    )
+    msnap = pts.unionByName(area_nodes)
     hits = dist.join(msnap, "node").groupBy("origin", "feature_id").agg(
         F.min("dist").alias("dist")
     )
@@ -386,8 +449,29 @@ def _fn_reachable(env, origin, options, distance, query):
 
 
 def _fn_accessible_all(env, origins, destinations, duration, options):
-    dist, omap = _sssp(env, _feature_df(origins), options, _scalar_float(duration))
-    return _reachable_features(env, dist, omap, destinations)
+    odf = _feature_df(origins)
+    dist, omap = _sssp(env, odf, options, _scalar_float(duration))
+    # accessibleFromOrigin skips the origin feature itself
+    # (fn graph.go:374-392); plain reachable does not.
+    out = _reachable_features(env, dist, omap, destinations).filter(
+        F.col("feature_id") != F.col("origin")
+    )
+    # fn graph.go:235-240: an origin that reaches nothing still emits
+    # one (origin, FeatureIDInvalid) entry; is-valid filters it away.
+    missing = (
+        odf.select(F.col("feature_id").alias("origin"))
+        .distinct()
+        .join(out.select("origin").distinct(), "origin", "left_anti")
+    )
+    invalid = missing.select(
+        "origin",
+        *[
+            F.lit(None).cast(out.schema[c].dataType).alias(c)
+            for c in out.columns
+            if c != "origin"
+        ],
+    ).select(*out.columns)
+    return out.unionByName(invalid)
 
 
 def _fn_accessible_routes(env, origin, destinations, duration, options):
@@ -489,9 +573,18 @@ def _fn_building_access(env, origins, limit, mode):
 
 def _connection_rows(env, pts: DataFrame) -> DataFrame:
     """Connection path rows feature -> its network projection
-    (fn graph.go:547-566).  pts: (_fid, lat, lng)."""
+    (fn graph.go:542-566).  pts: (_fid, lat, lng).
+
+    The reference connects only to the STREET NETWORK -- #highway paths
+    whose connected set allows >500 m of traversal (BuildStreetNetwork;
+    b6_test.py:400-410 pins 0 modifications on the granary fixture,
+    whose whole extent is under 500 m)."""
     net = _network(env)
-    c = net_ops.connect_to_network(pts, net["paths"], point_id="_fid")
+    members = net_ops.build_street_network(net["paths"]).filter(
+        F.col("in_network")
+    ).select(F.col("path_id").alias("feature_id"))
+    network_paths = net["paths"].join(F.broadcast(members), "feature_id", "semi")
+    c = net_ops.connect_to_network(pts, network_paths, point_id="_fid")
     withp = pts.join(c, "_fid")
     return withp.select(
         F.concat(
@@ -545,6 +638,20 @@ def _fn_ll(env, lat, lng):
 
 
 def _fn_distance_meters(env, a, b):
+    from .evaluate import ColVal
+    from ..operators.gridjoin import haversine_col
+
+    def latlng(v):
+        """(lat, lng) column pair for a point-valued argument."""
+        if isinstance(v, ColVal):  # per-feature centroid inside a lambda
+            return v.col["lat"], v.col["lng"], v.ref
+        p = _pt(v)
+        return F.lit(p.lat), F.lit(p.lng), None
+
+    la1, lo1, r1 = latlng(a)
+    la2, lo2, r2 = latlng(b)
+    if r1 is not None or r2 is not None:
+        return ColVal(r1 or r2, haversine_col(la1, lo1, la2, lo2), name="value")
     pa, pb = _pt(a), _pt(b)
     return float(geom_k.haversine_m(pa.lat, pa.lng, pb.lat, pb.lng))
 
@@ -565,11 +672,23 @@ def _fn_interpolate(env, path, fraction):
 
 
 def _fn_centroid(env, g):
+    """fn geometry.go:59-76 `centroid` (and features.go getCentroid,
+    which delegates to it): hull centroid for areas."""
     if isinstance(g, P.Point):
         return g
-    from .evaluate import _fn_get_centroid
+    from .evaluate import RowRef, ColVal, _feature_df, _resolve_identifiable
 
-    return _fn_get_centroid(env, g)
+    g = _resolve_identifiable(env, g)
+    if isinstance(g, RowRef):
+        # per-feature centroid inside a lambda composes as a struct
+        # column (b6_test.py test_centroids maps distance over them)
+        c = geo_fn._fn_centroid_udf(F.col("feature_type"), F.col("xs"), F.col("ys"))
+        return ColVal(g, c, name="centroid")
+    return geo_fn.with_fn_centroid(_feature_df(g)).select(
+        "feature_id",
+        F.col("centroid_lat").alias("lat"),
+        F.col("centroid_lng").alias("lng"),
+    )
 
 
 def _fn_rectangle_polygon(env, a, b):
@@ -664,9 +783,12 @@ def _fn_collect_areas(env, areas):
 
 
 def _fn_convex_hull(env, coll):
-    """fn geometry.go:207-232: hull over every vertex of the collection."""
+    """fn geometry.go:207-232: hull over every vertex of the collection
+    (a DataFrame of features, or a keyed Python collection of geometry
+    frames -- b6_test.py test_convex_hull_from_list_of_lat_lngs maps
+    cap-polygon over lls first)."""
     pts = (
-        _require_df(coll)
+        _feature_df(coll)
         .select(F.explode(F.arrays_zip("xs", "ys")).alias("v"))
         .select(F.col("v.ys").alias("lat"), F.col("v.xs").alias("lng"))
     )
@@ -679,11 +801,34 @@ def _fn_sightline(env, origin, radius):
             [(0, origin.lat, origin.lng)], "origin_id long, lat double, lng double"
         )
     else:
-        origins = _rep_points(_feature_df(origin), "origin_id")
+        odf = _feature_df(origin)
+        if "xs" not in odf.columns and "lat" in odf.columns:
+            # a point collection (sample-points rows) mapped through
+            # sightline (b6_test.py:258-265): each row is an origin
+            origins = odf.select(
+                F.xxhash64("lat", "lng").alias("origin_id"), "lat", "lng"
+            ).distinct()
+        else:
+            origins = _rep_points(odf, "origin_id")
     buildings = env.features.filter(
         (F.col("feature_type") == "area") & F.col("tags")["#building"].isNotNull()
     )
-    return sightline_ops.sightline(origins, buildings, radius_m=_scalar_float(radius))
+    out = sightline_ops.sightline(origins, buildings, radius_m=_scalar_float(radius))
+    # emit the engine's geometry schema so area/to-geojson compose
+    # (the reference's sightline returns an Area; b6_test.py:252-265)
+    return out.select(
+        F.concat(F.lit("area/diagonal.works/sightline/"), F.col("origin_id").cast("string")).alias(
+            "feature_id"
+        ),
+        F.lit("area").alias("feature_type"),
+        F.lit("diagonal.works/sightline").alias("ns"),
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias(
+            "tags"
+        ),
+        F.col("boundary_lngs").alias("xs"),
+        F.col("boundary_lats").alias("ys"),
+        F.array(F.lit(0)).cast("array<int>").alias("ring_offsets"),
+    )
 
 
 def _fn_entrance_approach(env, area):
@@ -873,7 +1018,19 @@ def _fn_to_geojson_collection(env, f):
 
 
 def _fn_import_geojson(env, g, ns):
-    stamped = _require_df(g).withColumn("ns", F.lit(str(ns)))
+    """fn geojson.go:102-141: imported features land in the CALLER's
+    namespace -- ids are <type>/<ns>/<key> (b6_test.py:412-431 asserts
+    ids[0].namespace == "diagonal.works/test")."""
+    ns = str(ns)
+    df = _require_df(g)
+    stamped = df.withColumn("ns", F.lit(ns)).withColumn(
+        "feature_id",
+        F.concat(
+            F.col("feature_type"),
+            F.lit("/" + ns + "/"),
+            F.element_at(F.split(F.col("feature_id"), "/"), -1),
+        ),
+    )
     return ChangeVal(added=stamped)
 
 
@@ -1000,7 +1157,13 @@ def _fn_add_tags(env, coll):
 def _fn_remove_tag_change(env, target, key):
     from .evaluate import _fn_remove_tag
 
-    if isinstance(target, (DataFrame, RowRef)):
+    if isinstance(target, RowRef):
+        # mapped per-feature (`map {h -> remove-tag h "#k"}`): the
+        # collection of per-feature changes is one ChangeVal over the
+        # row frame (b6_test.py test_merge_changes)
+        d = target.df.select("feature_id", F.lit(str(key)).alias("k"))
+        return ChangeVal(tag_removes=d)
+    if isinstance(target, DataFrame):
         return _fn_remove_tag(env, target, key)
     d = _ids_of(target, env).select("feature_id", F.lit(str(key)).alias("k"))
     return ChangeVal(tag_removes=d)
@@ -1189,9 +1352,13 @@ def _fn_with_change(env, change, fn):
 
 
 def _fn_add_world_with_change(env, fid, change):
+    """fn world.go addWorldWithChange (b6_test.py:643-649): the change
+    lands in a NEW world rooted at `fid`; the caller's world is
+    untouched.  Snapshot worlds have no root registry, so the returned
+    ChangeVal IS the new root: apply() materializes that world."""
     if not isinstance(change, ChangeVal):
         raise ShellError("add-world-with-change expects a change")
-    return change.changed_ids(env.spark)
+    return change
 
 
 def _fn_changes_to_file(env, change, filename):
@@ -1669,7 +1836,16 @@ def _fn_sample_points(env, path, distance):
 
 
 def _fn_sample_points_along_paths(env, paths, distance):
-    return _sample_every(_require_df(paths), _scalar_float(distance))
+    # the reference's exact sampler INCLUDING the global seen-set dedup
+    # (features.go appendUnseenSampledPoints; shared junction vertices
+    # collapse -- b6_test.py:242-250 pins 300-350 over #highway at 20 m).
+    # appendUnseenSampledPoints samples ONLY GeometryTypePath: tagged
+    # areas (highway=pedestrian plazas) and point nodes contribute nothing.
+    return geo_fn.sample_points_every(
+        _require_df(paths).filter(F.col("feature_type") == "path"),
+        _scalar_float(distance),
+        dedup=True,
+    )
 
 
 def _pairs_of(a, b) -> DataFrame:

@@ -91,8 +91,11 @@ def _feature_to_rows(f: dict, k: int, ns: str) -> list[tuple]:
     elif gtype == "Polygon":
         out.append(_polygon_row(geom["coordinates"], f"area/{ns}/{fid}", ns, props))
     elif gtype == "MultiPolygon":
-        for pi, rings in enumerate(geom["coordinates"]):
-            out.append(_polygon_row(rings, f"area/{ns}/{fid}.{pi}", ns, props))
+        # ONE area feature with every polygon's rings (geojson.go:102-141
+        # imports a MultiPolygon as a single MultiPolygon area; ring
+        # nesting disambiguates outers from holes downstream)
+        rings = [ring for poly in geom["coordinates"] for ring in poly]
+        out.append(_polygon_row(rings, f"area/{ns}/{fid}", ns, props))
     return out
 
 

@@ -106,9 +106,13 @@ def test_interpolate_endpoints(spark):
 def test_distance_to_point(spark):
     paths = fixtures.features_table(spark).filter(F.col("feature_type") == "path")
     road = [r for r in fixtures.feature_rows() if r["feature_id"] == "path/test/6"][0]
-    # probe exactly on the first vertex -> distance ~0
+    # probe exactly on the first vertex -> projection at arc length ~0
     out = geo_fn.with_distance_to_point_m(paths, road["ys"][0], road["xs"][0]).collect()[0]
     assert out["dist_m"] < 0.5
+    # probe at the last vertex -> arc length ~ the full polyline length
+    out2 = geo_fn.with_distance_to_point_m(paths, road["ys"][-1], road["xs"][-1]).collect()[0]
+    want = geom.polyline_length_m(np.array(road["xs"]), np.array(road["ys"]))
+    assert out2["dist_m"] == pytest.approx(want, rel=1e-6)
 
 
 def test_s2_covering_contains_feature_cells(spark):

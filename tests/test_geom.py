@@ -136,6 +136,50 @@ def test_polygon_area_with_hole():
     assert abs(a - (a_outer - a_hole)) < 1.0
 
 
+def test_polygon_area_multi_outer():
+    """Disjoint sibling rings ADD (OSM multipolygon relation with
+    several outer parts, e.g. granary-square building relation 7972217
+    whose 3 rings the old outer-minus-rest rule clamped to 0)."""
+    axs, ays = square(0.0, 0.0, 0.01)
+    bxs, bys = square(0.1, 0.0, 0.01)
+    cxs, cys = square(0.2, 0.0, 0.01)
+    xs = np.concatenate([axs, bxs, cxs])
+    ys = np.concatenate([ays, bys, cys])
+    a = geom.polygon_area_m2(xs, ys, [0, 4, 8])
+    parts = sum(
+        geom.spherical_ring_area_m2(x, y)
+        for x, y in ((axs, ays), (bxs, bys), (cxs, cys))
+    )
+    assert abs(a - parts) < 1.0
+    # island-in-hole nests back to additive (depth 2)
+    oxs, oys = square(0.0, 0.0, 0.05)
+    hxs, hys = square(0.0, 0.0, 0.03)
+    ixs, iys = square(0.0, 0.0, 0.01)
+    a2 = geom.polygon_area_m2(
+        np.concatenate([oxs, hxs, ixs]), np.concatenate([oys, hys, iys]), [0, 4, 8]
+    )
+    want = (
+        geom.spherical_ring_area_m2(oxs, oys)
+        - geom.spherical_ring_area_m2(hxs, hys)
+        + geom.spherical_ring_area_m2(ixs, iys)
+    )
+    assert abs(a2 - want) < 1.0
+
+
+def test_arc_length_to_projection():
+    """distanceToPointMeters semantics (fn geometry.go:44-54): arc
+    length along the path to the probe's projection."""
+    xs = np.array([0.0, 1.0, 1.0])
+    ys = np.array([0.0, 0.0, 1.0])
+    # probe beside the midpoint of the first segment
+    d = geom.arc_length_to_projection_m(0.5, 0.1, xs, ys)
+    assert abs(d - float(geom.haversine_m(0, 0, 0, 0.5))) / d < 1e-3
+    # probe beside the second segment: full first segment + partial
+    d2 = geom.arc_length_to_projection_m(1.1, 0.5, xs, ys)
+    want = float(geom.haversine_m(0, 0, 0, 1)) + float(geom.haversine_m(0, 1, 0.5, 1))
+    assert abs(d2 - want) / want < 1e-3
+
+
 def test_convex_hull():
     rng = np.random.default_rng(5)
     xs = rng.uniform(0, 1, 100)

@@ -212,10 +212,12 @@ def test_eval_intersecting_cap(spark, feats):
         spark, feats, "find (intersecting-cap 51.535, -0.125 400.0)"
     )
     ids = {r.feature_id for r in out.collect()}
-    # all 10 in-square points are within 400 m of the square's centre;
-    # the square's own vertices too
+    # all 10 in-square points are within 400 m of the square's centre
+    # (plus the shop pinned on street vertex 3); the square's own
+    # vertices too
     assert "area/test/1" in ids
-    assert sum(1 for i in ids if i.startswith("point/")) == 10
+    assert "point/test/27" in ids
+    assert sum(1 for i in ids if i.startswith("point/")) == 11
 
 
 def test_eval_intersecting_area_feature(spark, feats):

@@ -84,11 +84,23 @@ def test_convex_hull_contains_all_amenity_points(spark, feats):
 
 
 def test_distance_to_point_meters(spark, feats):
+    """Along-path distance to the projection (fn geometry.go:44-54),
+    pinned against the numpy kernel twin."""
     out = run(
         spark, feats, "find-feature /path/test/6 | distance-to-point-meters 51.535, -0.125"
     )
     v = out.collect()[0].value
-    assert 0 <= v < 400.0  # the street passes within the square
+    street = next(
+        r for r in __import__("diagonal_b6_spark.fixtures", fromlist=["x"]).feature_rows()
+        if r["feature_id"] == "path/test/6"
+    )
+    want = geom_k.arc_length_to_projection_m(
+        -0.125, 51.535, np.array(street["xs"]), np.array(street["ys"])
+    )
+    assert v == pytest.approx(want)
+    assert 0 <= v <= geom_k.polyline_length_m(
+        np.array(street["xs"]), np.array(street["ys"])
+    )
 
 
 # --------------------------------------------------------------------- s2 --
@@ -266,27 +278,41 @@ def test_count_keys_on_collection(spark, feats):
 
 
 def test_reachable_and_closest_consistent(spark, feats):
+    # origin and shops sit ON street vertices: the reference's reachable
+    # sees only point features on reached network nodes (graph.go:35-52)
+    r = run(
+        spark,
+        feats,
+        'find-feature /point/test/29 | reachable {"mode": "walk"} 5000.0 [#shop]',
+    )
+    rows = r.collect()
+    assert rows and all(row.origin == "point/test/29" for row in rows)
+    assert {row.feature_id for row in rows} == {"point/test/27", "point/test/28"}
+    assert all(row.dist <= 5000.0 for row in rows)
+    best = run(
+        spark,
+        feats,
+        'find-feature /point/test/29 | closest {"mode": "walk"} 5000.0 [#shop]',
+    ).collect()[0]
+    assert best.dist == pytest.approx(min(row.dist for row in rows))
+
+
+def test_reachable_excludes_detached_features(spark, feats):
+    # a detached origin seeds nothing; detached amenity points are never
+    # candidates (no projection fallback in the reference's search)
     r = run(
         spark,
         feats,
         'find-feature /point/test/9 | reachable {"mode": "walk"} 5000.0 [#amenity=cafe]',
     )
-    rows = r.collect()
-    assert rows and all(row.origin == "point/test/9" for row in rows)
-    assert all(row.dist <= 5000.0 for row in rows)
-    best = run(
-        spark,
-        feats,
-        'find-feature /point/test/9 | closest {"mode": "walk"} 5000.0 [#amenity=cafe]',
-    ).collect()[0]
-    assert best.dist == pytest.approx(min(row.dist for row in rows))
+    assert r.count() == 0
 
 
 def test_paths_to_reach_names_the_street(spark, feats):
     out = run(
         spark,
         feats,
-        'find-feature /point/test/9 | paths-to-reach {"mode": "walk"} 5000.0 [#amenity=cafe]',
+        'find-feature /point/test/29 | paths-to-reach {"mode": "walk"} 5000.0 [#shop]',
     )
     rows = out.collect()
     assert rows and rows[0].feature_id == "path/test/6" and rows[0].n_paths > 0
