@@ -454,6 +454,58 @@ def packed_to_tile(packed):
     return x, y, z
 
 
+def visvalingam_indices(xs, ys, max_area_error_m2: float):
+    """Visvalingam ring simplification keep-indices, mirroring the
+    reference's SimplifyLoop (osm/polygons.go:219-270): iteratively
+    delete the vertex whose removal changes the ring's area least (the
+    area of the triangle it forms with its neighbours, absolute
+    spherical excess), stopping once the smallest remaining triangle
+    exceeds max_area_error_m2 or only 3 vertices remain.
+
+    The ring is CLOSED implicitly (first vertex not repeated), like
+    s2.Loop.  Documented deviation: after a deletion the reference
+    recomputes only the triangle starting at the deleted vertex's
+    predecessor, leaving the one before it stale in its heap
+    (polygons.go:250-262); this implementation recomputes BOTH adjacent
+    triangles (Visvalingam's published algorithm), which can differ in
+    which near-threshold vertices survive.  The reference's own
+    acceptance bands (area within 1 %, >=50 % vertex reduction on the
+    London boundary) hold for both.  Returns sorted keep indices."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    n = len(x)
+    if n <= 3:
+        return np.arange(n, dtype=np.int64)
+    import heapq
+
+    prv = np.roll(np.arange(n), 1)
+    nxt = np.roll(np.arange(n), -1)
+    alive = np.ones(n, dtype=bool)
+    stamp = np.zeros(n, dtype=np.int64)
+
+    def tri_area(i):
+        idx = (int(prv[i]), int(i), int(nxt[i]))
+        return spherical_ring_area_m2(x[list(idx)], y[list(idx)])
+
+    heap = [(tri_area(i), 0, i) for i in range(n)]
+    heapq.heapify(heap)
+    remaining = n
+    while remaining > 3 and heap:
+        area, ver, i = heapq.heappop(heap)
+        if not alive[i] or ver != stamp[i]:
+            continue  # lazy deletion: superseded or already removed
+        if area > max_area_error_m2:
+            break
+        alive[i] = False
+        remaining -= 1
+        p, q = int(prv[i]), int(nxt[i])
+        nxt[p], prv[q] = q, p
+        for j in (p, q):
+            stamp[j] += 1
+            heapq.heappush(heap, (tri_area(j), int(stamp[j]), j))
+    return np.flatnonzero(alive).astype(np.int64)
+
+
 def douglas_peucker(xs, ys, epsilon: float):
     """Douglas-Peucker keep-indices over an open point chain, matching the
     reference renderer's semantics (renderer/simplify.go:40-102): the

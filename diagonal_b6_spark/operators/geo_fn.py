@@ -504,6 +504,63 @@ def tile_cover(features: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+_SIMPLIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("ring_offsets", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def simplify_areas(features: DataFrame, max_area_error_m2: float) -> DataFrame:
+    """Visvalingam polygon simplification, each ring independently --
+    the reference's SimplifyPolygon (osm/polygons.go:208-217): loops
+    simplify separately with no attempt to repair loop intersections
+    the simplification may introduce.  Non-area rows and rings already
+    at <=3 vertices pass through unchanged.
+
+    Distributed shape: one Arrow-batched kernel pass per feature row
+    (rings are feature-local; no shuffle)."""
+
+    @F.pandas_udf(_SIMPLIFY_SCHEMA)
+    def _simp(
+        ftype: pd.Series, xs: pd.Series, ys: pd.Series, offs: pd.Series
+    ) -> pd.DataFrame:
+        oxs, oys, ooffs = [], [], []
+        for t, x, y, o in zip(ftype, xs, ys, offs):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            o = list(np.asarray(o, dtype=np.int64)) if o is not None else [0]
+            if t != "area" or len(x) <= 3:
+                oxs.append([float(v) for v in x])
+                oys.append([float(v) for v in y])
+                ooffs.append([int(v) for v in o])
+                continue
+            bounds = o + [len(x)]
+            nx, ny, no = [], [], []
+            for r in range(len(bounds) - 1):
+                rx = x[bounds[r] : bounds[r + 1]]
+                ry = y[bounds[r] : bounds[r + 1]]
+                keep = geom.visvalingam_indices(rx, ry, float(max_area_error_m2))
+                no.append(len(nx))
+                nx.extend(float(v) for v in rx[keep])
+                ny.extend(float(v) for v in ry[keep])
+            oxs.append(nx)
+            oys.append(ny)
+            ooffs.append([int(v) for v in no])
+        return pd.DataFrame({"xs": oxs, "ys": oys, "ring_offsets": ooffs})
+
+    g = _simp(F.col("feature_type"), F.col("xs"), F.col("ys"), F.col("ring_offsets"))
+    keep_cols = [c for c in features.columns if c not in ("xs", "ys", "ring_offsets")]
+    return features.select(
+        *keep_cols,
+        g["xs"].alias("xs"),
+        g["ys"].alias("ys"),
+        g["ring_offsets"].alias("ring_offsets"),
+    )
+
+
 def snap_area_edges(
     areas: DataFrame, paths: DataFrame, threshold_m: float = 20.0,
     cell_deg: float | None = None,

@@ -236,3 +236,27 @@ def test_convex_hull_single_point():
     assert list(idx) == [0]
     idx2 = geom.convex_hull_planar(np.array([0.0, 1.0]), np.array([0.0, 2.0]))
     assert sorted(idx2) == [0, 1]
+
+
+def test_visvalingam_drops_tiny_kinks_keeps_corners():
+    """Closed-form Visvalingam (osm/polygons.go:219-270): a square ring
+    with one midpoint nudged ~1 m off an edge forms a tiny triangle --
+    simplification at a budget above that triangle's area removes the
+    midpoint and only it; a budget below keeps everything."""
+    import numpy as np
+
+    from diagonal_b6_spark.kernels import geom
+
+    # square ~200 m across at the equator, plus a midpoint on the south
+    # edge nudged 1 m north: triangle area ~ (200 m * 1 m) / 2 = 100 m^2
+    d = 100.0 / 111195.0
+    eps = 1.0 / 111195.0
+    xs = np.array([-d, 0.0, d, d, -d])
+    ys = np.array([-d, -d + eps, -d, d, d])
+    keep_hi = geom.visvalingam_indices(xs, ys, 150.0)
+    assert list(keep_hi) == [0, 2, 3, 4]
+    keep_lo = geom.visvalingam_indices(xs, ys, 10.0)
+    assert list(keep_lo) == [0, 1, 2, 3, 4]
+    # never below a triangle
+    tri = geom.visvalingam_indices(xs[:3], ys[:3], 1e12)
+    assert len(tri) == 3

@@ -30,6 +30,8 @@ import os
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from diagonal_b6_spark.kernels.geom import spherical_ring_area_m2
 from diagonal_b6_spark.sources.gtfs import (
     gtfs_connections,
@@ -70,6 +72,40 @@ def test_london_boundary_relation_to_polygon(spark):
     # Structural detail the reference relies on via s2.PolygonFromLoops:
     # the hole (the City of London, the note tag says so) nests inside.
     assert r.ring_depths == [0, 1]
+
+
+def test_simplify_boundary_polygon(spark):
+    """TestSimplifyBoundaryPolygon (osm/polygons_test.go:283-316): the
+    London boundary simplified at a 100 m^2 triangle-area budget keeps
+    its area within 1% and drops >50% of the vertices of every loop."""
+    from diagonal_b6_spark.operators.geo_fn import simplify_areas
+
+    dfs = read_pbf(spark, f"{REF_DATA}/london-boundaries.osm.pbf")
+    poly = relations_to_polygons(
+        dfs["nodes"], dfs["ways"], dfs["relations"], relation_ids=[65606]
+    ).withColumn("feature_type", F.lit("area"))
+    before = poly.collect()[0]
+    after = simplify_areas(poly, 100.0).collect()[0]
+
+    def ring_bounds(r):
+        offs = list(r.ring_offsets) + [len(r.xs)]
+        return [(offs[i], offs[i + 1]) for i in range(len(offs) - 1)]
+
+    def total_area(r):
+        area = 0.0
+        for i, (a, b) in enumerate(ring_bounds(r)):
+            ra = spherical_ring_area_m2(
+                np.asarray(r.xs[a:b]), np.asarray(r.ys[a:b])
+            )
+            area += ra if r.ring_depths[i] % 2 == 0 else -ra
+        return area
+
+    assert len(after.ring_offsets) == len(before.ring_offsets) == 2
+    assert (
+        abs(total_area(after) - total_area(before)) / total_area(before) <= 0.01
+    )
+    for (a0, b0), (a1, b1) in zip(ring_bounds(before), ring_bounds(after)):
+        assert (b1 - a1) / (b0 - a0) <= 0.5, (b0 - a0, b1 - a1)
 
 
 def test_london_boundaries_pbf_structure(spark):
