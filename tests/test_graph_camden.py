@@ -1,0 +1,142 @@
+"""The reference's graph seeding/reach tests, re-run on the camden world.
+
+graph/graph_test.go builds test/camden/camden.go's world (camden.osm.pbf)
+and pins how ShortestPathSearch SEEDS from buildings and points and what
+it REACHES.  These are the contracts behind shell/stdlib._snap(
+fallback=False) and _reachable_features:
+
+  * a building with NO entrance tags still seeds from every boundary
+    vertex shared with a usable path (graph_test.go:316-347),
+  * a building with MANY entrances seeds from ALL of them -- both sides
+    of St Pancras are <= 30 m away (graph_test.go:349-391),
+  * an unconnected point ON a building seeds as that building
+    (graph_test.go:393-434),
+  * the search reaches AREAS via boundary-vertex membership
+    (graph_test.go:436-465).
+
+SimpleWeights/SimpleHighwayWeights cost raw meters; walk:speed=1.0
+reproduces that scale through weights_from_options.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from diagonal_b6_spark.operators.network import _vertex_key
+from diagonal_b6_spark.shell import stdlib
+from diagonal_b6_spark.shell.evaluate import Env
+from diagonal_b6_spark.sources.osm import world_from_pbf
+
+CAMDEN = "/root/reference/data/tests/camden.osm.pbf"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(CAMDEN), reason="reference fixture directory not present"
+)
+
+LIGHTERMAN = "area/osm/427900370"
+ST_PANCRAS = "area/osm/4256246"
+BRIDGE_NORTH_END = "point/osm/1447052073"
+CDY_SOUTH_END = "point/osm/6083735356"
+CDY_WEST = "area/osm/222021572"
+THE_GRANARY = "area/osm/222021576"
+RAW_METERS = {"walk:speed": "1.0"}  # SimpleWeights' cost scale
+
+STATE: dict = {}
+
+
+@pytest.fixture()
+def world(spark):
+    if "world" not in STATE:
+        STATE["world"] = world_from_pbf(spark, CAMDEN).localCheckpoint()
+    return STATE["world"]
+
+
+def _node_keys(world, feature_id):
+    """Vertex keys of one feature's geometry."""
+    return (
+        world.filter(F.col("feature_id") == feature_id)
+        .select(F.explode(F.arrays_zip("xs", "ys")).alias("v"))
+        .select(_vertex_key(F.col("v.ys"), F.col("v.xs")).alias("node"))
+        .distinct()
+    )
+
+
+def _entrance_count(world, area_id):
+    """Entrance-tagged point features sitting on the area's boundary."""
+    pts = world.filter(
+        (F.col("feature_type") == "point") & F.col("tags")["entrance"].isNotNull()
+    ).select(
+        _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node")
+    )
+    return _node_keys(world, area_id).join(pts, "node").count()
+
+
+def test_building_with_no_entrance_seeds_from_boundary(spark, world):
+    """graph_test.go:316-347: The Lighterman has no entrance-tagged
+    nodes, yet a 100 m search from it reaches the Stable Street bridge
+    north end."""
+    assert _entrance_count(world, LIGHTERMAN) == 0
+    env = Env(spark, world)
+    origin = world.filter(F.col("feature_id") == LIGHTERMAN)
+    dist, _ = stdlib._sssp(env, origin, RAW_METERS, 100.0)
+    assert dist.join(_node_keys(world, BRIDGE_NORTH_END), "node").count() == 1
+
+
+def test_building_with_many_entrances_seeds_from_all(spark, world):
+    """graph_test.go:349-391: St Pancras has >= 2 entrances; junction
+    nodes on OPPOSITE sides of the station are both <= 30 m from it --
+    impossible unless every connected boundary vertex seeds at 0."""
+    assert _entrance_count(world, ST_PANCRAS) >= 2
+    env = Env(spark, world)
+    origin = world.filter(F.col("feature_id") == ST_PANCRAS)
+    dist, _ = stdlib._sssp(env, origin, RAW_METERS, 500.0)
+    for node_id in ("point/osm/6481824008", "point/osm/1237701825"):
+        rows = dist.join(_node_keys(world, node_id), "node").collect()
+        assert rows, node_id
+        assert min(r.dist for r in rows) <= 30.0, (node_id, rows)
+
+
+def test_unconnected_point_on_building_seeds_as_building(spark, world):
+    """graph_test.go:393-434: a St Pancras boundary node referenced by
+    no #highway path still expands a search -- it seeds from the
+    building's connected vertices."""
+    env = Env(spark, world)
+    net_nodes = stdlib._network(env)["nodes"].select("node").distinct()
+    detached = (
+        world.filter(F.col("feature_type") == "point")
+        .select(
+            "feature_id",
+            _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node"),
+        )
+        .join(_node_keys(world, ST_PANCRAS), "node")
+        .join(net_nodes, "node", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    assert detached, "expected an unconnected point on St Pancras"
+    origin = world.filter(F.col("feature_id") == detached[0].feature_id)
+    dist, _ = stdlib._sssp(env, origin, RAW_METERS, 500.0)
+    assert dist.count() > 1
+
+
+def test_search_reaches_buildings(spark, world):
+    """graph_test.go:436-465: a point search reaches Coal Drops Yard
+    West as an AREA; a building-origin search reaches The Lighterman."""
+    env = Env(spark, world)
+    from diagonal_b6_spark.shell import parse as P
+
+    q = P.QKeyed("#building")
+    origin = world.filter(F.col("feature_id") == CDY_SOUTH_END)
+    dist, omap = stdlib._sssp(env, origin, RAW_METERS, 500.0)
+    reached = stdlib._reachable_features(env, dist, omap, q)
+    ids = {r.feature_id for r in reached.select("feature_id").distinct().collect()}
+    assert CDY_WEST in ids
+
+    origin = world.filter(F.col("feature_id") == THE_GRANARY)
+    dist, omap = stdlib._sssp(env, origin, RAW_METERS, 500.0)
+    reached = stdlib._reachable_features(env, dist, omap, q)
+    ids = {r.feature_id for r in reached.select("feature_id").distinct().collect()}
+    assert LIGHTERMAN in ids
