@@ -140,3 +140,68 @@ def test_search_reaches_buildings(spark, world):
     reached = stdlib._reachable_features(env, dist, omap, q)
     ids = {r.feature_id for r in reached.select("feature_id").distinct().collect()}
     assert LIGHTERMAN in ids
+
+
+def _first_vertex_node(world, fid):
+    return world.filter(F.col("feature_id") == fid).select(
+        _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node")
+    )
+
+
+def _bus_route_ways(spark, world, from_nodes, to_nodes, budget):
+    """Way feature-ids on the bus-weight shortest path between two node
+    sets (ComputeShortestPath + BusWeights, graph/graph.go:95-107):
+    directed bus edges (oneway honored), cogrouped Dijkstra, predecessor
+    walk, then each DIRECTED route step mapped back to its path."""
+    from diagonal_b6_spark.operators import graph as graph_ops
+    from diagonal_b6_spark.operators.conflate import bus_edges_from_paths
+
+    paths = world.filter(F.col("feature_type") == "path")
+    edges = bus_edges_from_paths(paths)
+    origins = from_nodes.select(F.lit(1).cast("long").alias("origin"), "node")
+    dist = graph_ops.dijkstra_cogrouped(
+        origins, edges.select("src", "dst", "w"), max_cost=float(budget)
+    )
+    routes = graph_ops.routes_from_pred(dist, to_nodes)
+    a = routes.select(
+        "origin", "dest", (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("node").alias("u"),
+    )
+    b = routes.select("origin", "dest", "step_idx", F.col("node").alias("v"))
+    steps = a.join(b, ["origin", "dest", "step_idx"])
+    hit = steps.join(
+        edges, (steps["u"] == edges["src"]) & (steps["v"] == edges["dst"])
+    )
+    return {r.path_id for r in hit.select("path_id").distinct().collect()}
+
+
+def test_bus_shortest_path_prefers_roads(spark, world):
+    """graph_test.go:13-56 TestShortestPath: the bus route between the
+    two pinned ways uses 673733343 and 207107599, and avoids the Midland
+    Road cycleway (681764413) and an off-route highway (673447483)."""
+    ways = _bus_route_ways(
+        spark, world,
+        _first_vertex_node(world, "path/osm/687471322"),
+        _first_vertex_node(world, "path/osm/367808662"),
+        1000.0,
+    )
+    assert ways, "expected a route"
+    for wid in ("path/osm/673733343", "path/osm/207107599"):
+        assert wid in ways, wid
+    for wid in ("path/osm/681764413", "path/osm/673447483"):
+        assert wid not in ways, wid
+
+
+def test_bus_shortest_path_honors_oneway(spark, world):
+    """graph_test.go:160-200: at the 51.5452312,-0.1415558 junction the
+    west fork is shorter southbound but oneway northbound -- the route
+    takes 835618252 and never 502802551."""
+    ways = _bus_route_ways(
+        spark, world,
+        _node_keys(world, "point/osm/33000703"),
+        _node_keys(world, "point/osm/970237231"),
+        500.0,
+    )
+    assert ways, "expected a route"
+    assert "path/osm/835618252" in ways
+    assert "path/osm/502802551" not in ways
