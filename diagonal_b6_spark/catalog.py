@@ -5339,6 +5339,255 @@ FROM fx
 """
 
 
+# --- render_basemap: the full BasemapRenderer feature stage ------------------
+
+RENDER_BASEMAP_ZOOMS = (8, 14)
+
+
+def _basemap_fixture_rows() -> list[dict]:
+    """The shared vector fixture enriched with the renderer-facing tags
+    (layer / b6:colour / addr:housename) plus rows exercising the
+    highway-area demotion (renderer.go:283-295) and the label rules."""
+    rows = [dict(r, tags=dict(r["tags"])) for r in fixtures.feature_rows()]
+    colours = ["#3ab6c4", "#FF8800", "#gg0000", "0.75", "4", "red", "2.0", "-1.0", None]
+    layers = [None, "2", "-1", "0", "1x", None, "3"]
+    houses = [None, None, "house a", None, "HQ", None]
+    for r in rows:
+        val = int(r["feature_id"].rsplit("/", 1)[1])
+        if colours[val % len(colours)] is not None:
+            r["tags"]["b6:colour"] = colours[val % len(colours)]
+        if layers[val % len(layers)] is not None:
+            r["tags"]["layer"] = layers[val % len(layers)]
+        if houses[val % len(houses)] is not None:
+            r["tags"]["addr:housename"] = houses[val % len(houses)]
+
+    def extra(fid, ftype, tags, xs, ys):
+        rows.append(
+            {
+                "feature_id": fid,
+                "feature_type": ftype,
+                "ns": "test/fixtures",
+                "tags": tags,
+                "xs": [float(v) for v in xs],
+                "ys": [float(v) for v in ys],
+                "ring_offsets": [0],
+            }
+        )
+
+    sq_xs, sq_ys = fixtures._square(51.540, -0.118, 60.0)
+    extra("area/test/90", "area",
+          {"#highway": "pedestrian", "name": "plaza", "layer": "2"}, sq_xs, sq_ys)
+    sq_xs, sq_ys = fixtures._square(51.541, -0.119, 40.0)
+    extra("area/test/91", "area",
+          {"#highway": "pedestrian", "area": "yes", "b6:colour": "0.25"}, sq_xs, sq_ys)
+    sq_xs, sq_ys = fixtures._square(51.542, -0.120, 50.0)
+    extra("area/test/92", "area",
+          {"#highway": "primary", "area": "no", "addr:housename": "bridge house",
+           "name": "old bridge"}, sq_xs, sq_ys)
+    extra("point/test/93", "point",
+          {"#place": "city", "name": "metropolis"}, [-0.117], [51.543])
+    extra("point/test/94", "point",
+          {"#place": "town", "name": "smallville", "addr:housename": "town hall"},
+          [-0.1175], [51.5435])
+    return rows
+
+
+def q_render_basemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BasemapRenderer feature stage (renderer.go:216-401): zoom
+    admission via the rule table, first-match dispatch over the FULL
+    rule list, the tile tag set (rule attribute, label-gated name with
+    addr:housename precedence, sanitised b6:colour, split ns + hex id),
+    the highway-area linestring demotion, and the byLayerThenID position
+    within each basemap layer.  The oracle replays all of it --
+    admission, dispatch, demotion, Sscanf hex sanitisation, gradient
+    interpolation, Atoi layer numbers, the ordering -- in SQL from the
+    same embedded fixture rows.  The MVT assembly of the staged features
+    (FNV-1 tile feature ids, nine fixed layers) is pinned by the
+    reference-mirror tests in tests/test_render_basemap.py."""
+    from pyspark.sql import Window
+
+    from .operators import render as render_ops
+
+    df = spark.createDataFrame(_basemap_fixture_rows(), schema=fixtures.FEATURE_SCHEMA)
+    out = None
+    for z in RENDER_BASEMAP_ZOOMS:
+        st = render_ops.stage_basemap_features(df, z).withColumn("zoom", F.lit(z))
+        out = st if out is None else out.unionByName(st)
+    w = Window.partitionBy("zoom", "layer").orderBy(
+        "layer_num", "type_order", "ns", "value"
+    )
+    return out.select(
+        "zoom",
+        "feature_id",
+        "layer",
+        F.row_number().over(w).alias("pos"),
+        "demoted",
+        "render_type",
+        "rule_key",
+        "rule_value",
+        F.col("tile_tags").getItem("name").alias("name"),
+        F.col("tile_tags").getItem("b6:colour").alias("colour"),
+        F.col("tile_tags").getItem("id").alias("id_hex"),
+        F.col("tile_tags").getItem("ns").alias("ns_tag"),
+    )
+
+
+def _gradient_hex_sql(x: str) -> str:
+    """renderer.go's default gradient interpolation + ToHexString as a
+    SQL printf over expression `x` (channel constants as exact n/255
+    ratios -- see sql_render_colours)."""
+    from .operators.render import DEFAULT_GRADIENT
+
+    stops = [
+        (v, tuple(int(c[i : i + 2], 16) for i in (1, 3, 5))) for v, c in DEFAULT_GRADIENT
+    ]
+
+    def chan_case(k: int) -> str:
+        def ch(n: int) -> str:
+            return f"({n}.0 / 255.0)"
+
+        parts = [f"CASE WHEN {x} < {stops[0][0]!r} THEN {ch(stops[0][1][k])}"]
+        for i in range(1, len(stops)):
+            v0, c0 = stops[i - 1]
+            v1, c1 = stops[i]
+            parts.append(
+                f"WHEN {x} < {v1!r} THEN {ch(c0[k])} + ({ch(c1[k])} - {ch(c0[k])}) "
+                f"* (({x} - {v0!r}) / {v1 - v0!r})"
+            )
+        parts.append(f"ELSE {ch(stops[-1][1][k])} END")
+        return " ".join(parts)
+
+    return (
+        "printf('#%02x%02x%02x', "
+        + ", ".join(f"CAST(round(({chan_case(k)}) * 255.0, 0) AS INT)" for k in range(3))
+        + ")"
+    )
+
+
+def _colour_from_tag_value_sql(col: str) -> str:
+    """colourFromTagValue (renderer.go:383-394) replayed fully in SQL:
+    7-char #hex roundtrips through Sscanf's stop-at-first-bad-channel
+    semantics (hex digits decoded positionally), integer strings pass
+    through, floats interpolate the gradient, anything else ''."""
+
+    def hexdig(p: int) -> str:
+        return f"(strpos('0123456789abcdef', lower(substr({col}, {p}, 1))) - 1)"
+
+    def chan(p: int, n_ok: int) -> str:
+        ok = f"regexp_matches({col}, '^#[0-9a-fA-F]{{{n_ok}}}')"
+        return f"CASE WHEN {ok} THEN 16 * {hexdig(p)} + {hexdig(p + 1)} ELSE 0 END"
+
+    hex_rt = (
+        f"printf('#%02x%02x%02x', {chan(2, 2)}, {chan(4, 4)}, {chan(6, 6)})"
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN '' "
+        f"WHEN length({col}) = 7 AND substr({col}, 1, 1) = '#' THEN {hex_rt} "
+        f"WHEN regexp_matches({col}, '^[+-]?[0-9]+$') THEN {col} "
+        f"WHEN TRY_CAST({col} AS DOUBLE) IS NOT NULL "
+        f"THEN {_gradient_hex_sql(f'TRY_CAST({col} AS DOUBLE)')} "
+        f"ELSE '' END"
+    )
+
+
+def sql_render_basemap() -> str:
+    from .operators.render import BASEMAP_RENDER_RULES, FEATURE_TYPE_ORDER
+
+    tag_keys = sorted(
+        {r[0] for r in BASEMAP_RENDER_RULES}
+        | {"area", "layer", "b6:colour", "addr:housename", "name"}
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = []
+    for r in _basemap_fixture_rows():
+        val = int(r["feature_id"].rsplit("/", 1)[1])
+        tags = ", ".join(
+            q(r["tags"][k]) if k in r["tags"] else "NULL" for k in tag_keys
+        )
+        vals.append(
+            f"({q(r['feature_id'])}, {q(r['feature_type'])}, {q(r['ns'])}, {val}, {tags})"
+        )
+    cols = ", ".join(f'"{k}"' for k in tag_keys)
+
+    def tcol(k: str) -> str:
+        return f'"{k}"'
+
+    def match(key, value):
+        return (
+            f"{tcol(key)} IS NOT NULL"
+            if value is None
+            else f"{tcol(key)} = {q(value)}"
+        )
+
+    admits = []
+    for z in RENDER_BASEMAP_ZOOMS:
+        conds = [
+            match(key, value)
+            for key, value, mn, mx, _l, _b in BASEMAP_RENDER_RULES
+            if not ((mn > 0 and z < mn) or (mx > 0 and z > mx))
+        ]
+        admits.append(f"SELECT {z} AS zoom, f.* FROM f WHERE {' OR '.join(conds)}")
+
+    rk_case = " ".join(
+        f"WHEN {match(key, value)} THEN {q(key[1:])}"
+        for key, value, _mn, _mx, _l, _b in BASEMAP_RENDER_RULES
+    )
+    rv_case = " ".join(
+        f"WHEN {match(key, value)} THEN {tcol(key)}"
+        for key, value, _mn, _mx, _l, _b in BASEMAP_RENDER_RULES
+    )
+    layer_case = " ".join(
+        f"WHEN {match(key, value)} THEN {q(layer)}"
+        for key, value, _mn, _mx, layer, _b in BASEMAP_RENDER_RULES
+    )
+    label_case = " ".join(
+        f"WHEN {match(key, value)} THEN {str(label).upper()}"
+        for key, value, _mn, _mx, _l, label in BASEMAP_RENDER_RULES
+    )
+    type_case = " ".join(
+        f"WHEN feature_type = {q(k)} THEN {v}" for k, v in FEATURE_TYPE_ORDER.items()
+    )
+    demote = (
+        "feature_type = 'area' AND \"#highway\" IS NOT NULL "
+        "AND (\"area\" IS NULL OR \"area\" = 'no')"
+    )
+    colour = _colour_from_tag_value_sql('"b6:colour"')
+    return f"""
+WITH f(feature_id, feature_type, ns, value, {cols}) AS (
+  VALUES {", ".join(vals)}
+),
+adm AS ({" UNION ALL ".join(admits)}),
+st AS (
+  SELECT zoom, feature_id, ns, value,
+         CASE {layer_case} END AS layer,
+         CASE {label_case} END AS label,
+         ({demote}) AS demoted,
+         CASE WHEN ({demote}) THEN 'path' ELSE feature_type END AS render_type,
+         CASE WHEN ({demote}) THEN NULL ELSE CASE {rk_case} END END AS rule_key,
+         CASE WHEN ({demote}) THEN NULL ELSE CASE {rv_case} END END AS rule_value,
+         CASE WHEN (CASE {label_case} END)
+              AND coalesce("addr:housename", "name") IS NOT NULL
+              THEN coalesce("addr:housename", "name") END AS name,
+         NULLIF({colour}, '') AS colour,
+         printf('%x', value) AS id_hex,
+         ns AS ns_tag,
+         CASE WHEN "layer" IS NOT NULL AND regexp_matches("layer", '^[+-]?[0-9]+$')
+              THEN CAST("layer" AS INT) ELSE 0 END AS layer_num,
+         CASE {type_case} END AS type_order
+  FROM adm
+  WHERE CASE {layer_case} END IS NOT NULL
+)
+SELECT CAST(zoom AS INT) AS zoom, feature_id, layer,
+       CAST(row_number() OVER (PARTITION BY zoom, layer
+            ORDER BY layer_num, type_order, ns, value) AS INT) AS pos,
+       demoted, render_type, rule_key, rule_value, name, colour, id_hex, ns_tag
+FROM st
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -5472,6 +5721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terrain_ele": q_terrain_ele,
     "codepoint_points": q_codepoint_points,
     "render_query": q_render_query,
+    "render_basemap": q_render_basemap,
 }
 
 ORACLES: dict[str, str] = {
@@ -5585,6 +5835,7 @@ ORACLES: dict[str, str] = {
     "terrain_ele": sql_terrain_ele(),
     "codepoint_points": sql_codepoint_points(),
     "render_query": sql_render_query(),
+    "render_basemap": sql_render_basemap(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -390,6 +390,261 @@ def render_histogram_tiles(
     return render_tiles(staged, zoom, layer_name="histogram")
 
 
+# --- full BasemapRenderer staging (renderer.go:216-401) ----------------------
+
+# BasemapLayer enum order (renderer.go:41-55): layers render in this
+# order inside every tile, and NewLayers creates all nine even if empty.
+BASEMAP_LAYER_NAMES = [
+    "boundary", "contour", "water", "road", "landuse",
+    "building", "point", "label", "amenity",
+]
+
+# FeatureID.Less orders by (Type, Namespace, Value) (world.go:401-411);
+# the Type enum is Point, Path, Area, Relation, Invalid, Collection,
+# Expression (world.go:285-291).
+FEATURE_TYPE_ORDER = {
+    "point": 0, "path": 1, "area": 2, "relation": 3,
+    "collection": 5, "expression": 6,
+}
+
+
+def fnv1_64(type_order: int, ns: str, value: int, polygon: int | None = None) -> int:
+    """api/tiles.go:10-32 TileFeatureID / TileFeatureIDForPolygon: Go's
+    fnv.New64() (FNV-1: multiply then xor) over LE-uint64(type) + the
+    namespace bytes + LE-uint64(value), plus LE-uint64(polygon) for the
+    per-polygon variant."""
+    h = 0xCBF29CE484222325
+
+    def mix(bs: bytes) -> None:
+        nonlocal h
+        for b in bs:
+            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            h ^= b
+
+    mix(int(type_order).to_bytes(8, "little"))
+    mix(ns.encode())
+    mix((int(value) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
+    if polygon is not None:
+        mix(int(polygon).to_bytes(8, "little"))
+    return h
+
+
+def stage_basemap_features(features: DataFrame, zoom: int, rules=None) -> DataFrame:
+    """The BasemapRenderer feature stage (renderer.go:216-401) as pure
+    column expressions:
+
+    * admission: a feature enters the tile iff SOME zoom-admitted rule
+      matches it (findFeatures runs RenderRules.ToQuery(zoom),
+      renderer.go:228-233);
+    * dispatch: the rendering rule is the FIRST match over the FULL rule
+      list -- renderFeature (renderer.go:235-244) does NOT re-check the
+      zoom, so a feature admitted by one rule can render under an
+      earlier, zoom-inadmissible one;
+    * tile tags (fillTagsFromTags, renderer.go:343-401): the rule key
+      with '#' stripped mapped to the FEATURE's value, the label-gated
+      name (addr:housename over name), the sanitised b6:colour
+      (colourFromTagValue -- dropped when it converts to ''), and the
+      split id: `id` = lowercase hex of the numeric id, `ns` = the
+      feature's namespace;
+    * highway-area demotion (fillFeaturesFromArea, renderer.go:283-295):
+      an area tagged #highway whose `area` tag is absent or "no" renders
+      as a LINESTRING of its boundary path and carries only
+      fillTagsFromTags tags (no rule-type tag);
+    * sort keys: byLayerThenID (renderer.go:18-37) -- the integer
+      `layer` tag (strict Atoi, anything else 0), then FeatureID order
+      (type, namespace, value).
+
+    Returns one row per tile feature: feature_id, render_type (the MVT
+    geometry type after demotion), layer, layer_num/type_order/ns/value
+    (the sort key), label, demoted, tile_tags, and the packed geometry.
+    """
+    rs = rules or BASEMAP_RENDER_RULES
+
+    def t(key):
+        return F.col("tags").getItem(key)
+
+    def matches(key, value):
+        # RenderRule.Matches (renderer.go:128-135): nil/"" value = any
+        if value is None or value == "":
+            return t(key).isNotNull()
+        return t(key) == value
+
+    admitted = None
+    for key, value, mn, mx, _layer, _label in rs:
+        if (mn > 0 and zoom < mn) or (mx > 0 and zoom > mx):
+            continue
+        cond = matches(key, value)
+        admitted = cond if admitted is None else (admitted | cond)
+    if admitted is None:
+        admitted = F.lit(False)
+
+    rule_key = layer_expr = label_expr = any_rule = None
+    for key, value, _mn, _mx, layer, label in rs:
+        cond = matches(key, value)
+        rule_key = (
+            F.when(cond, F.lit(key)) if rule_key is None else rule_key.when(cond, F.lit(key))
+        )
+        layer_expr = (
+            F.when(cond, F.lit(layer)) if layer_expr is None else layer_expr.when(cond, F.lit(layer))
+        )
+        label_expr = (
+            F.when(cond, F.lit(label)) if label_expr is None else label_expr.when(cond, F.lit(label))
+        )
+        any_rule = cond if any_rule is None else (any_rule | cond)
+
+    staged = features.filter(admitted & any_rule).select(
+        "*",
+        rule_key.alias("_rk"),
+        layer_expr.alias("layer"),
+        label_expr.alias("label"),
+    )
+
+    demoted = (
+        (F.col("feature_type") == "area")
+        & t("#highway").isNotNull()
+        & (t("area").isNull() | (t("area") == "no"))
+    )
+    value_num = F.coalesce(
+        F.element_at(F.split("feature_id", "/"), -1).try_cast("long"), F.lit(0)
+    )
+    layer_num = F.coalesce(
+        F.when(
+            t("layer").rlike("^[+-]?[0-9]+$"), t("layer").try_cast("int")
+        ),
+        F.lit(0),
+    )
+    type_order = F.coalesce(
+        *[
+            F.when(F.col("feature_type") == k, F.lit(v))
+            for k, v in FEATURE_TYPE_ORDER.items()
+        ]
+    )
+
+    rule_tag = F.when(
+        demoted, _empty_tag_map()
+    ).otherwise(
+        F.create_map(
+            F.expr("substring(_rk, 2)"), F.col("tags").getItem(F.col("_rk"))
+        )
+    )
+    name_tag = F.when(
+        F.col("label")
+        & F.coalesce(t("addr:housename"), t("name")).isNotNull(),
+        F.create_map(
+            F.lit("name"), F.coalesce(t("addr:housename"), t("name"))
+        ),
+    ).otherwise(_empty_tag_map())
+    colour = F.when(
+        t("b6:colour").isNotNull(), colour_from_tag_value_col(t("b6:colour"))
+    ).otherwise(F.lit(""))
+    colour_tag = F.when(
+        colour != "", F.create_map(F.lit("b6:colour"), colour)
+    ).otherwise(_empty_tag_map())
+    id_tags = F.create_map(
+        F.lit("id"), F.lower(F.hex(value_num)),
+        F.lit("ns"), F.col("ns"),
+    )
+
+    return staged.select(
+        "feature_id",
+        "feature_type",
+        F.when(demoted, F.lit("path")).otherwise(F.col("feature_type")).alias(
+            "render_type"
+        ),
+        "layer",
+        "label",
+        demoted.alias("demoted"),
+        F.when(demoted, F.lit(None).cast("string"))
+        .otherwise(F.expr("substring(_rk, 2)"))
+        .alias("rule_key"),
+        F.when(demoted, F.lit(None).cast("string"))
+        .otherwise(F.col("tags").getItem(F.col("_rk")))
+        .alias("rule_value"),
+        layer_num.alias("layer_num"),
+        type_order.alias("type_order"),
+        "ns",
+        value_num.alias("value"),
+        F.map_concat(rule_tag, name_tag, colour_tag, id_tags).alias("tile_tags"),
+        "xs",
+        "ys",
+        "ring_offsets",
+    )
+
+
+def render_basemap_tiles(features: DataFrame, zoom: int, rules=None) -> DataFrame:
+    """BasemapRenderer.Render (renderer.go:221-233), batch form: one MVT
+    tile per covered (x, y) at `zoom`, each carrying all nine basemap
+    layers in enum order.  Features are sorted byLayerThenID within the
+    tile; tile feature ids are the reference's FNV-1 TileFeatureID
+    (TileFeatureIDForPolygon with polygon 0 for areas -- our packed area
+    rows hold one polygon; demoted highway areas take the boundary
+    path's id, which for closed-way areas is the same numeric value
+    under the path type)."""
+    staged = stage_basemap_features(features, zoom, rules)
+    cover = geo_fn.tile_cover(staged, zoom).select("feature_id", "tile_x", "tile_y")
+    joined = cover.join(staged, "feature_id")
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        pdf = pdf.sort_values(
+            ["layer_num", "type_order", "ns", "value"], kind="stable"
+        )
+        layer_feats: dict[str, list[bytes]] = {n: [] for n in BASEMAP_LAYER_NAMES}
+        layer_keys: dict[str, list] = {n: ([], [], {}, {}) for n in BASEMAP_LAYER_NAMES}
+        n_feats = 0
+        for r in pdf.itertuples(index=False):
+            xs = np.asarray(r.xs, dtype=np.float64)
+            ys = np.asarray(r.ys, dtype=np.float64)
+            offs = list(r.ring_offsets) + [len(xs)]
+            rings = []
+            for a, b in zip(offs[:-1], offs[1:]):
+                x, y = mvt.latlng_to_tile_local(ys[a:b], xs[a:b], zoom, tx, ty)
+                if len(x) > 1000:
+                    keep = geom_kernel.douglas_peucker(x, y, 5.0)
+                    x, y = x[keep], y[keep]
+                rings.append(np.stack([x, y], axis=1))
+            if bool(r.demoted):
+                fid = fnv1_64(FEATURE_TYPE_ORDER["path"], r.ns, r.value)
+            elif r.feature_type == "area":
+                fid = fnv1_64(FEATURE_TYPE_ORDER["area"], r.ns, r.value, polygon=0)
+            else:
+                fid = fnv1_64(r.type_order, r.ns, r.value)
+            keys, values, kidx, vidx = layer_keys[r.layer]
+            tag_idx: list[int] = []
+            for k, v in sorted((r.tile_tags or {}).items()):
+                if k not in kidx:
+                    kidx[k] = len(keys)
+                    keys.append(k)
+                if v not in vidx:
+                    vidx[v] = len(values)
+                    values.append(v)
+                tag_idx += [kidx[k], vidx[v]]
+            layer_feats[r.layer].append(
+                mvt.encode_feature(fid, _GEOM_TYPE[r.render_type], rings, tag_idx)
+            )
+            n_feats += 1
+        tile = b"".join(
+            mvt.encode_layer(
+                name, layer_feats[name], layer_keys[name][0], layer_keys[name][1]
+            )
+            for name in BASEMAP_LAYER_NAMES
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [zoom],
+                "tile_x": [tx],
+                "tile_y": [ty],
+                "n_features": [n_feats],
+                "mvt": [tile],
+            }
+        )
+
+    return joined.groupBy("tile_x", "tile_y").applyInPandas(
+        encode, schema="zoom int, tile_x long, tile_y long, n_features int, mvt binary"
+    )
+
+
 def render_collection_tiles(
     features: DataFrame,
     collection_id: str,
