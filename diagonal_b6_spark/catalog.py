@@ -5588,6 +5588,170 @@ FROM st
 """
 
 
+# --- world_mutation: incremental view maintenance == full rebuild ------------
+
+
+def _synthetic_osm_tables(spark: SparkSession, sf_dir: str):
+    """Deterministic OSM-shaped tables derived from events: node id =
+    event_id + 1 on a lat/lng lattice; ways chain 5 consecutive nodes,
+    every 3rd way closed (same arithmetic replayed in the oracle)."""
+    ev = fixtures.testdata(spark, sf_dir, "events").select("event_id")
+    nodes = ev.select(
+        (F.col("event_id") + 1).alias("id"),
+        (F.lit(51.5) + (F.col("event_id") % 1000) * F.lit(0.0001)).alias("lat"),
+        (F.lit(-0.2) + (F.col("event_id") % 997) * F.lit(0.0001)).alias("lon"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("tags"),
+    )
+    base = nodes.select(
+        "id",
+        ((F.col("id") - 1) / 5).cast("long").alias("w"),
+        ((F.col("id") - 1) % 5).alias("pos"),
+    )
+    ways = (
+        base.groupBy("w")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "id"))).alias("v"))
+        .filter(F.size("v") == 5)
+        .select(
+            (F.col("w") + 1).alias("id"),
+            F.when(
+                (F.col("w") + 1) % 3 == 0,
+                F.concat(F.col("v.id"), F.slice(F.col("v.id"), 1, 1)),
+            )
+            .otherwise(F.col("v.id"))
+            .alias("refs"),
+            F.when(
+                (F.col("w") + 1) % 2 == 0,
+                F.create_map(F.lit("highway"), F.lit("residential")),
+            )
+            .otherwise(
+                F.map_from_arrays(
+                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                )
+            )
+            .alias("tags"),
+        )
+    )
+    return nodes, ways
+
+
+def q_world_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental world maintenance (sources/osm.apply_osm_mutations;
+    reference semantics b6/ingest/mutable.go, fixtures mirrored in
+    tests/test_osm_mutations.py): relocate every 7th node and rewrite
+    every 11th way (closed ways open up -- an area flips back to a path;
+    open ways reverse), rebuilding ONLY the dirty subset.  The oracle is
+    the FULL re-assembly from the mutated raw tables in SQL -- the
+    operator's core invariant (incremental == full rebuild) checked
+    value-for-value on every feature's type, vertex count, and packed
+    first/last coordinates."""
+    from .sources import osm as osm_src
+
+    nodes, ways = _synthetic_osm_tables(spark, sf_dir)
+    world = osm_src.nodes_to_points(nodes).unionByName(
+        osm_src.ways_to_features(nodes, ways).withColumn(
+            "tags", osm_src.fill_tags_from_osm(F.col("tags"))
+        ),
+        allowMissingColumns=True,
+    )
+    moves = nodes.filter(F.col("id") % 7 == 0).select(
+        "id",
+        (F.col("lat") + F.lit(0.01)).alias("lat"),
+        (F.col("lon") - F.lit(0.005)).alias("lon"),
+    )
+    rewrites = ways.filter(F.col("id") % 11 == 0).select(
+        "id",
+        F.when(
+            F.col("id") % 3 == 0, F.slice("refs", 1, F.size("refs") - 1)
+        )
+        .otherwise(F.reverse("refs"))
+        .alias("refs"),
+    )
+    world2, _, _ = osm_src.apply_osm_mutations(
+        world, nodes, ways, node_moves=moves, way_rewrites=rewrites
+    )
+    return world2.select(
+        "feature_id",
+        "feature_type",
+        F.size("xs").alias("n_vertices"),
+        F.round(F.element_at("ys", 1), 9).alias("first_lat"),
+        F.round(F.element_at("xs", 1), 9).alias("first_lng"),
+        F.round(F.element_at("ys", -1), 9).alias("last_lat"),
+        F.round(F.element_at("xs", -1), 9).alias("last_lng"),
+    )
+
+
+def sql_world_mutation() -> str:
+    return """
+WITH nodes0 AS (
+  SELECT event_id + 1 AS id,
+         51.5 + (event_id % 1000) * CAST(0.0001 AS DOUBLE) AS lat,
+         -0.2 + (event_id % 997) * CAST(0.0001 AS DOUBLE) AS lon
+  FROM events
+),
+nodes AS (  -- node moves: every 7th relocates
+  SELECT id,
+         CASE WHEN id % 7 = 0 THEN lat + CAST(0.01 AS DOUBLE) ELSE lat END AS lat,
+         CASE WHEN id % 7 = 0 THEN lon - CAST(0.005 AS DOUBLE) ELSE lon END AS lon
+  FROM nodes0
+),
+ways0 AS (
+  SELECT ((id - 1) // 5) + 1 AS id,
+         list(n.id ORDER BY n.id) AS refs
+  FROM nodes0 n GROUP BY 1 HAVING count(*) = 5
+),
+ways1 AS (  -- every 3rd way closes on its first node
+  SELECT id,
+         CASE WHEN id % 3 = 0 THEN list_append(refs, refs[1]) ELSE refs END AS refs
+  FROM ways0
+),
+ways AS (  -- rewrites: every 11th way -- closed ones open up, open ones reverse
+  SELECT id,
+         CASE WHEN id % 11 = 0 AND id % 3 = 0 THEN refs[1:len(refs)-1]
+              WHEN id % 11 = 0 THEN list_reverse(refs)
+              ELSE refs END AS refs
+  FROM ways1
+),
+pts AS (
+  SELECT concat('point/osm/', CAST(id AS VARCHAR)) AS feature_id,
+         'point' AS feature_type, 1 AS n_vertices,
+         lat AS first_lat, lon AS first_lng, lat AS last_lat, lon AS last_lng
+  FROM nodes
+),
+wref AS (  -- parallel unnest = unnest-with-ordinality
+  SELECT w.id, unnest(w.refs) AS nid,
+         unnest(range(1, len(w.refs) + 1)) AS ord,
+         len(w.refs) AS n_refs,
+         (w.refs[1] = w.refs[len(w.refs)]) AS closed
+  FROM ways w
+),
+wgeom AS (
+  SELECT r.id, r.ord, n.lat, n.lon, r.n_refs, r.closed
+  FROM wref r JOIN nodes n ON n.id = r.nid
+),
+wf AS (
+  SELECT id, closed, n_refs,
+         list(lat ORDER BY ord) AS ys, list(lon ORDER BY ord) AS xs
+  FROM wgeom GROUP BY id, closed, n_refs
+),
+wrows AS (
+  SELECT CASE WHEN closed THEN concat('area/osm/', CAST(id AS VARCHAR))
+              ELSE concat('path/osm/', CAST(id AS VARCHAR)) END AS feature_id,
+         CASE WHEN closed THEN 'area' ELSE 'path' END AS feature_type,
+         CASE WHEN closed THEN n_refs - 1 ELSE n_refs END AS n_vertices,
+         ys[1] AS first_lat, xs[1] AS first_lng,
+         CASE WHEN closed THEN ys[n_refs - 1] ELSE ys[n_refs] END AS last_lat,
+         CASE WHEN closed THEN xs[n_refs - 1] ELSE xs[n_refs] END AS last_lng
+  FROM wf
+)
+SELECT feature_id, feature_type, CAST(n_vertices AS INT) AS n_vertices,
+       round(first_lat, 9) AS first_lat, round(first_lng, 9) AS first_lng,
+       round(last_lat, 9) AS last_lat, round(last_lng, 9) AS last_lng
+FROM (SELECT * FROM pts UNION ALL SELECT * FROM wrows)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -5722,6 +5886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "codepoint_points": q_codepoint_points,
     "render_query": q_render_query,
     "render_basemap": q_render_basemap,
+    "world_mutation": q_world_mutation,
 }
 
 ORACLES: dict[str, str] = {
@@ -5836,6 +6001,7 @@ ORACLES: dict[str, str] = {
     "codepoint_points": sql_codepoint_points(),
     "render_query": sql_render_query(),
     "render_basemap": sql_render_basemap(),
+    "world_mutation": sql_world_mutation(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

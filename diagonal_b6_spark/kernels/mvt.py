@@ -156,18 +156,43 @@ def encode_layer(
     return _len_delim(3, body)  # Layer is Tile field 3
 
 
+def background_layer(extent: int = EXTENT) -> bytes:
+    """renderer/encoder.go:63-75 newBackgroundLayer: every encoded tile
+    leads with a 'background' layer holding one full-extent polygon
+    (0,0) -> (extent-1,0) -> (extent-1,extent-1) -> (0,extent-1), close
+    -- 11 geometry command ints, the count the reference's
+    TestEncodeTile pins."""
+    m = extent - 1
+    geom = [
+        _cmd(1, 1), _zigzag(0), _zigzag(0),
+        _cmd(2, 3), _zigzag(m), _zigzag(0), _zigzag(0), _zigzag(m),
+        _zigzag(-m), _zigzag(0),
+        _cmd(7, 1),
+    ]
+    body = _key(3, 0) + _varint(GEOM_POLYGON)
+    body += _packed_varints(4, geom)
+    feat = _len_delim(2, body)  # no id, no tags (encoder.go:66-74)
+    return encode_layer("background", [feat], [], [], extent=extent)
+
+
 def latlng_to_tile_local(
     lat: np.ndarray, lng: np.ndarray, zoom: int, tx: int, ty: int, extent: int = EXTENT
 ) -> tuple[np.ndarray, np.ndarray]:
     """Project lat/lng into integer tile-local coordinates (may exceed
-    [0, extent) for geometry spilling over the tile edge — MVT allows it)."""
+    [0, extent) for geometry spilling over the tile edge — MVT allows it).
+
+    Quantization is floor, not round: the reference projects at
+    zoom+TileExtent and truncates the (positive) global coordinate with
+    int() before subtracting the tile origin (encoder.go:197-199 +
+    NewEncoder's origin cursor), pinned by encoder_test.go's
+    origin-relative vector."""
     n = float(1 << zoom)
     latc = np.clip(np.asarray(lat, dtype=np.float64), -85.05112878, 85.05112878)
     xf = (np.asarray(lng, dtype=np.float64) + 180.0) / 360.0 * n
     lr = np.radians(latc)
     yf = (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / np.pi) / 2.0 * n
-    x = np.round((xf - tx) * extent).astype(np.int64)
-    y = np.round((yf - ty) * extent).astype(np.int64)
+    x = np.floor((xf - tx) * extent).astype(np.int64)
+    y = np.floor((yf - ty) * extent).astype(np.int64)
     return x, y
 
 

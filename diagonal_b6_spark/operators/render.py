@@ -75,7 +75,11 @@ def render_tiles(
             feats.append(
                 mvt.encode_feature(fid_num, _GEOM_TYPE[r.feature_type], rings, tag_idx)
             )
-        tile = mvt.encode_layer(layer_name, feats, keys, values)
+        # every encoded tile leads with the full-extent background layer
+        # (renderer/encoder.go:34-38,63-75; TestEncodeTile's layer order)
+        tile = mvt.background_layer() + mvt.encode_layer(
+            layer_name, feats, keys, values
+        )
         return pd.DataFrame(
             {
                 "zoom": [zoom],
@@ -624,7 +628,7 @@ def render_basemap_tiles(features: DataFrame, zoom: int, rules=None) -> DataFram
                 mvt.encode_feature(fid, _GEOM_TYPE[r.render_type], rings, tag_idx)
             )
             n_feats += 1
-        tile = b"".join(
+        tile = mvt.background_layer() + b"".join(
             mvt.encode_layer(
                 name, layer_feats[name], layer_keys[name][0], layer_keys[name][1]
             )

@@ -458,3 +458,120 @@ def world_from_pbf(
         .unionByName(rels, allowMissingColumns=True)
         .unionByName(rel_feats, allowMissingColumns=True)
     )
+
+
+# --- incremental world maintenance (b6/ingest/mutable.go) ---------------------
+
+
+def _override_by_id(base: DataFrame, patch: DataFrame, inherit: list[str]) -> DataFrame:
+    """Replace base rows by id with patch rows; columns listed in
+    `inherit` that are absent from (or null in) the patch carry over
+    from the shadowed base row -- the reference's modify-in-place
+    semantics where a relocated point keeps its tags
+    (ingest/mutable.go AddFeature on an existing id)."""
+    old = base.select(
+        "id", *[F.col(c).alias(f"_old_{c}") for c in inherit]
+    )
+    p = patch
+    for c in inherit:
+        if c not in p.columns:
+            p = p.withColumn(c, F.lit(None))
+    p = p.join(old, "id", "left")
+    for c in inherit:
+        p = p.withColumn(c, F.coalesce(F.col(c), F.col(f"_old_{c}"))).drop(f"_old_{c}")
+    p = p.select(*base.columns)
+    keep = base.join(p.select("id"), "id", "left_anti")
+    return keep.unionByName(p)
+
+
+def apply_osm_mutations(
+    world: DataFrame,
+    nodes: DataFrame,
+    ways: DataFrame,
+    node_moves: DataFrame | None = None,
+    way_rewrites: DataFrame | None = None,
+    tagged_points_only: bool = False,
+):
+    """Incremental view maintenance for a packed world snapshot -- the
+    Spark-first twin of the reference's mutable overlay worlds
+    (b6/ingest/mutable.go; fixtures mirrored from mutable_test.go:818-1034
+    TestModifyPathInExistingWorld / TestModifyPointsOnPath[OnClosedPath] /
+    TestModifyPathWithIntersections).
+
+    The reference stores paths as lists of point-feature REFERENCES, so
+    relocating a point or swapping a path's reference list implicitly
+    re-geometries every dependent feature and re-indexes it spatially.
+    Our packed world materializes geometry, so a change recomputes the
+    DIRTY subset only:
+
+      * ``node_moves`` (id, lat, lon[, tags]) relocates point features;
+      * ``way_rewrites`` (id, refs[, tags]) replaces vertex lists;
+      * dirty ways = ways referencing a moved node, plus rewritten ways
+        (one exploded-refs semi-join);
+      * those ways re-run the normal assembly (a closed rewrite flips a
+        path back to an area exactly like a fresh ingest would);
+      * the new snapshot drops every stale version by SOURCE id -- not
+        feature_id, since a rewrite may change the feature's TYPE -- and
+        unions the rebuilt rows.
+
+    At scale this is the operation that matters: a small change against
+    a planet-sized world touches one broadcastable id set and rebuilds a
+    bounded subset, instead of re-assembling 10^11 features.
+
+    Returns ``(world', nodes', ways')`` -- the updated snapshot plus the
+    updated raw tables (the source of truth for later changes)."""
+    moved_ids = None
+    if node_moves is not None:
+        nodes = _override_by_id(nodes, node_moves, inherit=["tags"])
+        moved_ids = node_moves.select("id").distinct()
+    if way_rewrites is not None:
+        ways = _override_by_id(ways, way_rewrites, inherit=["tags"])
+
+    dirty = None
+    if moved_ids is not None:
+        ref_hits = (
+            ways.select("id", F.explode("refs").alias("nid"))
+            .join(F.broadcast(moved_ids.withColumnRenamed("id", "nid")), "nid", "semi")
+            .select("id")
+        )
+        dirty = ref_hits
+    if way_rewrites is not None:
+        rw = way_rewrites.select("id")
+        dirty = rw if dirty is None else dirty.unionByName(rw)
+    if dirty is None:
+        return world, nodes, ways
+    dirty = dirty.distinct()
+
+    rebuilt = ways_to_features(
+        nodes, ways.join(F.broadcast(dirty), "id", "semi")
+    ).withColumn("tags", fill_tags_from_osm(F.col("tags")))
+    if moved_ids is not None:
+        moved_pts = nodes_to_points(
+            nodes.join(F.broadcast(moved_ids), "id", "semi"),
+            tagged_only=tagged_points_only,
+        )
+        rebuilt = rebuilt.unionByName(moved_pts)
+
+    # stale removal by SOURCE id: way-derived rows are path/osm/<id> or
+    # area/osm/<id>, point rows point/osm/<id> (relation areas carry an
+    # r-prefix and never collide)
+    val = F.element_at(F.split("feature_id", "/"), -1).try_cast("long")
+    kind = F.element_at(F.split("feature_id", "/"), 1)
+    stale_ways = dirty.select(F.col("id").alias("_sid")).withColumn(
+        "_kinds", F.array(F.lit("path"), F.lit("area"))
+    )
+    marked = world.withColumn("_val", val).withColumn("_kind", kind)
+    keep = marked.join(
+        F.broadcast(stale_ways),
+        (F.col("_val") == F.col("_sid")) & F.array_contains("_kinds", F.col("_kind")),
+        "left_anti",
+    )
+    if moved_ids is not None:
+        stale_pts = moved_ids.select(F.col("id").alias("_sid"))
+        keep = keep.join(
+            F.broadcast(stale_pts),
+            (F.col("_val") == F.col("_sid")) & (F.col("_kind") == "point"),
+            "left_anti",
+        )
+    world2 = keep.drop("_val", "_kind").unionByName(rebuilt, allowMissingColumns=True)
+    return world2, nodes, ways

@@ -38,6 +38,52 @@ def test_geometry_command_roundtrip():
     assert (f["rings"][0] == ring).all()
 
 
+def test_mapbox_spec_geometry_vectors():
+    """encoder_test.go TestEncodeVectorTileGeometry: the worked examples
+    from the published Mapbox vector-tile spec 2.1 (4.3.5.1-2)."""
+    # Example Point (25, 17)
+    assert mvt.encode_geometry(mvt.GEOM_POINT, [np.array([[25, 17]])]) == [9, 50, 34]
+    # Example Multi Point (5,7) (3,2)
+    assert mvt.encode_geometry(mvt.GEOM_POINT, [np.array([[5, 7], [3, 2]])]) == [
+        17, 10, 14, 3, 9,
+    ]
+    # Example Linestring (2,2)->(2,10)->(10,10)
+    assert mvt.encode_geometry(
+        mvt.GEOM_LINESTRING, [np.array([[2, 2], [2, 10], [10, 10]])]
+    ) == [9, 4, 4, 18, 0, 16, 16, 0]
+    # Example Multi Linestring adds (1,1)->(3,5)
+    assert mvt.encode_geometry(
+        mvt.GEOM_LINESTRING,
+        [np.array([[2, 2], [2, 10], [10, 10]]), np.array([[1, 1], [3, 5]])],
+    ) == [9, 4, 4, 18, 0, 16, 16, 0, 9, 17, 17, 10, 4, 8]
+
+
+def test_encode_relative_to_origin_reference_vector():
+    """encoder_test.go TestEncodeVectorTileGeometryRelativeToOrigin: the
+    two Granary Square points project into tile 16/32744/21784 at
+    exactly (3732, 582) and (4217, -749) -- i.e. geometry ints
+    {17, 7464, 1164, 970, 2661} -- under the reference's int()
+    truncation of the zoom+12 mercator coordinate."""
+    lat = np.array([51.53560, 51.53671])
+    lng = np.array([-0.12683, -0.12618])
+    x, y = mvt.latlng_to_tile_local(lat, lng, 16, 32744, 21784)
+    assert list(x) == [3732, 4217] and list(y) == [582, -749]
+    cmds = mvt.encode_geometry(mvt.GEOM_POINT, [np.stack([x, y], axis=1)])
+    assert cmds == [17, 7464, 1164, 970, 2661]
+
+
+def test_background_layer_reference_shape():
+    """encoder_test.go TestEncodeTile: the background layer leads every
+    tile and its polygon encodes to exactly 11 geometry command ints."""
+    lay = mvt.decode_tile(mvt.background_layer())[0]
+    assert lay["name"] == "background"
+    f = lay["features"][0]
+    assert f["type"] == mvt.GEOM_POLYGON and f["id"] is None and f["tags"] == []
+    # 1 MoveTo + 2 params + 1 LineTo + 6 params + 1 ClosePath = 11
+    ring = f["rings"][0]
+    assert [list(v) for v in ring] == [[0, 0], [4095, 0], [4095, 4095], [0, 4095]]
+
+
 def test_render_tiles_fixture(spark):
     feats = fixtures.features_table(spark).filter(F.col("feature_id") != "area/test/4")
     out = render.render_tiles(feats, zoom=14).collect()
@@ -47,9 +93,10 @@ def test_render_tiles_fixture(spark):
     # every tile decodes and its features' coords sit near the tile window
     for r in out:
         layers = mvt.decode_tile(bytes(r["mvt"]))
-        assert layers[0]["name"] == "features"
-        assert len(layers[0]["features"]) == r["n_features"]
-        for f in layers[0]["features"]:
+        assert layers[0]["name"] == "background"  # encoder.go:34-38
+        assert layers[1]["name"] == "features"
+        assert len(layers[1]["features"]) == r["n_features"]
+        for f in layers[1]["features"]:
             for ring in f["rings"]:
                 assert (np.abs(ring) < 40 * mvt.EXTENT).all()
 
@@ -63,7 +110,7 @@ def test_render_roundtrip_coordinates(spark):
     pois = {f["feature_id"]: (f["ys"][0], f["xs"][0]) for f in fixtures.feature_rows() if f["feature_type"] == "point"}
     n_checked = 0
     for r in out:
-        lay = mvt.decode_tile(bytes(r["mvt"]))[0]
+        lay = mvt.decode_tile(bytes(r["mvt"]))[1]  # [0] is background
         for f in lay["features"]:
             x, y = f["rings"][0][0]
             n = float(1 << zoom)
@@ -162,6 +209,8 @@ def test_render_simplifies_dense_rings(spark):
     total_vertices = 0
     for rrow in out:
         for lay in mvt.decode_tile(bytes(rrow["mvt"])):
+            if lay["name"] == "background":
+                continue
             for f in lay["features"]:
                 for ring in f["rings"]:
                     total_vertices += len(ring)
@@ -266,7 +315,7 @@ def test_render_query_tiles_reference_semantics(spark):
     feats = fixtures.features_table(spark)
 
     def tile_tags(row):
-        layer = mvt.decode_tile(bytes(row["mvt"]))[0]
+        layer = mvt.decode_tile(bytes(row["mvt"]))[1]  # [0] is background
         assert layer["name"] == "query"
         out = []
         for f in layer["features"]:
@@ -319,7 +368,7 @@ def test_render_collection_tiles_both_test_cases(spark):
     assert sum(r["n_features"] for r in rows1) >= 2
     seen = set()
     for r in rows1:
-        layer = mvt.decode_tile(bytes(r["mvt"]))[0]
+        layer = mvt.decode_tile(bytes(r["mvt"]))[1]  # [0] is background
         assert layer["name"] == "collection"
         for f in layer["features"]:
             tags = {
@@ -359,7 +408,7 @@ def test_render_histogram_tiles(spark):
     )
     rows = render_ops.render_histogram_tiles(feats, buckets, 10).collect()
     assert len(rows) == 1
-    layer = mvt.decode_tile(bytes(rows[0]["mvt"]))[0]
+    layer = mvt.decode_tile(bytes(rows[0]["mvt"]))[1]  # [0] is background
     assert layer["name"] == "histogram"
     assert rows[0]["n_features"] == 2
     got = {}

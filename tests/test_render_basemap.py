@@ -78,8 +78,10 @@ def test_tile_features_have_ns_and_id_tags(spark):
     assert len(tiles) >= 1
     found = False
     for t in tiles:
-        layers = {l["name"]: l for l in mvt.decode_tile(bytes(t["mvt"]))}
-        assert set(layers) == set(R.BASEMAP_LAYER_NAMES)  # all nine, in-tile
+        decoded = mvt.decode_tile(bytes(t["mvt"]))
+        assert decoded[0]["name"] == "background"  # encoder.go:34-38
+        layers = {l["name"]: l for l in decoded}
+        assert set(layers) == {"background", *R.BASEMAP_LAYER_NAMES}
         for f in layers["building"]["features"]:
             tags = _tags(layers["building"], f)
             if tags.get("ns") == "test/fixtures" and tags.get("id") == "19813dd2":
