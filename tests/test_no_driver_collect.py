@@ -24,11 +24,14 @@ from diagonal_b6_spark.operators import (
     render,
     sightline,
 )
+from diagonal_b6_spark.operators import change as change_ops
 from diagonal_b6_spark.operators import graph as graph_ops
+from diagonal_b6_spark.sources import osm as osm_src
 from diagonal_b6_spark.sources import uprn
 
 FORBIDDEN = (".collect()", ".toPandas()")
-MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn]
+MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn,
+           osm_src, change_ops]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)
@@ -75,6 +78,18 @@ def test_operator_construction_is_lazy(spark):
     sightline.sightline(origins, areas, 300.0)
     colouring.area_adjacency(areas)  # (colour_areas itself iterates)
     conflate.project_stops(stops, paths)
+    render.stage_basemap_features(feats, 14)
+    nodes = pts.select(
+        F.col("pid").alias("id"), "lat", F.col("lng").alias("lon"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("tags"),
+    )
+    ways = spark.createDataFrame(
+        [(1, [0, 1, 2], {})], "id long, refs array<long>, tags map<string,string>"
+    )
+    moves = spark.createDataFrame([(0, 51.6, -0.2)], "id long, lat double, lon double")
+    osm_src.apply_osm_mutations(feats, nodes, ways, node_moves=moves)
     time.sleep(0.2)
     after = _n_jobs(spark)
     assert after == before, f"operator construction launched {after - before} job(s)"
