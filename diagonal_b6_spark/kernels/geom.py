@@ -543,3 +543,36 @@ def douglas_peucker(xs, ys, epsilon: float):
             stack.append((a, m))
             stack.append((m, b))
     return np.nonzero(keep)[0].astype(np.int64)
+
+
+def ring_self_intersects(xs, ys) -> bool:
+    """True iff the closed ring (closing vertex implicit) has two
+    non-adjacent edges that properly cross -- the invalidity the
+    reference rejects when a mutation moves a polygon vertex or swaps a
+    path under an area (s2.Loop validation behind MutableWorld.AddFeature;
+    fixtures ingest/mutable_test.go:521-574).  Pairwise orientation
+    tests, vectorized per edge over its non-adjacent partners; rings are
+    feature-sized so the O(n^2) pair count is trivial."""
+    x = np.asarray(xs, dtype=np.float64)
+    y = np.asarray(ys, dtype=np.float64)
+    n = len(x)
+    if n < 4:
+        return False  # a triangle cannot properly self-intersect
+    x2 = np.append(x, x[0])
+    y2 = np.append(y, y[0])
+    ax, ay = x2[:-1], y2[:-1]
+    bx, by = x2[1:], y2[1:]
+    for i in range(n - 2):
+        # non-adjacent partners of edge i (skip i+1; edge 0 also skips
+        # the closing edge n-1, which shares its first vertex)
+        j_end = n if i > 0 else n - 1
+        j = np.arange(i + 2, j_end)
+        if len(j) == 0:
+            continue
+        d1 = (bx[i] - ax[i]) * (ay[j] - ay[i]) - (by[i] - ay[i]) * (ax[j] - ax[i])
+        d2 = (bx[i] - ax[i]) * (by[j] - ay[i]) - (by[i] - ay[i]) * (bx[j] - ax[i])
+        d3 = (bx[j] - ax[j]) * (ay[i] - ay[j]) - (by[j] - ay[j]) * (ax[i] - ax[j])
+        d4 = (bx[j] - ax[j]) * (by[i] - ay[j]) - (by[j] - ay[j]) * (bx[i] - ax[j])
+        if bool(np.any((d1 * d2 < 0) & (d3 * d4 < 0))):
+            return True
+    return False

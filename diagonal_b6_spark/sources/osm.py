@@ -484,6 +484,33 @@ def _override_by_id(base: DataFrame, patch: DataFrame, inherit: list[str]) -> Da
     return keep.unionByName(p)
 
 
+def invalid_area_rings(features: DataFrame) -> DataFrame:
+    """(feature_id) of area features whose rings properly self-intersect
+    -- the geometry the reference's MutableWorld.AddFeature REJECTS
+    (s2.Loop validation; fixtures ingest/mutable_test.go:521-574).
+    Arrow-batched over the candidate rows; lazy until acted on."""
+    import pandas as pd
+
+    from ..kernels import geom as _geom
+
+    area = features.filter(F.col("feature_type") == "area").select(
+        "feature_id", "xs", "ys", "ring_offsets"
+    )
+
+    def check(batches):
+        for pdf in batches:
+            bad = []
+            for r in pdf.itertuples(index=False):
+                offs = list(r.ring_offsets) + [len(r.xs)]
+                for a, b in zip(offs[:-1], offs[1:]):
+                    if _geom.ring_self_intersects(r.xs[a:b], r.ys[a:b]):
+                        bad.append(r.feature_id)
+                        break
+            yield pd.DataFrame({"feature_id": bad}, dtype="object")
+
+    return area.mapInPandas(check, schema="feature_id string")
+
+
 def apply_osm_mutations(
     world: DataFrame,
     nodes: DataFrame,
@@ -491,6 +518,7 @@ def apply_osm_mutations(
     node_moves: DataFrame | None = None,
     way_rewrites: DataFrame | None = None,
     tagged_points_only: bool = False,
+    validate: bool = False,
 ):
     """Incremental view maintenance for a packed world snapshot -- the
     Spark-first twin of the reference's mutable overlay worlds
@@ -545,6 +573,16 @@ def apply_osm_mutations(
     rebuilt = ways_to_features(
         nodes, ways.join(F.broadcast(dirty), "id", "semi")
     ).withColumn("tags", fill_tags_from_osm(F.col("tags")))
+    if validate:
+        # the reference validates EAGERLY inside AddFeature and fails the
+        # mutation (mutable_test.go:521-574); Spark plans are lazy, so
+        # validation is opt-in: one bounded action over the dirty subset
+        bad = [r["feature_id"] for r in invalid_area_rings(rebuilt).take(5)]
+        if bad:
+            raise ValueError(
+                "mutation invalidates area(s) -- self-intersecting ring: "
+                + ", ".join(sorted(bad))
+            )
     if moved_ids is not None:
         moved_pts = nodes_to_points(
             nodes.join(F.broadcast(moved_ids), "id", "semi"),

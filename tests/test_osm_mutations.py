@@ -221,3 +221,53 @@ def test_rewrite_can_flip_path_to_area(spark):
     assert world2.filter(F.col("feature_id") == "path/osm/10").count() == 0
     rows = world2.filter(F.col("feature_id") == "area/osm/10").collect()
     assert len(rows) == 1 and len(rows[0]["xs"]) == 3  # closing vertex dropped
+
+
+def test_point_move_invalidating_area_fails(spark):
+    """ValidateUpdatingPointLocationsWillFailIfAreasAreInvalidated:
+    moving point c of the Western Shed to the Lewis Cubitt fountain
+    makes the polygon self-intersect; validate=True rejects it."""
+    a = (2309943873, 51.5373249, -0.1251784)
+    b = (2309943847, 51.5357239, -0.1258568)
+    c = (2309943846, 51.5356657, -0.1254957)
+    d = (2309943872, 51.5372656, -0.1248160)
+    nodes, ways = _tables(
+        spark, [a, b, c, d], [(222021577, [a[0], b[0], c[0], d[0], a[0]], {})]
+    )
+    world = _world(nodes, ways)
+    moves = spark.createDataFrame(
+        [(c[0], 51.5368549, -0.1256275)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="self-intersecting"):
+        osm_src.apply_osm_mutations(
+            world, nodes, ways, node_moves=moves, validate=True
+        )
+    # a benign move of the same point passes validation
+    ok = spark.createDataFrame(
+        [(c[0], 51.5356600, -0.1254900)], "id long, lat double, lon double"
+    )
+    world2, _, _ = osm_src.apply_osm_mutations(
+        world, nodes, ways, node_moves=ok, validate=True
+    )
+    assert world2.filter(F.col("feature_id") == "area/osm/222021577").count() == 1
+
+
+def test_path_rewrite_invalidating_area_fails(spark):
+    """ValidateUpdatingPathWillFailIfAreasAreInvalidated: replacing
+    vertex c with the fountain e self-intersects the ring."""
+    a = (2309943873, 51.5373249, -0.1251784)
+    b = (2309943847, 51.5357239, -0.1258568)
+    c = (2309943846, 51.5356657, -0.1254957)
+    d = (2309943872, 51.5372656, -0.1248160)
+    e = (4031177264, 51.5368549, -0.1256275)
+    nodes, ways = _tables(
+        spark, [a, b, c, d, e], [(222021577, [a[0], b[0], c[0], d[0], a[0]], {})]
+    )
+    world = _world(nodes, ways)
+    rewrites = spark.createDataFrame(
+        [(222021577, [a[0], b[0], e[0], d[0], a[0]])], "id long, refs array<long>"
+    )
+    with pytest.raises(ValueError, match="self-intersecting"):
+        osm_src.apply_osm_mutations(
+            world, nodes, ways, way_rewrites=rewrites, validate=True
+        )
