@@ -136,3 +136,20 @@ def id_to_relation_id(ns, osm_id) -> Column:
     id into the relation id space -- in the tabular model, the canonical
     'relation/<ns>/<id>' feature_id string."""
     return F.concat_ws("/", F.lit("relation"), ns, osm_id.cast("string"))
+
+
+def find_relations_by_feature(features: DataFrame, target_id: str) -> DataFrame:
+    """World.FindRelationsByFeature (b6/world.go relation index;
+    behavior pinned by ingest/mutable_test.go:353-392
+    ValidateUpdateRelationsByFeatureWhenChangingRelations): relation
+    features whose member list references `target_id`.  Members live as
+    member:<i> tag entries in the packed schema, so membership is one
+    map scan -- a pure column predicate, no index structure to maintain:
+    replacing the relation row IS the index update."""
+    is_member = F.exists(
+        F.map_entries(F.col("tags")),
+        lambda e: e["key"].startswith("member:") & (e["value"] == target_id),
+    )
+    return features.filter(
+        (F.col("feature_type") == "relation") & is_member
+    )

@@ -271,3 +271,49 @@ def test_path_rewrite_invalidating_area_fails(spark):
         osm_src.apply_osm_mutations(
             world, nodes, ways, way_rewrites=rewrites, validate=True
         )
+
+
+def test_update_relations_by_feature(spark):
+    """ValidateUpdateRelationsByFeatureWhenChangingRelations
+    (mutable_test.go:353-392): membership queries follow the CURRENT
+    relation row -- replacing the relation feature IS the index update."""
+    from diagonal_b6_spark.operators import change as change_ops
+    from diagonal_b6_spark.operators import find as find_ops
+
+    schema = (
+        "feature_id string, feature_type string, ns string, "
+        "tags map<string,string>"
+    )
+    world = spark.createDataFrame(
+        [
+            ("path/osm/807925586", "path", "osm", {}),
+            ("path/osm/558345068", "path", "osm", {}),
+            (
+                "relation/osm/11139964",
+                "relation",
+                "osm",
+                {"type": "route", "member:0": "path/osm/807925586"},
+            ),
+        ],
+        schema,
+    )
+    hit = find_ops.find_relations_by_feature(world, "path/osm/807925586").collect()
+    assert [r["feature_id"] for r in hit] == ["relation/osm/11139964"]
+    assert find_ops.find_relations_by_feature(world, "path/osm/558345068").count() == 0
+
+    # swap the member to bc by replacing the relation feature
+    modified = spark.createDataFrame(
+        [
+            (
+                "relation/osm/11139964",
+                "relation",
+                "osm",
+                {"type": "route", "member:0": "path/osm/558345068"},
+            )
+        ],
+        schema,
+    )
+    world2 = change_ops.overlay_world(world, modified)
+    hit = find_ops.find_relations_by_feature(world2, "path/osm/558345068").collect()
+    assert [r["feature_id"] for r in hit] == ["relation/osm/11139964"]
+    assert find_ops.find_relations_by_feature(world2, "path/osm/807925586").count() == 0
