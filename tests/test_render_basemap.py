@@ -197,3 +197,13 @@ def test_dispatch_ignores_zoom_but_admission_does_not(spark):
     rows2 = [_area(2, {"#building": "yes"}, 51.535, -0.125, 50.0)]
     df2 = spark.createDataFrame(rows2, schema=fixtures.FEATURE_SCHEMA)
     assert R.stage_basemap_features(df2, 8).count() == 0
+
+
+def test_stage_plan_is_pure_codegen(spark):
+    """The staging operator is one whole-stage Project over the scan --
+    no Python/Arrow eval nodes; the only Python in the basemap path is
+    the per-tile MVT byte assembly."""
+    feats = fixtures.features_table(spark)
+    plan = R.stage_basemap_features(feats, 14)._jdf.queryExecution().executedPlan().toString()
+    for needle in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert needle not in plan
