@@ -592,24 +592,23 @@ def apply_osm_mutations(
 
     # stale removal by SOURCE id: way-derived rows are path/osm/<id> or
     # area/osm/<id>, point rows point/osm/<id> (relation areas carry an
-    # r-prefix and never collide)
+    # r-prefix and never collide).  The stale set is exploded to explicit
+    # (_val, _kind) pairs so the anti-join is a broadcast HASH join on
+    # both keys -- a non-equi array_contains form here degrades to a
+    # nested-loop join over the whole world
     val = F.element_at(F.split("feature_id", "/"), -1).try_cast("long")
     kind = F.element_at(F.split("feature_id", "/"), 1)
-    stale_ways = dirty.select(F.col("id").alias("_sid")).withColumn(
-        "_kinds", F.array(F.lit("path"), F.lit("area"))
-    )
-    marked = world.withColumn("_val", val).withColumn("_kind", kind)
-    keep = marked.join(
-        F.broadcast(stale_ways),
-        (F.col("_val") == F.col("_sid")) & F.array_contains("_kinds", F.col("_kind")),
-        "left_anti",
+    stale = dirty.select(
+        F.col("id").alias("_val"),
+        F.explode(F.array(F.lit("path"), F.lit("area"))).alias("_kind"),
     )
     if moved_ids is not None:
-        stale_pts = moved_ids.select(F.col("id").alias("_sid"))
-        keep = keep.join(
-            F.broadcast(stale_pts),
-            (F.col("_val") == F.col("_sid")) & (F.col("_kind") == "point"),
-            "left_anti",
+        stale = stale.unionByName(
+            moved_ids.select(
+                F.col("id").alias("_val"), F.lit("point").alias("_kind")
+            )
         )
+    marked = world.withColumn("_val", val).withColumn("_kind", kind)
+    keep = marked.join(F.broadcast(stale), ["_val", "_kind"], "left_anti")
     world2 = keep.drop("_val", "_kind").unionByName(rebuilt, allowMissingColumns=True)
     return world2, nodes, ways

@@ -317,3 +317,17 @@ def test_update_relations_by_feature(spark):
     hit = find_ops.find_relations_by_feature(world2, "path/osm/558345068").collect()
     assert [r["feature_id"] for r in hit] == ["relation/osm/11139964"]
     assert find_ops.find_relations_by_feature(world2, "path/osm/807925586").count() == 0
+
+
+def test_mutation_plan_has_no_nested_loop_join(spark):
+    """The stale-removal anti-join must be a broadcast HASH join on
+    (_val, _kind) -- the array_contains form degrades to a nested-loop
+    join over the whole world snapshot."""
+    a = (1, 51.5350, -0.1250)
+    b = (2, 51.5351, -0.1249)
+    nodes, ways = _tables(spark, [a, b], [(10, [1, 2], {})])
+    world = _world(nodes, ways)
+    moves = spark.createDataFrame([(1, 51.6, -0.2)], "id long, lat double, lon double")
+    w2, _, _ = osm_src.apply_osm_mutations(world, nodes, ways, node_moves=moves)
+    plan = w2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
