@@ -205,3 +205,36 @@ def test_bus_shortest_path_honors_oneway(spark, world):
     assert ways, "expected a route"
     assert "path/osm/835618252" in ways
     assert "path/osm/502802551" not in ways
+
+
+BRIDGE_SOUTH_END = "point/osm/1540349979"
+STABLE_STREET_BRIDGE = "path/osm/140633010"
+
+
+def test_find_reachable_features_transit(spark, world):
+    """api/functions/transit_test.go TestFindReachableFeatures: walking
+    1000 from the Stable Street bridge south end, the #amenity query
+    reaches the Lighterman."""
+    from diagonal_b6_spark.shell import parse as P
+
+    env = Env(spark, world)
+    origin = world.filter(F.col("feature_id") == BRIDGE_SOUTH_END)
+    dist, omap = stdlib._sssp(env, origin, {"mode": "walk"}, 1000.0)
+    reached = stdlib._reachable_features(env, dist, omap, P.QKeyed("#amenity"))
+    ids = {r.feature_id for r in reached.select("feature_id").distinct().collect()}
+    assert LIGHTERMAN in ids
+
+
+def test_paths_to_reach_features_transit(spark, world):
+    """api/functions/transit_test.go TestPathsToReachFeatures: counts
+    for over 60 paths, with the bridge itself used by >= 2 routes."""
+    from diagonal_b6_spark.shell import parse as P
+
+    env = Env(spark, world)
+    origin = world.filter(F.col("feature_id") == BRIDGE_SOUTH_END)
+    out = stdlib._fn_paths_to_reach(
+        env, origin, {"mode": "walk"}, 1000.0, P.QKeyed("#amenity")
+    )
+    counts = {r["feature_id"]: r["n_paths"] for r in out.collect()}
+    assert len(counts) >= 60, len(counts)
+    assert counts.get(STABLE_STREET_BRIDGE, 0) >= 2
