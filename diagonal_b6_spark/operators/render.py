@@ -508,8 +508,16 @@ def stage_basemap_features(features: DataFrame, zoom: int, rules=None) -> DataFr
         & t("#highway").isNotNull()
         & (t("area").isNull() | (t("area") == "no"))
     )
+    # numeric id for the split id tag + sort key; relation-derived areas
+    # carry an r-prefixed value ("area/osm/r5"), so fall back to the
+    # digit run (the reference keys those by the relation id too --
+    # its namespaces differ where ours share "osm", a documented
+    # id-collision nuance between way- and relation-derived areas)
+    tail = F.element_at(F.split("feature_id", "/"), -1)
     value_num = F.coalesce(
-        F.element_at(F.split("feature_id", "/"), -1).try_cast("long"), F.lit(0)
+        tail.try_cast("long"),
+        F.regexp_extract(tail, "([0-9]+)", 1).try_cast("long"),
+        F.lit(0),
     )
     layer_num = F.coalesce(
         F.when(
