@@ -5298,35 +5298,10 @@ def q_render_colours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_render_colours() -> str:
-    from .operators.render import DEFAULT_GRADIENT
-
     # channel constants as n/255 integer ratios: a 16-digit double repr
     # would parse as DECIMAL in DuckDB and convert with ULP error, while
     # the division is correctly rounded (= Python's n/255) in both engines
-    stops = [
-        (v, tuple(int(c[i : i + 2], 16) for i in (1, 3, 5))) for v, c in DEFAULT_GRADIENT
-    ]
-
-    def chan_case(k: int) -> str:
-        def ch(n: int) -> str:
-            return f"({n}.0 / 255.0)"
-
-        parts = [f"CASE WHEN x < {stops[0][0]!r} THEN {ch(stops[0][1][k])}"]
-        for i in range(1, len(stops)):
-            v0, c0 = stops[i - 1]
-            v1, c1 = stops[i]
-            parts.append(
-                f"WHEN x < {v1!r} THEN {ch(c0[k])} + ({ch(c1[k])} - {ch(c0[k])}) "
-                f"* ((x - {v0!r}) / {v1 - v0!r})"
-            )
-        parts.append(f"ELSE {ch(stops[-1][1][k])} END")
-        return " ".join(parts)
-
-    grad = (
-        "printf('#%02x%02x%02x', "
-        + ", ".join(f"CAST(round(({chan_case(k)}) * 255.0, 0) AS INT)" for k in range(3))
-        + ")"
-    )
+    grad = _gradient_hex_sql("x")
     return f"""
 WITH vals AS (SELECT event_id, {_RCOL_V} AS tag_value FROM events),
 fx AS (SELECT event_id, tag_value, TRY_CAST(tag_value AS DOUBLE) AS x FROM vals)
