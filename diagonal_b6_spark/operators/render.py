@@ -496,7 +496,11 @@ def stage_basemap_features(features: DataFrame, zoom: int, rules=None) -> DataFr
         )
         any_rule = cond if any_rule is None else (any_rule | cond)
 
-    staged = features.filter(admitted & any_rule).select(
+    # only physical features render: FillFeaturesFromFeature type-switches
+    # on PhysicalFeature (renderer.go:246-259) -- a relation or collection
+    # matching a rule stages nothing
+    physical = F.col("feature_type").isin("point", "path", "area")
+    staged = features.filter(admitted & any_rule & physical).select(
         "*",
         rule_key.alias("_rk"),
         layer_expr.alias("layer"),

@@ -207,3 +207,24 @@ def test_stage_plan_is_pure_codegen(spark):
     plan = R.stage_basemap_features(feats, 14)._jdf.queryExecution().executedPlan().toString()
     for needle in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert needle not in plan
+
+
+def test_non_physical_features_stage_nothing(spark):
+    """FillFeaturesFromFeature type-switches on PhysicalFeature
+    (renderer.go:246-259): a relation matching a render rule emits no
+    tile feature."""
+    rows = [
+        {
+            "feature_id": "relation/test/7",
+            "feature_type": "relation",
+            "ns": "test/fixtures",
+            "tags": {"#building": "yes", "member:0": "area/test/1"},
+            "xs": [],
+            "ys": [],
+            "ring_offsets": [],
+        },
+        _area(1, {"#building": "yes"}, 51.535, -0.125, 50.0),
+    ]
+    df = spark.createDataFrame(rows, schema=fixtures.FEATURE_SCHEMA)
+    st = R.stage_basemap_features(df, 16).collect()
+    assert [r["feature_id"] for r in st] == ["area/test/1"]
