@@ -133,8 +133,16 @@ def join_missing(base: DataFrame, joined: DataFrame, key: str) -> DataFrame:
 
 
 def flatten(df: DataFrame, array_col: str) -> DataFrame:
-    """Collection[_, Collection] -> concatenated (fn collections.go:389-444)."""
-    return df.select(F.explode(F.col(array_col)).alias("value"))
+    """Collection[_, Collection] -> concatenated (fn collections.go:389-444).
+
+    The reference's flattenCollection iterates the INNER collections'
+    (key, value) pairs, keeping both (collections_test.go TestFlatten) --
+    so an array<struct> column explodes into its struct fields; a plain
+    scalar array keeps the bare `value` shape."""
+    exploded = df.select(F.explode(F.col(array_col)).alias("value"))
+    if dict(exploded.dtypes)["value"].startswith("struct"):
+        return exploded.select("value.*")
+    return exploded
 
 
 def count_keys(df: DataFrame, key_col: str, valid_col: str | None = None) -> DataFrame:
