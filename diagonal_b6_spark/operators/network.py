@@ -607,3 +607,154 @@ def resolve_connection_targets(clustered: DataFrame) -> DataFrame:
         attach_to.alias("attach_to"),
         final_along.alias("along_m"),
     )
+
+
+# ----------------------------------------------------------- b6-connect --
+
+# cmd/b6-connect's default -connect query:
+# [#building | #amenity | #leisure | #shop | #landuse=vacant]
+DEFAULT_CONNECT_KEYS = ("#building", "#amenity", "#leisure", "#shop")
+
+
+def _along_m_col(xs, ys, seg_idx, proj_lat, proj_lng):
+    """Arc distance (meters) from the path start to a projection that
+    lies on segment `seg_idx`: the haversine prefix sum over whole
+    segments plus the partial hop to the projection -- pure column
+    expressions (no Python stage)."""
+    prefix = F.when(
+        seg_idx > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), seg_idx),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + gridjoin.haversine_col(ys[i - 1], xs[i - 1], ys[i], xs[i]),
+        ),
+    ).otherwise(F.lit(0.0))
+    return prefix + gridjoin.haversine_col(
+        ys[seg_idx], xs[seg_idx], proj_lat, proj_lng
+    )
+
+
+def connect_world(
+    features: DataFrame,
+    *,
+    connection_threshold_m: float = 100.0,
+    cluster_threshold_m: float = 4.0,
+    network_threshold_m: float = 500.0,
+    modify_paths: bool = True,
+    connect_keys: tuple[str, ...] = DEFAULT_CONNECT_KEYS,
+) -> dict[str, DataFrame]:
+    """The cmd/b6-connect pipeline end to end, Spark-first
+    (cmd/b6-connect/b6-connect.go: defaults -connect
+    '[#building | #amenity | #leisure | #shop | #landuse=vacant]',
+    -network-threshold 500, -connection-threshold 100,
+    -cluster-threshold 4, -modify-paths):
+
+      1. street network membership over the #highway paths
+         (``build_street_network``, the BuildStreetNetwork rule);
+      2. each matching POINT projects onto the closest network path
+         within the connection threshold (ConnectPoint: the point
+         itself is the entrance, the projection the access);
+      3. each matching AREA probes its boundary-side midpoints and
+         keeps the side whose projection is closest (ConnectArea's
+         no-entrance branch, connectivity.go: the side midpoint is the
+         entrance, its projection the access).  Deviation, documented:
+         the reference interpolates the geodesic midpoint; we use the
+         arithmetic midpoint (sub-mm at building scale), and entrance
+         points tagged `entrance` are not consulted (our fixtures carry
+         coordinates, not boundary path references);
+      4. access insertions cluster per path (Connections.Cluster,
+         greedy midpoint merge + vertex snap) and, with
+         ``modify_paths``, splice into the path vertex sequences
+         (InsertNewPointsIntoPaths.Output / ApplyToPath).
+
+    Distributed shape: one component fixpoint (street network), two
+    grid-cell candidate joins (points, side midpoints) with per-feature
+    struct argmins, one cogrouped cluster/splice per touched path --
+    nothing corpus-sized on the driver.
+
+    Returns {"network", "connections", "clustered", "resolved",
+    "modified_paths" (when modify_paths)}: `connections` has one row
+    per connected feature (feature_id, entrance_lat/lng, path_id,
+    seg_idx, along_m, access_lat/lng, dist_m)."""
+    is_path = F.col("feature_type") == "path"
+    highway = F.map_contains_key(F.col("tags"), "#highway")
+    paths = features.filter(is_path & highway)
+    network = build_street_network(paths, network_threshold_m)
+
+    match = F.lit(False)
+    for k in connect_keys:
+        match = match | F.map_contains_key(F.col("tags"), k)
+    match = match | (F.col("tags").getItem("#landuse") == F.lit("vacant"))
+
+    pts = features.filter((F.col("feature_type") == "point") & match).select(
+        F.col("feature_id").alias("probe_id"),
+        F.col("feature_id"),
+        F.col("ys").getItem(0).alias("lat"),
+        F.col("xs").getItem(0).alias("lng"),
+    )
+
+    areas = features.filter((F.col("feature_type") == "area") & match)
+    n = F.size("xs")
+    i = F.col("side")
+    j = (i + 1) % n  # the boundary ring closes: include the wrap side
+    mids = areas.select(
+        "feature_id", "xs", "ys",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("side"),
+    ).select(
+        F.concat_ws("#", "feature_id", F.col("side").cast("string")).alias("probe_id"),
+        "feature_id",
+        ((F.col("ys")[i] + F.col("ys")[j]) / 2).alias("lat"),
+        ((F.col("xs")[i] + F.col("xs")[j]) / 2).alias("lng"),
+    )
+
+    probes = pts.unionByName(mids)
+    snapped = connect_to_network(
+        probes, paths, connection_threshold_m, point_id="probe_id", network=network
+    ).join(probes, "probe_id")
+    # areas keep only their best side (ConnectArea keeps ONE projection
+    # per polygon); points have a single probe each
+    best = (
+        snapped.groupBy("feature_id")
+        .agg(
+            F.min(
+                F.struct(
+                    "dist_m", "path_id", "seg_idx",
+                    "proj_lat", "proj_lng", "lat", "lng",
+                )
+            ).alias("b")
+        )
+        .select("feature_id", "b.*")
+    )
+    connections = (
+        best.join(paths.select(F.col("feature_id").alias("path_id"), "xs", "ys"), "path_id")
+        .select(
+            "feature_id",
+            F.col("lat").alias("entrance_lat"),
+            F.col("lng").alias("entrance_lng"),
+            "path_id",
+            "seg_idx",
+            _along_m_col(
+                F.col("xs"), F.col("ys"), F.col("seg_idx"),
+                F.col("proj_lat"), F.col("proj_lng"),
+            ).alias("along_m"),
+            F.col("proj_lat").alias("access_lat"),
+            F.col("proj_lng").alias("access_lng"),
+            "dist_m",
+        )
+    )
+    insertions = connections.select(
+        F.concat(F.lit("access/"), "feature_id").alias("point_id"),
+        "path_id",
+        "along_m",
+    )
+    clustered = cluster_connections(insertions, paths, cluster_threshold_m)
+    out = {
+        "network": network,
+        "connections": connections,
+        "clustered": clustered,
+        "resolved": resolve_connection_targets(clustered),
+    }
+    if modify_paths:
+        out["modified_paths"] = apply_connections_to_paths(paths, clustered)
+    return out
