@@ -2493,7 +2493,9 @@ def q_geo_street_network_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("path_id", "comp", "in_network")
 
 
-def sql_geo_street_network() -> str:
+def _street_network_ctes() -> str:
+    """The street-fixture flood-fill CTE chain (sp0 .. comp/member),
+    shared by the street-network oracle and the b6-connect oracle."""
     vals = ",\n    ".join(
         f"('{pid}', {xs[0]!r}, {ys[0]!r}, {xs[1]!r}, {ys[1]!r})"
         for pid, xs, ys in _street_path_rows()
@@ -2520,8 +2522,7 @@ def sql_geo_street_network() -> str:
     ]
     dmax = "greatest(" + ", ".join(hav(a, b) for a, b in pair_names) + ")"
     lp_sql = ",\n".join(lp)
-    return f"""
-WITH sp0(pid, x1, y1, x2, y2) AS (VALUES
+    return f"""sp0(pid, x1, y1, x2, y2) AS (VALUES
     {vals}),
 sp AS (SELECT pid, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
               CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2 FROM sp0),
@@ -2552,7 +2553,12 @@ c AS (SELECT lbl, pminy.y AS p1y, pminy.x AS p1x, pmaxy.y AS p2y, pmaxy.x AS p2x
 comp AS (SELECT lbl, {dmax} > {STREET_THRESHOLD_M!r} AS in_net FROM c),
 member AS (SELECT DISTINCT k2.pid, l.lbl
            FROM (SELECT DISTINCT pid, ku FROM keys) k2
-           JOIN l{rounds} l ON l.k = k2.ku)
+           JOIN l{rounds} l ON l.k = k2.ku)"""
+
+
+def sql_geo_street_network() -> str:
+    return f"""
+WITH {_street_network_ctes()}
 SELECT m.pid AS path_id, m.lbl AS comp,
        CASE WHEN (SELECT n FROM conv) > 0
             THEN error('street-network oracle not converged')
