@@ -2567,6 +2567,148 @@ FROM member m JOIN comp c2 ON c2.lbl = m.lbl
 """
 
 
+CONNECT_THRESHOLD_M = 100.0
+
+
+def _connect_area_rows() -> list[tuple[str, list[float], list[float]]]:
+    """Deterministic 4-corner squares (CCW from the SW corner), shared
+    verbatim with the connect_world oracle's VALUES: two adjacent to
+    grid streets (each connects via its best side midpoint), one far
+    from everything, and one hugging the driveway stub -- a nearby
+    segment that is NOT street network, so it must not connect."""
+    h = 0.0001  # ~11 m half-side at 51.5N
+    centers = [
+        ("area/conn/south", 51.5004, -0.09855),  # ~33 m north of street/h/0/0
+        ("area/conn/north", 51.5068, -0.09300),  # ~33 m south of street/h/4/2
+        ("area/conn/far", 51.5600, -0.07000),    # km from the network
+        ("area/conn/stub", 51.52015, -0.08020),  # ~14 m from the driveway only
+    ]
+    out = []
+    for fid, cy, cx in centers:
+        xs = [cx - h, cx + h, cx + h, cx - h]
+        ys = [cy - h, cy - h, cy + h, cy + h]
+        out.append((fid, xs, ys))
+    return out
+
+
+def connect_world_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The b6-connect world: street-fixture #highway paths, one
+    #amenity point per event (the sf-scaled probe field), and the
+    deterministic connect-target squares."""
+    ev = fixtures.testdata(spark, sf_dir, "events").select(
+        F.concat(F.lit("ev/"), F.col("event_id").cast("string")).alias("feature_id"),
+        F.lit("point").alias("feature_type"),
+        F.lit("test/events").alias("ns"),
+        F.create_map(F.lit("#amenity"), F.lit("cafe")).alias("tags"),
+        F.array(F.expr(LNG_SQL)).alias("xs"),
+        F.array(F.expr(LAT_SQL)).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+    areas = spark.createDataFrame(
+        [
+            {
+                "feature_id": fid,
+                "feature_type": "area",
+                "ns": "test/conn",
+                "tags": {"#building": "yes"},
+                "xs": xs,
+                "ys": ys,
+                "ring_offsets": [0],
+            }
+            for fid, xs, ys in _connect_area_rows()
+        ],
+        fixtures.FEATURE_SCHEMA,
+    )
+    return street_paths_table(spark).unionByName(ev).unionByName(areas)
+
+
+def q_connect_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cmd/b6-connect end to end (b6-connect.go + graph/connectivity.go
+    ConnectPoint/ConnectArea): street-network gating, per-point and
+    per-area-side projection within the 100 m connection threshold,
+    best-side argmin, along-path arc distance.  The oracle replays the
+    whole pipeline in SQL on the shared street CTE chain -- network
+    membership included, so a driveway-adjacent square connecting (or
+    a network square failing to) is a value mismatch."""
+    from .operators import network as net_ops
+
+    out = net_ops.connect_world(
+        connect_world_table(spark, sf_dir),
+        connection_threshold_m=CONNECT_THRESHOLD_M,
+        modify_paths=False,
+    )
+    return out["connections"].select(
+        "feature_id",
+        F.round("entrance_lat", 9).alias("entrance_lat"),
+        F.round("entrance_lng", 9).alias("entrance_lng"),
+        "path_id",
+        "seg_idx",
+        F.round("along_m", 3).alias("along_m"),
+        F.round("access_lat", 9).alias("access_lat"),
+        F.round("access_lng", 9).alias("access_lng"),
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
+def sql_connect_world() -> str:
+    corner_vals = ",\n    ".join(
+        f"('{fid}', {k}, {xs[k]!r}, {ys[k]!r})"
+        for fid, xs, ys in _connect_area_rows()
+        for k in range(4)
+    )
+    m = "(radians(1.0) * 6371010.0)"
+    along = _HAV.format(lat1="y1", lng1="x1", lat2="proj_lat", lng2="proj_lng")
+    return f"""
+WITH {_street_network_ctes()},
+net AS (SELECT DISTINCT m.pid FROM member m
+        JOIN comp c2 ON c2.lbl = m.lbl WHERE c2.in_net),
+seg AS (SELECT sp.pid, sp.x1, sp.y1, sp.x2, sp.y2
+        FROM sp JOIN net ON net.pid = sp.pid),
+evp AS (SELECT 'ev/' || CAST(event_id AS VARCHAR) AS fid,
+               {LAT_SQL} AS lat, {LNG_SQL} AS lng FROM events),
+ac(fid, k, x, y) AS (VALUES
+    {corner_vals}),
+mids AS (
+  SELECT a.fid, (a.y + b.y) / 2 AS lat, (a.x + b.x) / 2 AS lng
+  FROM ac a JOIN ac b ON b.fid = a.fid AND b.k = (a.k + 1) % 4
+),
+probes AS (SELECT * FROM evp UNION ALL SELECT * FROM mids),
+proj AS (
+  SELECT p.fid, p.lat, p.lng, s.pid, s.x1, s.y1, s.x2, s.y2,
+    (((s.x1 - p.lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(p.lat)) * {m}) AS ax,
+    (s.y1 - p.lat) * {m} AS ay,
+    (((s.x2 - p.lng + 180.0) % 360.0 + 360.0) % 360.0 - 180.0) * (cos(radians(p.lat)) * {m}) AS bx,
+    (s.y2 - p.lat) * {m} AS by
+  FROM probes p CROSS JOIN seg s
+),
+scored AS (
+  SELECT fid, lat, lng, pid, x1, y1,
+    sqrt((ax + t * (bx - ax)) * (ax + t * (bx - ax)) + (ay + t * (by - ay)) * (ay + t * (by - ay))) AS d,
+    y1 + t * (y2 - y1) AS proj_lat,
+    x1 + t * (x2 - x1) AS proj_lng
+  FROM (
+    SELECT *, CASE WHEN (bx - ax) * (bx - ax) + (by - ay) * (by - ay) > 0
+                   THEN greatest(0.0, least(1.0,
+                        -(ax * (bx - ax) + ay * (by - ay)) / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))))
+                   ELSE 0.0 END AS t
+    FROM proj
+  )
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY fid
+            ORDER BY d, pid, proj_lat, proj_lng, lat, lng) AS rn
+  FROM scored WHERE d <= {CONNECT_THRESHOLD_M!r}
+)
+SELECT fid AS feature_id,
+       round(lat, 9) AS entrance_lat, round(lng, 9) AS entrance_lng,
+       pid AS path_id, CAST(0 AS INTEGER) AS seg_idx,
+       round(0.0 + {along}, 3) AS along_m,
+       round(proj_lat, 9) AS access_lat, round(proj_lng, 9) AS access_lng,
+       round(d, 3) AS dist_m
+FROM best WHERE rn = 1
+"""
+
+
 ORDERED_JOIN_PAIRS = [
     ("street/h/0/0", "street/h/0/1"),  # tail-head: no reversal
     ("street/h/0/1", "street/h/0/0"),  # head-tail: both reversed
@@ -5868,6 +6010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_query": q_render_query,
     "render_basemap": q_render_basemap,
     "world_mutation": q_world_mutation,
+    "connect_world": q_connect_world,
 }
 
 ORACLES: dict[str, str] = {
@@ -5983,6 +6126,7 @@ ORACLES: dict[str, str] = {
     "render_query": sql_render_query(),
     "render_basemap": sql_render_basemap(),
     "world_mutation": sql_world_mutation(),
+    "connect_world": sql_connect_world(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
