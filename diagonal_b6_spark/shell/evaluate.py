@@ -737,11 +737,25 @@ def _fn_add(env, a, b):
     return a + b
 
 
+def _is_int(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 def _fn_divide(env, a, b):
+    """fn math.go:13-24: IntNumber / IntNumber is Go integer division
+    (truncating toward zero); any float operand promotes to float."""
     if isinstance(a, ColVal):
         return ColVal(a.ref, a.col / _col_of(b))
     if isinstance(a, DataFrame) and "value" in a.columns:
+        vtype = dict(a.dtypes)["value"]
+        if vtype in ("tinyint", "smallint", "int", "bigint") and _is_int(b):
+            # double-divide then cast: Spark's cast(long) truncates toward
+            # zero, matching Go's int division (exact for |q| < 2^52)
+            return _value_df_op(a, lambda c: (c / F.lit(b)).cast("long"))
         return _value_df_op(a, lambda c: c / F.lit(b))
+    if _is_int(a) and _is_int(b):
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
     return a / b
 
 

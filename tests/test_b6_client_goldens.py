@@ -1009,9 +1009,15 @@ def test_s2_grid(spark, world):
 
 
 def test_s2_points(spark, world):
-    """b6_test.py:267-270."""
-    n = g(spark, f"find-area {GRANARY_SQ} | s2-points 21 21").count()
-    assert 400 < n < 500
+    """b6_test.py:267-270 + api/functions/s2_test.go TestS2Points'
+    tighter bound: the farthest level-21 cell center sits 50-70 m from
+    the square's center (the covering hugs the polygon)."""
+    rows = g(spark, f"find-area {GRANARY_SQ} | s2-points 21 21").collect()
+    assert 400 < len(rows) < 500
+    lat = np.array([r.center_lat for r in rows])
+    lng = np.array([r.center_lng for r in rows])
+    d = geom_k.haversine_m(lat, lng, 51.53536, -0.12539)
+    assert 50.0 <= float(d.max()) <= 70.0
 
 
 def test_sample_points_along_path(spark, world):

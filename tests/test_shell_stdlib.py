@@ -263,6 +263,54 @@ def test_percentiles_shell(spark, feats):
     assert biggest.pct == max(r.pct for r in rows)
 
 
+def test_add_divide_number_types(spark, feats):
+    """api/functions/math_test.go TestAdd/TestDivide: int op int stays
+    int (divide is Go integer division, truncating toward zero); any
+    float operand promotes the result to float."""
+    cases = [
+        ("add 2 3", 5, int),
+        ("add 2 3.0", 5.0, float),
+        ("add 2.0 3", 5.0, float),
+        ("add 2.0 3.0", 5.0, float),
+        ("divide 6 2", 3, int),
+        ("divide 7 2", 3, int),       # truncation, not float 3.5
+        ("divide -7 2", -3, int),     # Go truncates toward zero (not floor)
+        ("divide 6 2.0", 3.0, float),
+        ("divide 6.0 2", 3.0, float),
+        ("divide 6.0 2.0", 3.0, float),
+    ]
+    for expr, want, typ in cases:
+        got = run(spark, feats, expr)
+        assert got == want and type(got) is typ, (expr, got)
+
+
+def test_divide_int_collection_stays_int(spark, feats):
+    """The value-column twin of TestDivide: an int literal collection
+    divided by an int yields ints (Spark's double-divide would leak
+    3.5)."""
+    out = run(spark, feats, "{6, 7} | divide 2")
+    vals = sorted(r.value for r in out.collect())
+    assert vals == [3, 3]
+    assert all(isinstance(v, int) for v in vals)
+
+
+def test_percentiles_uniform_mirror(spark, feats):
+    """api/functions/math_test.go TestPercentiles: 1000 uniform draws in
+    [0,5) -> every percentile within 0.05 of value/5."""
+    import numpy as np
+    from diagonal_b6_spark.operators import agg as agg_ops
+
+    rng = np.random.default_rng(42)
+    vals = (rng.random(1000) * 5.0).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v double"
+    )
+    rows = agg_ops.percentiles(df, "v", "k").collect()
+    assert len(rows) == 1000
+    for r in rows:
+        assert abs(r["pct"] - r["v"] / 5.0) <= 0.05
+
+
 def test_count_valid_ids(spark, feats):
     out = run(spark, feats, "all-areas | count-valid-ids")
     assert out.collect()[0].value == 5
