@@ -14,6 +14,7 @@ columns by name).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2706,6 +2707,113 @@ SELECT fid AS feature_id,
        round(proj_lat, 9) AS access_lat, round(proj_lng, 9) AS access_lng,
        round(d, 3) AS dist_m
 FROM best WHERE rn = 1
+"""
+
+
+# --- DBSCAN (training-data-pipeline operator; operators/cluster.py) --------
+
+DBSCAN_MIN_PTS = 4
+DBSCAN_BASE_EPS_M = 60.0
+DBSCAN_REF_N = 2000.0
+DBSCAN_MOD = 5
+
+# Clustered point field, identical SQL text both engines: 30 deterministic
+# cluster centers (hash of event_id % 37) with uniform jitter (~170 m x
+# ~170 m), plus ~19% background scatter (the plain LAT/LNG field).  The
+# plain field alone is a multiplicative-hash LATTICE whose minimum spacing
+# exceeds any density-invariant eps at sf0.01+ (measured: zero cores) --
+# DBSCAN needs actual density structure to say anything.
+_DBSCAN_CLAT = (
+    "CAST(51.50 AS DOUBLE) + CAST(0.08 AS DOUBLE) * "
+    "((((event_id % 37) * 2654435761) % 1000003) / CAST(1000003 AS DOUBLE))"
+)
+_DBSCAN_CLNG = (
+    "CAST(-0.16 AS DOUBLE) + CAST(0.10 AS DOUBLE) * "
+    "((((event_id % 37) * 40503) % 999983) / CAST(999983 AS DOUBLE))"
+)
+_DBSCAN_JLAT = (
+    "(CAST((event_id * 104729) % 2001 AS DOUBLE) - CAST(1000 AS DOUBLE)) "
+    "/ CAST(1000 AS DOUBLE) * CAST(0.0015 AS DOUBLE)"
+)
+_DBSCAN_JLNG = (
+    "(CAST((event_id * 7919) % 2001 AS DOUBLE) - CAST(1000 AS DOUBLE)) "
+    "/ CAST(1000 AS DOUBLE) * CAST(0.0024 AS DOUBLE)"
+)
+DBSCAN_LAT_SQL = (
+    f"CASE WHEN event_id % 37 < 30 THEN ({_DBSCAN_CLAT}) + ({_DBSCAN_JLAT}) "
+    f"ELSE {LAT_SQL} END"
+)
+DBSCAN_LNG_SQL = (
+    f"CASE WHEN event_id % 37 < 30 THEN ({_DBSCAN_CLNG}) + ({_DBSCAN_JLNG}) "
+    f"ELSE {LNG_SQL} END"
+)
+
+
+def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fixtures.testdata(spark, sf_dir, "events").where(
+        (F.col("event_id") % DBSCAN_MOD) == 0
+    )
+    return ev.select(
+        F.col("event_id").alias("pid"),
+        F.expr(DBSCAN_LAT_SQL).alias("lat"),
+        F.expr(DBSCAN_LNG_SQL).alias("lng"),
+    )
+
+
+def q_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DBSCAN over the event point field (grid-cell
+    eps-neighbor join -> core flags -> large-star components -> border
+    attach; operators/cluster.py).  eps scales with 1/sqrt(density) so
+    every sf sees the same expected neighborhood size -- the one
+    driver-side scalar (the sampled row count) is replayed by the
+    oracle's own count(*), keeping both engines' eps bit-identical."""
+    from .operators import cluster as cluster_ops
+
+    pts = _dbscan_points(spark, sf_dir)
+    n = pts.count()  # single bounded scalar (density-invariant eps)
+    eps = DBSCAN_BASE_EPS_M * math.sqrt(DBSCAN_REF_N / n)
+    out = cluster_ops.dbscan(pts, eps, DBSCAN_MIN_PTS, id_col="pid")
+    return out.select("pid", "n_nbrs", "is_core", "cluster")
+
+
+def sql_geo_dbscan() -> str:
+    hav = _HAV.format(lat1="a.lat", lng1="a.lng", lat2="b.lat", lng2="b.lng")
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT event_id AS pid, {DBSCAN_LAT_SQL} AS lat, {DBSCAN_LNG_SQL} AS lng
+        FROM events WHERE event_id % {DBSCAN_MOD} = 0),
+eps AS (SELECT {DBSCAN_BASE_EPS_M!r} * sqrt({DBSCAN_REF_N!r} / count(*)) AS e
+        FROM pts),
+d AS (SELECT a.pid AS pa, b.pid AS pb, {hav} AS dist
+      FROM pts a CROSS JOIN pts b),
+nb AS (SELECT pa, count(*) AS n FROM d CROSS JOIN eps
+       WHERE dist <= eps.e GROUP BY pa),
+core AS (SELECT pa AS pid FROM nb WHERE n >= {DBSCAN_MIN_PTS}),
+ce AS (SELECT d.pa AS a, d.pb AS b
+       FROM d JOIN core c1 ON c1.pid = d.pa
+              JOIN core c2 ON c2.pid = d.pb
+              CROSS JOIN eps
+       WHERE d.dist <= eps.e AND d.pa <> d.pb),
+reach(k, lbl) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT ce.a, r.lbl FROM reach r JOIN ce ON ce.b = r.k
+),
+comp AS (SELECT k, min(lbl) AS cluster FROM reach GROUP BY k),
+corelbl AS (SELECT c.pid, comp.cluster FROM core c JOIN comp ON comp.k = c.pid),
+borderlbl AS (
+  SELECT d.pa AS pid, min(cl.cluster) AS cluster
+  FROM d JOIN corelbl cl ON cl.pid = d.pb CROSS JOIN eps
+  WHERE d.dist <= eps.e AND d.pa NOT IN (SELECT pid FROM core)
+  GROUP BY d.pa
+)
+SELECT nb.pa AS pid, nb.n AS n_nbrs,
+       (core.pid IS NOT NULL) AS is_core,
+       coalesce(corelbl.cluster, borderlbl.cluster) AS cluster
+FROM nb
+LEFT JOIN core ON core.pid = nb.pa
+LEFT JOIN corelbl ON corelbl.pid = nb.pa
+LEFT JOIN borderlbl ON borderlbl.pid = nb.pa
 """
 
 
@@ -6011,6 +6119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_basemap": q_render_basemap,
     "world_mutation": q_world_mutation,
     "connect_world": q_connect_world,
+    "geo_dbscan": q_geo_dbscan,
 }
 
 ORACLES: dict[str, str] = {
@@ -6127,6 +6236,7 @@ ORACLES: dict[str, str] = {
     "render_basemap": sql_render_basemap(),
     "world_mutation": sql_world_mutation(),
     "connect_world": sql_connect_world(),
+    "geo_dbscan": sql_geo_dbscan(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
