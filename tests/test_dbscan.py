@@ -77,6 +77,54 @@ def test_clusters_and_noise(result):
     }
 
 
+@pytest.mark.parametrize("lat0,lat1,seed", [(51.0, 51.2, 7), (78.0, 79.5, 11)])
+def test_matches_brute_force(spark, lat0, lat1, seed):
+    """Grid-join DBSCAN == brute-force DBSCAN on random points,
+    including a 78-79.5N band where the longitude cell margin must
+    widen by 1/cos(lat) for the eps guarantee to hold."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = 80
+    lats = rng.uniform(lat0, lat1, n)
+    lngs = rng.uniform(-0.5, 0.5, n)
+    eps, min_pts = 4000.0, 3
+
+    within = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        within[i] = geom.haversine_m(lats, lngs, lats[i], lngs[i]) <= eps
+    cnt = within.sum(1)
+    core = cnt >= min_pts
+    # components of core points under `within`, label = min core id
+    lbl = {i: i for i in range(n) if core[i]}
+    changed = True
+    while changed:
+        changed = False
+        for i in lbl:
+            for j in lbl:
+                if within[i][j] and lbl[j] < lbl[i]:
+                    lbl[i] = lbl[j]
+                    changed = True
+    cluster = {}
+    for i in range(n):
+        if core[i]:
+            cluster[i] = lbl[i]
+        else:
+            cores_near = [lbl[j] for j in np.where(within[i] & core)[0]]
+            cluster[i] = min(cores_near) if cores_near else None
+
+    pts = spark.createDataFrame(
+        [(i, float(lats[i]), float(lngs[i])) for i in range(n)],
+        "pid long, lat double, lng double",
+    )
+    got = {r["pid"]: r for r in dbscan(pts, eps, min_pts, id_col="pid").collect()}
+    assert len(got) == n
+    for i in range(n):
+        assert got[i]["n_nbrs"] == int(cnt[i]), i
+        assert got[i]["is_core"] == bool(core[i]), i
+        assert got[i]["cluster"] == cluster[i], i
+
+
 def test_isolated_core_labels_itself(spark):
     """A 3-point blob whose members all see only each other still forms
     a cluster; a core point with zero CORE neighbors (min_pts=1 ->
