@@ -88,12 +88,10 @@ def dbscan(
     counts = nbrs.groupBy(id_col).agg(F.count("*").alias("n_nbrs"))
     core = counts.where(F.col("n_nbrs") >= F.lit(min_pts)).select(id_col)
 
-    core_a = core.select(F.col(id_col).alias("_ca"))
-    core_b = core.select(F.col(id_col).alias("_cb"))
     edges = (
         nbrs.where(F.col(id_col) != F.col("nbr"))
-        .join(core_a, nbrs[id_col] == core_a["_ca"])
-        .join(core_b, F.col("nbr") == core_b["_cb"])
+        .join(core, id_col, "leftsemi")
+        .join(core.withColumnRenamed(id_col, "nbr"), "nbr", "leftsemi")
         .select(F.col(id_col).alias("a"), F.col("nbr").alias("b"))
     )
     labels = connected_components(edges)
