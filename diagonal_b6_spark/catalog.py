@@ -3436,30 +3436,119 @@ def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_debug_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """debug-tokens / debug-all-query: index tokens per feature
-    (rows-only; cell tokens not SQL-expressible)."""
+    """debug-tokens / debug-all-query with the reference's full
+    TokensForFeature rule (ingest/tokens.go:9-27): `*` + TokenForTag tag
+    tokens + s2:/a2: covering and ancestor tokens (rows-only here: the
+    covering half is Hilbert, pinned bit-for-bit on the reference's
+    search/spatial_test.go fixture in tests; the SQL-replayable
+    projection is the debug_point_tokens key)."""
     return find_ops.debug_tokens(fixtures.features_table(spark))
 
 
 def q_debug_tag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The tag half of debug-tokens under a full value oracle (the cell
-    half is the Hilbert covering, honestly rows-only in debug_tokens and
-    topology-pinned in tests/test_cellmath.py).  Gives the debug-tokens
-    family an oracle-backed sibling like every other rows-only key."""
+    """The tag half of debug-tokens under a full value oracle: exactly
+    TokenForTag (b6/search.go:107-114) -- `#k=v` posts `k=v`, `@k` posts
+    `k`, unprefixed keys post nothing."""
     feats = fixtures.features_table(spark)
-    return feats.select(
-        "feature_id", F.explode("tags").alias("k", "v")
-    ).select("feature_id", F.concat_ws("=", "k", "v").alias("token"))
+    return (
+        feats.select("feature_id", F.explode("tags").alias("k", "v"))
+        .select("feature_id", find_ops.tag_token().alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
 
 
 def sql_debug_tag_tokens() -> str:
     rows = []
     for f in fixtures.feature_rows():
         for k, v in sorted(f["tags"].items()):
-            rows.append(f"('{f['feature_id']}', '{k}={v}')")
+            if k.startswith("#"):
+                rows.append(f"('{f['feature_id']}', '{k[1:]}={v}')")
+            elif k.startswith("@"):
+                rows.append(f"('{f['feature_id']}', '{k[1:]}')")
     return (
         "SELECT * FROM (VALUES " + ", ".join(rows) + ") t(feature_id, token)"
     )
+
+
+def q_debug_point_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokensForFeature over sf-scaled event points, projected onto the
+    Hilbert-independent surface an independent oracle can replay: the
+    posting rule (bare vertices post nothing), the exact TokenForTag tag
+    tokens, the token counts (one s2 covering cell + 16 ancestors for a
+    point at MaxIndexedCellLevel=16), and the level-0 face token (the
+    face is plain xyz arithmetic).  The bit-exact s2:/a2: token VALUES
+    are pinned on the reference's own search/spatial_test.go fixture in
+    tests/test_cellmath.py."""
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    bare = (F.col("event_id") % 7) == 0
+    cat = F.concat(F.lit("c"), (F.col("event_id") % 5).cast("string"))
+    venue = F.concat(F.lit("v"), (F.col("event_id") % 3).cast("string"))
+    feats = ev.select(
+        F.concat(F.lit("point/events/"), F.col("event_id").cast("string")).alias(
+            "feature_id"
+        ),
+        F.lit("point").alias("feature_type"),
+        F.lit("events").alias("ns"),
+        F.when(bare, F.expr("map()").cast("map<string,string>"))
+        .otherwise(
+            F.create_map(
+                F.lit("#category"), cat,
+                F.lit("@venue"), venue,
+                F.lit("note"), F.col("event_type"),
+            )
+        )
+        .alias("tags"),
+        F.array(F.expr(LNG_SQL)).alias("xs"),
+        F.array(F.expr(LAT_SQL)).alias("ys"),
+        F.array(F.lit(0)).alias("ring_offsets"),
+    )
+    toks = find_ops.debug_tokens(feats)
+    is_s2 = F.col("token").startswith("s2:")
+    is_a2 = F.col("token").startswith("a2:")
+    return toks.groupBy("feature_id").agg(
+        F.sum(F.when(is_s2, 1).otherwise(0)).alias("n_s2"),
+        F.sum(F.when(is_a2, 1).otherwise(0)).alias("n_a2"),
+        F.sum(F.when(F.col("token") == "*", 1).otherwise(0)).alias("n_all"),
+        F.max(F.when(is_a2 & (F.length("token") == 4), F.col("token"))).alias(
+            "face_token"
+        ),
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.collect_list(
+                    F.when(~is_s2 & ~is_a2 & (F.col("token") != "*"), F.col("token"))
+                )
+            ),
+        ).alias("tag_tokens"),
+    )
+
+
+def sql_debug_point_tokens() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng FROM events
+  WHERE event_id % 7 <> 0),
+xyz AS (
+  SELECT event_id,
+         cos(radians(lat)) * cos(radians(lng)) AS x,
+         cos(radians(lat)) * sin(radians(lng)) AS y,
+         sin(radians(lat)) AS z
+  FROM ev),
+fc AS (
+  SELECT event_id,
+         CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) >= 0
+              THEN axis ELSE axis + 3 END AS face
+  FROM (SELECT *, CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN 0
+                       WHEN abs(x) < abs(y) AND abs(y) >= abs(z) THEN 1
+                       ELSE 2 END AS axis FROM xyz))
+SELECT 'point/events/' || CAST(event_id AS VARCHAR) AS feature_id,
+  CAST(1 AS BIGINT) AS n_s2, CAST(16 AS BIGINT) AS n_a2,
+  CAST(1 AS BIGINT) AS n_all,
+  'a2:' || CASE face WHEN 0 THEN '1' WHEN 1 THEN '3' WHEN 2 THEN '5'
+                     WHEN 3 THEN '7' WHEN 4 THEN '9' ELSE 'b' END AS face_token,
+  'category=c' || CAST(event_id % 5 AS VARCHAR) || '|venue' AS tag_tokens
+FROM fc
+"""
 
 
 def q_evaluate_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6120,6 +6209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "world_mutation": q_world_mutation,
     "connect_world": q_connect_world,
     "geo_dbscan": q_geo_dbscan,
+    "debug_point_tokens": q_debug_point_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -6237,6 +6327,7 @@ ORACLES: dict[str, str] = {
     "world_mutation": sql_world_mutation(),
     "connect_world": sql_connect_world(),
     "geo_dbscan": sql_geo_dbscan(),
+    "debug_point_tokens": sql_debug_point_tokens(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

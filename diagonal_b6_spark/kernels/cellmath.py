@@ -343,6 +343,28 @@ def token(cell_id):
     return np.array([format(int(c), "016x").rstrip("0") or "X" for c in cid])
 
 
+def tokens_for_covering(cell_ids):
+    """The search index's token set for a covering (reference
+    search/spatial.go:85-113 TokensForCovering + cellIDAncestorTokens):
+    `s2:<token>` for each covering cell above level 0, then `a2:<token>`
+    for every ancestor, deduplicated per level across the whole covering,
+    climbing to level 0 inclusive.  Pinned on the reference's own
+    search/spatial_test.go fixture (17 tokens incl. 'a2:484')."""
+    cells = np.atleast_1d(np.asarray(cell_ids)).astype(np.uint64)
+    lvls = level(cells)
+    toks = ["s2:" + t for t in token(cells[lvls > 0])]
+    cur = {int(c) for c in cells}
+    while cur:
+        parents = {
+            int(parent(np.uint64(c), int(level(np.uint64(c))) - 1))
+            for c in cur
+            if int(level(np.uint64(c))) > 0
+        }
+        toks.extend("a2:" + str(token(np.uint64(p))[0]) for p in sorted(parents))
+        cur = parents
+    return toks
+
+
 def token_to_id(tok):
     return np.array([int(t.ljust(16, "0"), 16) for t in np.atleast_1d(tok)], dtype=np.uint64)
 

@@ -104,19 +104,86 @@ def get_tag(features: DataFrame, key: str, out: str = "value") -> DataFrame:
     return features.select("feature_id", F.col("tags")[key].alias(out))
 
 
+def tag_token() -> Column:
+    """TokenForTag (b6/search.go:107-114) over exploded (k, v) columns:
+    `#key` posts `key=value`, `@key` posts `key`, anything else posts
+    nothing (NULL here; callers drop the row)."""
+    return (
+        F.when(F.col("k").startswith("#"), F.concat(F.expr("substring(k, 2)"), F.lit("="), F.col("v")))
+        .when(F.col("k").startswith("@"), F.expr("substring(k, 2)"))
+        .otherwise(F.lit(None))
+    )
+
+
+# raw two's-complement cell bits from the order-preserving signed encoding
+# (kernels/cellmath.id_to_signed flips the top bit)
+_RAW_CELL = "(cell ^ CAST(-9223372036854775808 AS BIGINT))"
+# S2 token: 16 hex digits (leading zeros kept) with trailing zeros stripped
+_TOKEN_OF = "trim(TRAILING '0' FROM lpad(lower(hex({x})), 16, '0'))"
+
+
 def debug_tokens(features: DataFrame) -> DataFrame:
-    """`debug-tokens` / `debug-all-query` (fn debug.go:1-24): the search
-    tokens a feature posts under -- tag tokens (k=v) plus its s2 covering
-    cell tokens, i.e. exactly what the cover/tag indexes key on."""
+    """`debug-tokens` / `debug-all-query` (fn debug.go:1-24) with the
+    reference's exact TokensForFeature rule (ingest/tokens.go:9-27):
+
+    - a bare-vertex point posts NO tokens at all (the reference tests
+      `len(AllTags()) == 1` -- its location is itself a tag, b6.PointTag,
+      so one tag means NO user tags; geometry lives in xs/ys here, hence
+      the translated test is an EMPTY tag map);
+    - every other feature posts the all-token `*` (search/search.go:89);
+    - physical features (point/path/area) post `s2:<token>` for each
+      covering cell above level 0 plus `a2:<token>` for every distinct
+      ancestor up to level 0 (search/spatial.go:85-113, RegionCoverer
+      MaxLevel=16 MaxCells=5);
+    - tags post per TokenForTag (b6/search.go:107-114): `#k=v` -> `k=v`,
+      `@k` -> `k`, unprefixed keys post nothing.
+
+    The ancestor walk is pure codegen: explode the ancestor levels, then
+    parent(id, l) = (id & -lsb_l) | lsb_l with lsb_l = 1 << 2*(30-l) on
+    the raw cell bits, and the hex token via lpad/rtrim -- no Python in
+    the loop.  The a2 branch carries ONE shuffle (the per-feature
+    ancestor dedup the reference's set semantics require, only effective
+    for multi-cell coverings); it is keyed by feature_id with a bounded
+    fan-in (<= 5 cells x <= 16 levels), so no skew at corpus scale.
+    Ancestor-token parity is pinned bit-for-bit on the reference's own
+    search/spatial_test.go fixture in tests."""
     from . import geo_fn
 
-    tags = features.select(
-        "feature_id", F.explode("tags").alias("k", "v")
-    ).select("feature_id", F.concat_ws("=", "k", "v").alias("token"))
-    cells = geo_fn.s2_covering(features).select(
-        "feature_id", F.concat(F.lit("s2:"), F.col("token")).alias("token")
+    posting = features.filter(
+        ~((F.col("feature_type") == "point") & (F.size("tags") == 0))
     )
-    return tags.unionByName(cells)
+    all_tok = posting.select("feature_id", F.lit("*").alias("token"))
+    tags = (
+        posting.select("feature_id", F.explode("tags").alias("k", "v"))
+        .select("feature_id", tag_token().alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
+    physical = posting.filter(F.col("feature_type").isin("point", "path", "area"))
+    cov = geo_fn.s2_covering(physical).select(
+        "feature_id", F.expr(_RAW_CELL).alias("raw"), "level"
+    )
+    s2 = cov.filter(F.col("level") > 0).select(
+        "feature_id",
+        F.concat(F.lit("s2:"), F.expr(_TOKEN_OF.format(x="raw"))).alias("token"),
+    )
+    anc = (
+        cov.filter(F.col("level") > 0)
+        .select(
+            "feature_id",
+            "raw",
+            F.explode(F.sequence(F.lit(0), F.col("level") - 1)).alias("plvl"),
+        )
+        .withColumn("plsb", F.expr("shiftleft(CAST(1 AS BIGINT), 60 - 2 * plvl)"))
+        .select(
+            "feature_id",
+            F.concat(
+                F.lit("a2:"),
+                F.expr(_TOKEN_OF.format(x="((raw & -plsb) | plsb)")),
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    return all_tok.unionByName(tags).unionByName(s2).unionByName(anc)
 
 
 def count_tag_value(features: DataFrame, key: str) -> DataFrame:

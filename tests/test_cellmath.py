@@ -28,6 +28,30 @@ def test_roundtrip_center_stays_in_cell():
         assert (ids == ids2).all(), f"center escaped its cell at level {lvl}"
 
 
+def test_tokens_for_covering_reference_fixture():
+    """The reference's own search/spatial_test.go TestAncestorCellIDTokens:
+    the covering {48761b3dc, 48761b3c4} posts exactly 17 tokens (2 s2 +
+    15 deduped ancestors) including 'a2:484'."""
+    ids = cm.token_to_id(["48761b3dc", "48761b3c4"])
+    toks = cm.tokens_for_covering(ids)
+    assert len(toks) == 17
+    assert "a2:484" in toks
+    assert sum(t.startswith("s2:") for t in toks) == 2
+    assert len(set(toks)) == 17
+    # every a2 token is a strict ancestor of a covering cell
+    for t in toks:
+        if t.startswith("a2:"):
+            anc = cm.token_to_id([t[3:]])[0]
+            assert cm.contains(anc, ids).any()
+
+
+def test_tokens_for_covering_skips_level0_s2():
+    face_cell = cm.parent(cm.cell_id_from_latlng(10.0, 20.0), np.int64(0))
+    toks = cm.tokens_for_covering(face_cell)
+    # a level-0 covering cell posts no s2: token and has no ancestors
+    assert toks == []
+
+
 def test_parent_contains_child():
     leaf = cm.cell_id_from_latlng(LATS, LNGS)
     for lvl in (0, 3, 7, 16, 29):

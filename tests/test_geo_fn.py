@@ -55,6 +55,113 @@ def test_find_counts(spark):
     assert not find_ops.matches(feats, "path/test/6", find_ops.tagged("#amenity", "pub"))
 
 
+def test_debug_tokens_reference_rule(spark):
+    """TokensForFeature parity (reference ingest/tokens.go:9-27): the
+    Vermuteria point from ingest/search_test.go posts `*`, its #-tag as
+    `amenity=cafe`, its @-tag key-only, NOTHING for the plain `name` tag,
+    and the s2:/a2: tokens of its level-16 covering cell -- checked
+    bit-for-bit against the kernel twin pinned on search/spatial_test.go.
+    A bare-vertex point (the reference's len(AllTags())==1 case: only the
+    location PointTag, i.e. an empty user-tag map here) posts nothing; a
+    relation posts no cell tokens."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.kernels import cellmath as cm
+
+    rows = [
+        {
+            "feature_id": "point/test/1",
+            "feature_type": "point",
+            "ns": "t",
+            "tags": {"#amenity": "cafe", "name": "Vermuteria", "@naptan": "x"},
+            "xs": [-0.1263944],
+            "ys": [51.5366567],
+            "ring_offsets": [0],
+        },
+        {  # bare vertex (no user tags): posts NO tokens at all
+            "feature_id": "point/test/2",
+            "feature_type": "point",
+            "ns": "t",
+            "tags": {},
+            "xs": [-0.13],
+            "ys": [51.53],
+            "ring_offsets": [0],
+        },
+        {  # single-user-tag point: DOES post (location counts as a tag
+            # in the reference, so this is its len(AllTags())==2 case)
+            "feature_id": "point/test/4",
+            "feature_type": "point",
+            "ns": "t",
+            "tags": {"#amenity": "bench"},
+            "xs": [-0.12],
+            "ys": [51.54],
+            "ring_offsets": [0],
+        },
+        {  # relation: all-token + tag tokens, no covering
+            "feature_id": "relation/test/3",
+            "feature_type": "relation",
+            "ns": "t",
+            "tags": {"#route": "bicycle", "ref": "C6"},
+            "xs": [],
+            "ys": [],
+            "ring_offsets": [],
+        },
+    ]
+    feats = spark.createDataFrame(rows, schema=fixtures.FEATURE_SCHEMA)
+    got = {}
+    for r in find_ops.debug_tokens(feats).collect():
+        got.setdefault(r["feature_id"], set()).add(r["token"])
+
+    assert "point/test/2" not in got
+    assert got["relation/test/3"] == {"*", "route=bicycle"}
+
+    cell4 = cm.cell_id_from_latlng(np.array([51.54]), np.array([-0.12]), 16)
+    assert got["point/test/4"] == {"*", "amenity=bench"} | set(
+        cm.tokens_for_covering(cell4)
+    )
+
+    cell16 = cm.cell_id_from_latlng(np.array([51.5366567]), np.array([-0.1263944]), 16)
+    expected = {"*", "amenity=cafe", "naptan"} | set(cm.tokens_for_covering(cell16))
+    assert got["point/test/1"] == expected
+    # 1 s2 token + 16 ancestors down to the face cell
+    assert sum(t.startswith("a2:") for t in got["point/test/1"]) == 16
+
+
+def test_query_matches_reference_cases(spark):
+    """The nine Matches cases from the reference's ingest/search_test.go
+    TestMatches, on the same Vermuteria feature."""
+    from diagonal_b6_spark import fixtures
+
+    feats = spark.createDataFrame(
+        [
+            {
+                "feature_id": "point/test/0",
+                "feature_type": "point",
+                "ns": "diagonal.works/test",
+                "tags": {"name": "Vermuteria", "#amenity": "cafe"},
+                "xs": [-0.1263944],
+                "ys": [51.5366567],
+                "ring_offsets": [0],
+            }
+        ],
+        schema=fixtures.FEATURE_SCHEMA,
+    )
+    cafe = find_ops.tagged("#amenity", "cafe")
+    restaurant = find_ops.tagged("#amenity", "restaurant")
+    cases = [
+        (find_ops.keyed("#amenity"), True),
+        (cafe, True),
+        (restaurant, False),
+        (find_ops.or_(cafe), True),
+        (find_ops.or_(restaurant), False),
+        (find_ops.and_(cafe), True),
+        (find_ops.and_(restaurant), False),
+        (find_ops.or_(cafe, restaurant), True),
+        (find_ops.and_(cafe, restaurant), False),
+    ]
+    for q, expected in cases:
+        assert find_ops.matches(feats, "point/test/0", q) is expected, str(q)
+
+
 def test_unsearchable_key_rejected():
     with pytest.raises(ValueError):
         find_ops.tagged("name", "street")  # unprefixed: stored, not indexed
