@@ -284,6 +284,39 @@ def test_add_divide_number_types(spark, feats):
         assert got == want and type(got) is typ, (expr, got)
 
 
+def test_gt_mixed_width_integers(spark, feats):
+    """b6/values_test.go TestGreaterHappyPath: Greater compares across
+    integer widths, including uint64 values above 2^33 that a float32
+    or int32 comparison would corrupt.  The shell's scalar path rides
+    Python's arbitrary-precision ints, so the same table must hold."""
+    big = (1 << 33) + 1
+    cases = [
+        ("gt 3 0", True),
+        ("gt 0 3", False),
+        (f"gt {big} 0", True),
+        (f"gt 0 {big}", False),
+        (f"gt {big + 1} {big}", True),
+        (f"gt {big} {big + 1}", False),
+    ]
+    for expr, want in cases:
+        got = run(spark, feats, expr)
+        assert got is want, (expr, got)
+
+
+def test_feature_id_leading_slash(spark, feats):
+    """b6/world_test.go TestFeatureFromStringHandlesLeadingSlash: the
+    full id form parses identically with and without a leading slash
+    (and the alias expansion round-trips its own output)."""
+    from diagonal_b6_spark.shell.parse import normalize_feature_id
+
+    full = "path/openstreetmap.org/way/687471322"
+    assert normalize_feature_id("/" + full) == full
+    assert normalize_feature_id(full) == full
+    expanded = normalize_feature_id("/w/687471322")
+    assert expanded == "path/osm/687471322"
+    assert normalize_feature_id("/" + expanded) == expanded
+
+
 def test_divide_int_collection_stays_int(spark, feats):
     """The value-column twin of TestDivide: an int literal collection
     divided by an int yields ints (Spark's double-divide would leak
