@@ -388,6 +388,130 @@ def annotate_elevations(
     )
 
 
+def graph_node_flags(features: DataFrame) -> DataFrame:
+    """(node, is_node, ele): the reference's graph-node rule
+    (ingest/basic.go:256-260) per vertex key, EXCLUDING the per-path
+    endpoint clause (that one is evaluated against the path being
+    traversed -- callers apply it positionally).  A vertex is a graph
+    node when it is referenced by more than one path occurrence (ANY
+    path feature, one reference per (path, index) pair -- a closed
+    loop's shared head counts twice) or when a tagged point feature
+    sits on it (AllTags > 1, basic.go:259).  `ele` is the point's
+    parseable ele tag, null otherwise."""
+    occ = (
+        features.filter(F.col("feature_type") == "path")
+        .select(F.explode(F.arrays_zip(F.col("ys").alias("la"), F.col("xs").alias("lo"))).alias("v"))
+        .select(_vertex_key(F.col("v.la"), F.col("v.lo")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )
+    pts = features.filter(
+        (F.col("feature_type") == "point") & (F.size("xs") > 0)
+    ).select(
+        _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("node"),
+        (F.size("tags") > 0).alias("is_tagged"),
+        # strconv.ParseFloat semantics: junk like "93m" (real OSM data)
+        # is NOT an elevation, not an error (graph.go:187-196 err path)
+        F.col("tags").getItem("ele").try_cast("double").alias("ele"),
+    )
+    return occ.join(pts, "node", "left").select(
+        "node",
+        ((F.col("n_refs") > 1) | F.coalesce("is_tagged", F.lit(False))).alias(
+            "is_node"
+        ),
+        "ele",
+    )
+
+
+def elevation_gain_edges(features: DataFrame) -> DataFrame:
+    """Directed walking edges (path_id, src, dst, dist_m, elev_gain_m)
+    over `#highway` paths with ElevationWeights' per-SEGMENT gain rule
+    (b6/graph/graph.go:163-212 + the graph-node rule ingest/basic.go:
+    256-260).
+
+    The reference walks each SEGMENT (graph node -> graph node along one
+    path) in vertex-INDEX order, carrying the last parseable `ele` as
+    memory; a vertex pair contributes |stop-start| * NaismithPenalty *
+    (UpHillPenalty if rising else DownHillPenalty).  Because any point
+    feature with a user tag is itself a graph node (AllTags > 1 splits
+    the segment, basic.go:259), interior segment vertices can never
+    carry `ele` -- so the walk collapses to: a segment whose BOTH
+    endpoints carry parseable `ele` costs |e_last - e_first|, everything
+    else costs zero.  The swap to index order (graph.go:177-180) makes
+    the charge direction-INSENSITIVE: both travel directions pay the
+    uphill rate when the higher-INDEX endpoint is higher -- mirrored
+    here by emitting the SAME signed gain on both directed rows (the
+    index-order sign), which weights_from_options then prices.
+
+    Graph nodes (segment boundaries): a path's first/last vertex, a
+    vertex referenced by more than one path occurrence (ANY path, not
+    just highways -- FindReferences counts every path reference, so a
+    closed loop's shared head counts twice), or a tagged point.
+
+    Plan shape: one vertex-occurrence count shuffle, one ele lookup
+    join, one per-path window (partitioned by feature_id, bounded by
+    path length) -- all JVM expressions, no Python."""
+    from pyspark.sql import Window
+
+    from .knn import _haversine_col
+
+    hw = features.filter(
+        (F.col("feature_type") == "path")
+        & F.col("tags").getItem("#highway").isNotNull()
+    )
+    segs = path_segments(hw).select(
+        F.col("feature_id").alias("path_id"),
+        "seg_idx",
+        _vertex_key(F.col("y1"), F.col("x1")).alias("src"),
+        _vertex_key(F.col("y2"), F.col("x2")).alias("dst"),
+        _haversine_col(F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2")).alias(
+            "dist_m"
+        ),
+    )
+    nodes = graph_node_flags(features)
+    s = (
+        segs.join(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.col("is_node").alias("src_is_node"),
+                F.col("ele").alias("src_ele"),
+            ),
+            "src",
+            "left",
+        )
+        .join(
+            nodes.select(
+                F.col("node").alias("dst"), F.col("ele").alias("dst_ele")
+            ),
+            "dst",
+            "left",
+        )
+    )
+    w = Window.partitionBy("path_id").orderBy("seg_idx")
+    # reset memory at every segment boundary: a graph-node src posts a
+    # marker struct (its ele, possibly null -- a node WITHOUT ele still
+    # clears the carry, graph.go starts each Weight() call fresh)
+    marker = F.when(
+        (F.col("seg_idx") == 0) | F.col("src_is_node"),
+        F.struct(F.col("src_ele").alias("e")),
+    )
+    mem = F.last(marker, ignorenulls=True).over(w)["e"]
+    gain = F.when(
+        F.col("dst_ele").isNotNull() & mem.isNotNull(), F.col("dst_ele") - mem
+    ).otherwise(F.lit(0.0))
+    directed = s.select(
+        "path_id", "src", "dst", "dist_m", gain.alias("elev_gain_m")
+    )
+    rev = directed.select(
+        "path_id",
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        "dist_m",
+        "elev_gain_m",
+    )
+    return directed.unionByName(rev)
+
+
 def _haversine_cum_m(xs, ys):
     """Cumulative arc length (meters) along a polyline (shared kernel)."""
     from ..kernels.geom import cum_arc_length_m

@@ -121,3 +121,45 @@ def test_output_ring_has_no_duplicate_vertices():
     pts = list(zip(xs.tolist(), ys.tolist()))
     assert len(set(pts)) == 4
     assert abs(C.ring_area(xs, ys)) == pytest.approx(4 * 15.5 * u * u)
+
+
+def _regular_loop(lat, lng, radius_m, n):
+    """s2.RegularLoop equivalent: n vertices at constant geodesic
+    distance radius_m around (lat, lng), CCW (spherical direct
+    formula)."""
+    R = 6371008.8
+    d = radius_m / R
+    la1, lo1 = np.radians(lat), np.radians(lng)
+    th = 2.0 * np.pi * np.arange(n) / n
+    la2 = np.arcsin(np.sin(la1) * np.cos(d) + np.cos(la1) * np.sin(d) * np.cos(th))
+    lo2 = lo1 + np.arctan2(
+        np.sin(th) * np.sin(d) * np.cos(la1),
+        np.cos(d) - np.sin(la1) * np.sin(la2),
+    )
+    return np.degrees(lo2), np.degrees(la2)
+
+
+def test_collect_polygons_union_contains_centers():
+    """api/functions/geometry_test.go:13-31 TestCollectPolygons: the
+    union of two 300 m 128-gons around (51.535239,-0.124416) and
+    (51.536631,-0.126495) contains both centers and the in-between point
+    (51.536255,-0.126154) -- and merges into ONE outer ring (the loops
+    overlap: centers ~210 m apart)."""
+    from diagonal_b6_spark.kernels import geom as G
+
+    p1 = _regular_loop(51.535239, -0.124416, 300.0, 128)
+    p2 = _regular_loop(51.536631, -0.126495, 300.0, 128)
+    out = C.union_all([p1, p2])
+    assert len(out) == 1
+    xs = np.concatenate([r[0] for r in out])
+    ys = np.concatenate([r[1] for r in out])
+    offs = np.cumsum([0] + [len(r[0]) for r in out[:-1]]).astype(np.int64)
+    probe_lat = np.array([51.535239, 51.536631, 51.536255])
+    probe_lng = np.array([-0.124416, -0.126495, -0.126154])
+    inside = G.points_in_polygon(probe_lng, probe_lat, xs, ys, offs)
+    assert inside.all(), inside
+    # a point well outside both circles stays outside
+    far = G.points_in_polygon(
+        np.array([-0.110000]), np.array([51.535239]), xs, ys, offs
+    )
+    assert not far.any()

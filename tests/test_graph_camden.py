@@ -238,3 +238,126 @@ def test_paths_to_reach_features_transit(spark, world):
     counts = {r["feature_id"]: r["n_paths"] for r in out.collect()}
     assert len(counts) >= 60, len(counts)
     assert counts.get(STABLE_STREET_BRIDGE, 0) >= 2
+
+
+def _walk_edges(world):
+    """Directed walking edges with per-segment elevation gains
+    (elevation_gain_edges keeps path_id for the way assertions)."""
+    from diagonal_b6_spark.operators.network import elevation_gain_edges
+
+    return elevation_gain_edges(world)
+
+
+def _route_hops(spark, edges, from_nodes, to_nodes, options, budget):
+    """(hops, routes): directed route-step hops joined back to edges, and
+    the raw (step_idx, node, cum_cost) rows, between two node sets."""
+    from diagonal_b6_spark.operators import graph as graph_ops
+    from diagonal_b6_spark.operators import weights as weights_ops
+
+    weighted = weights_ops.weights_from_options(edges, options)
+    origins = from_nodes.select(F.lit(1).cast("long").alias("origin"), "node")
+    dist = graph_ops.dijkstra_cogrouped(origins, weighted, max_cost=float(budget))
+    routes = graph_ops.routes_from_pred(dist, to_nodes)
+    a = routes.select(
+        "origin", "dest", (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("node").alias("u"),
+    )
+    b = routes.select("origin", "dest", "step_idx", F.col("node").alias("v"))
+    hops = a.join(b, ["origin", "dest", "step_idx"]).join(
+        edges.select("path_id", "src", "dst").distinct(),
+        (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")),
+    )
+    return hops, routes
+
+
+def test_elevation_route_avoids_hill(spark, world):
+    """graph_test.go:466-495 TestElevationWeights: with ele=100 on node
+    4931754283 and ele=200 on node 6773349520 and UpHillPenalty 1.2, the
+    walk from 33000703 to 970237231 takes the longer flat way 835618252
+    and avoids the shorter elevated way 502802551."""
+    tagged = world.withColumn(
+        "tags",
+        F.when(
+            F.col("feature_id") == "point/osm/4931754283",
+            F.map_concat(
+                F.map_filter(F.col("tags"), lambda k, _v: k != "ele"),
+                F.create_map(F.lit("ele"), F.lit("100")),
+            ),
+        )
+        .when(
+            F.col("feature_id") == "point/osm/6773349520",
+            F.map_concat(
+                F.map_filter(F.col("tags"), lambda k, _v: k != "ele"),
+                F.create_map(F.lit("ele"), F.lit("200")),
+            ),
+        )
+        .otherwise(F.col("tags")),
+    )
+    edges = _walk_edges(tagged)
+    # the tagged nodes must bound a shared charged segment, and the
+    # charge must be direction-insensitive (index-order rule)
+    charged = edges.filter(F.abs("elev_gain_m") > 0).collect()
+    assert charged, "expected elevation-charged edges"
+    assert {abs(r.elev_gain_m) for r in charged} == {100.0}
+    hops, _ = _route_hops(
+        spark,
+        edges,
+        _node_keys(world, "point/osm/33000703"),
+        _node_keys(world, "point/osm/970237231"),
+        {"elevation": "yes", "elevation:uphill": "1.2"},
+        500.0,
+    )
+    ways = {r.path_id for r in hops.select("path_id").distinct().collect()}
+    assert ways, "expected a route"
+    assert "path/osm/835618252" in ways
+    assert "path/osm/502802551" not in ways
+
+
+def test_build_route_step_count_and_cost(spark, world):
+    """graph_test.go:497-530 TestBuildRoute: the walking-time route from
+    the first vertex of way 687471322 to the first vertex of way
+    367808662 has 35-45 segment steps and a final cost in [850, 950]
+    (weight units: meters x 1.25 m/s, the reference's multiply-by-speed
+    convention)."""
+    from diagonal_b6_spark.operators.network import graph_node_flags
+
+    edges = _walk_edges(world)
+    hops, routes = _route_hops(
+        spark,
+        edges,
+        _first_vertex_node(world, "path/osm/687471322"),
+        _first_vertex_node(world, "path/osm/367808662"),
+        {},
+        1000.0,
+    )
+    cost = routes.agg(F.max("cum_cost")).collect()[0][0]
+    assert cost is not None, "expected a route"
+    assert 850.0 <= cost <= 950.0, cost
+    # reference Steps are SEGMENTS: count route vertices (origin
+    # excluded) that end a segment -- a graph node (junction/tagged) or
+    # an endpoint of the path the hop rides on (ingest/basic.go:256-260)
+    hw = world.filter(
+        (F.col("feature_type") == "path")
+        & F.col("tags")["#highway"].isNotNull()
+    )
+    first = hw.select(
+        F.col("feature_id").alias("path_id"),
+        _vertex_key(F.element_at("ys", 1), F.element_at("xs", 1)).alias("end_node"),
+    )
+    last = hw.select(
+        F.col("feature_id").alias("path_id"),
+        _vertex_key(F.element_at("ys", -1), F.element_at("xs", -1)).alias("end_node"),
+    )
+    ends = first.unionByName(last).distinct()
+    flags = graph_node_flags(world).filter(F.col("is_node")).select(
+        F.col("node").alias("v")
+    )
+    boundary_hops = hops.join(flags, "v", "left_semi").unionByName(
+        hops.join(
+            ends,
+            (hops["path_id"] == ends["path_id"]) & (hops["v"] == ends["end_node"]),
+            "left_semi",
+        )
+    )
+    steps = boundary_hops.select("step_idx").distinct().count()
+    assert 35 <= steps <= 45, steps

@@ -140,3 +140,40 @@ def test_sightline_clip_algorithm_agrees(spark):
                                   algorithm="clip").collect()}
     for k in sweep:
         assert clip[k] == pytest.approx(sweep[k], rel=0.05)
+
+
+def test_occlude_center_close_to_edge():
+    """sightline_test.go:134-146 TestOccludeWithCenterCloseToEdge: with
+    the view center (51.51891,-0.09657) nearly ON the edge
+    (51.51898,-0.09662)-(51.51869,-0.09539), the point
+    (51.51957,-0.09439) falls inside the occlusion (NOT visible) at
+    radius 250 m -- the wrap-around case the reference pins.  Behavioral
+    mirror: our sweep returns r(theta) < |p| at p's bearing."""
+    clat, clng = 51.51891, -0.09657
+    kx = M * np.cos(np.radians(clat))
+
+    def loc(lat, lng):
+        return np.array([(lng - clng) * kx]), np.array([(lat - clat) * M])
+
+    ax, ay = loc(51.51898, -0.09662)
+    bx, by = loc(51.51869, -0.09539)
+    r = sl.sweep_visibility(
+        None, None,
+        np.array([ax[0]]), np.array([ay[0]]),
+        np.array([bx[0]]), np.array([by[0]]),
+        250.0, n_bins=2880,
+    )
+    th = np.linspace(0.0, 2.0 * np.pi, 2880, endpoint=False)
+
+    def r_at(px, py):
+        ang = float(np.arctan2(py, px)) % (2.0 * np.pi)
+        return float(r[int(round(ang / (2.0 * np.pi / 2880))) % 2880])
+
+    px, py = loc(51.51957, -0.09439)
+    d = float(np.hypot(px[0], py[0]))
+    assert d < 250.0  # the probe is inside the cap
+    assert r_at(px[0], py[0]) < d  # occluded: the edge cuts the ray short
+    # a probe on the center's side of the edge stays visible
+    qx, qy = loc(51.51895, -0.09680)
+    dq = float(np.hypot(qx[0], qy[0]))
+    assert r_at(qx[0], qy[0]) >= dq
