@@ -6072,6 +6072,175 @@ FROM (SELECT * FROM pts UNION ALL SELECT * FROM wrows)
 """
 
 
+def _elevation_world_rows() -> tuple[list, list]:
+    """Deterministic elevation-edge fixture (shared verbatim with the
+    oracle VALUES): (path rows, point rows).  Exercises every branch of
+    ElevationWeights' segment walk (graph/graph.go:163-212 + the
+    graph-node rule ingest/basic.go:256-260):
+
+      elev/clean  v0..v3, ele 10 at v0 / 25.5 at v3, interiors bare ->
+                  the whole lump lands on the closing pair (+15.5)
+      elev/split  u0..u3, ele 40 / 80 at the ends BUT a tagged bench at
+                  u1 (graph node, no ele -> memory RESET) and a junction
+                  at u2 (shared with elev/cross, carrying ele 8) -> the
+                  u0 charge dies at u1; the closing pair charges 80-8=72
+      elev/junk   w0 ele "7", w1 ele "93m" (real OSM junk; Go ParseFloat
+                  rejects it) -> no charge
+      elev/cross  x0(5) x1(8, the junction) x2(11) -> +3 then +3
+      elev/down   d0(50) d1(20) -> -30 (downhill, priced at the
+                  downhill rate, 0.0 by default)
+    """
+    lat0, lng0 = 51.5, -0.2
+    s = 0.001  # ~111 m N-S, exact on the 1e-7 vertex-key grid
+
+    def ln(j):
+        return lng0 + j * s
+
+    paths = [
+        ("path/elev/clean", [ln(0), ln(1), ln(2), ln(3)], [lat0] * 4),
+        ("path/elev/split", [ln(0), ln(1), ln(2), ln(3)], [lat0 + s] * 4),
+        ("path/elev/junk", [ln(5), ln(6)], [lat0, lat0]),
+        ("path/elev/cross", [ln(2), ln(2), ln(3)],
+         [lat0 + 2 * s, lat0 + s, lat0 + 2 * s]),
+        ("path/elev/down", [ln(8), ln(9)], [lat0, lat0]),
+    ]
+    points = [
+        ("point/elev/p0", ln(0), lat0, {"ele": "10"}),
+        ("point/elev/p3", ln(3), lat0, {"ele": "25.5"}),
+        ("point/elev/u0", ln(0), lat0 + s, {"ele": "40"}),
+        ("point/elev/u1", ln(1), lat0 + s, {"amenity": "bench"}),
+        ("point/elev/u3", ln(3), lat0 + s, {"ele": "80"}),
+        ("point/elev/w0", ln(5), lat0, {"ele": "7"}),
+        ("point/elev/w1", ln(6), lat0, {"ele": "93m"}),
+        ("point/elev/x0", ln(2), lat0 + 2 * s, {"ele": "5"}),
+        ("point/elev/x1", ln(2), lat0 + s, {"ele": "8"}),
+        ("point/elev/x2", ln(3), lat0 + 2 * s, {"ele": "11"}),
+        ("point/elev/d0", ln(8), lat0, {"ele": "50"}),
+        ("point/elev/d1", ln(9), lat0, {"ele": "20"}),
+    ]
+    return paths, points
+
+
+def elevation_world_table(spark: SparkSession) -> DataFrame:
+    paths, points = _elevation_world_rows()
+    rows = [
+        {
+            "feature_id": pid,
+            "feature_type": "path",
+            "ns": "test/elev",
+            "tags": {"#highway": "path"},
+            "xs": xs,
+            "ys": ys,
+            "ring_offsets": [0],
+        }
+        for pid, xs, ys in paths
+    ] + [
+        {
+            "feature_id": pid,
+            "feature_type": "point",
+            "ns": "test/elev",
+            "tags": tags,
+            "xs": [x],
+            "ys": [y],
+            "ring_offsets": [0],
+        }
+        for pid, x, y, tags in points
+    ]
+    return spark.createDataFrame(rows, fixtures.FEATURE_SCHEMA)
+
+
+def q_graph_elevation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ElevationWeights' segment-walk gain rule as directed edges
+    (operators/network.elevation_gain_edges): memory carry in vertex-
+    index order, reset at graph nodes, Go-ParseFloat junk handling,
+    direction-insensitive charge.  Oracle: the same walk replayed in SQL
+    (window last_value IGNORE NULLS with a NaN reset sentinel)."""
+    from .operators import network as net_ops
+
+    out = net_ops.elevation_gain_edges(elevation_world_table(spark))
+    return out.select("path_id", "src", "dst", "dist_m", "elev_gain_m")
+
+
+def sql_graph_elevation_edges() -> str:
+    paths, points = _elevation_world_rows()
+    pv = ",\n    ".join(
+        f"('{pid}', {i}, {x!r}, {y!r})"
+        for pid, xs, ys in paths
+        for i, (x, y) in enumerate(zip(xs, ys))
+    )
+    pt = ",\n    ".join(
+        f"('{pid}', {x!r}, {y!r}, {len(tags)}, "
+        + (f"'{tags['ele']}'" if "ele" in tags else "NULL")
+        + ")"
+        for pid, x, y, tags in points
+    )
+    key = (
+        "CAST(round({y} * 1e7) AS BIGINT) * 10000000000 "
+        "+ CAST(round(({x} + 360.0) * 1e7) AS BIGINT)"
+    )
+    hav = _HAV.format(lat1="segs.y1", lng1="segs.x1", lat2="segs.y2", lng2="segs.x2")
+    return f"""
+WITH pv(pid, idx, x, y) AS (VALUES
+    {pv}),
+pt(ptid, x, y, ntags, ele_s) AS (VALUES
+    {pt}),
+occ AS (
+  SELECT {key.format(x='x', y='y')} AS node, COUNT(*) AS n_refs
+  FROM pv GROUP BY 1
+),
+ptk AS (
+  SELECT {key.format(x='x', y='y')} AS node, ntags > 0 AS is_tagged,
+         TRY_CAST(ele_s AS DOUBLE) AS ele
+  FROM pt
+),
+nodes AS (
+  SELECT occ.node,
+         (occ.n_refs > 1 OR coalesce(ptk.is_tagged, FALSE)) AS is_node,
+         ptk.ele
+  FROM occ LEFT JOIN ptk ON ptk.node = occ.node
+),
+segs AS (
+  SELECT a.pid, a.idx AS seg_idx, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM pv a JOIN pv b ON b.pid = a.pid AND b.idx = a.idx + 1
+),
+s AS (
+  SELECT segs.pid, segs.seg_idx,
+         {key.format(x='segs.x1', y='segs.y1')} AS src,
+         {key.format(x='segs.x2', y='segs.y2')} AS dst,
+         {hav} AS dist_m
+  FROM segs
+),
+j AS (
+  SELECT s.*, ns.is_node AS src_is_node, ns.ele AS src_ele, nd.ele AS dst_ele
+  FROM s
+  LEFT JOIN nodes ns ON ns.node = s.src
+  LEFT JOIN nodes nd ON nd.node = s.dst
+),
+-- NaN is the 'reset with no ele' sentinel (Spark side: a struct marker
+-- with a null field); a graph-node src always posts a marker
+m AS (
+  SELECT j.*,
+         last_value(
+           CASE WHEN seg_idx = 0 OR src_is_node
+                THEN coalesce(src_ele, CAST('NaN' AS DOUBLE)) END
+           IGNORE NULLS
+         ) OVER (PARTITION BY pid ORDER BY seg_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mem
+  FROM j
+),
+g AS (
+  SELECT pid AS path_id, src, dst, dist_m,
+         CASE WHEN dst_ele IS NOT NULL AND mem IS NOT NULL
+                   AND NOT isnan(mem)
+              THEN dst_ele - mem ELSE 0.0 END AS elev_gain_m
+  FROM m
+)
+SELECT path_id, src, dst, dist_m, elev_gain_m FROM g
+UNION ALL
+SELECT path_id, dst AS src, src AS dst, dist_m, elev_gain_m FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -6210,6 +6379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connect_world": q_connect_world,
     "geo_dbscan": q_geo_dbscan,
     "debug_point_tokens": q_debug_point_tokens,
+    "graph_elevation_edges": q_graph_elevation_edges,
 }
 
 ORACLES: dict[str, str] = {
@@ -6328,6 +6498,7 @@ ORACLES: dict[str, str] = {
     "connect_world": sql_connect_world(),
     "geo_dbscan": sql_geo_dbscan(),
     "debug_point_tokens": sql_debug_point_tokens(),
+    "graph_elevation_edges": sql_graph_elevation_edges(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
