@@ -424,8 +424,9 @@ def graph_node_flags(features: DataFrame) -> DataFrame:
 
 
 def elevation_gain_edges(features: DataFrame) -> DataFrame:
-    """Directed walking edges (path_id, src, dst, dist_m, elev_gain_m)
-    over `#highway` paths with ElevationWeights' per-SEGMENT gain rule
+    """Directed walking edges (path_id, src, dst, dist_m, elev_gain_m,
+    weight_factor) over `#highway` paths with ElevationWeights' per-
+    SEGMENT gain rule
     (b6/graph/graph.go:163-212 + the graph-node rule ingest/basic.go:
     256-260).
 
@@ -455,9 +456,23 @@ def elevation_gain_edges(features: DataFrame) -> DataFrame:
 
     from .knn import _haversine_col
 
+    # WalkingTimeWeights.IsUseable (graph.go:221-226): any #highway path
+    # OR a diagonal=connection stub (either tag spelling; see _network)
     hw = features.filter(
         (F.col("feature_type") == "path")
-        & F.col("tags").getItem("#highway").isNotNull()
+        & (
+            F.col("tags").getItem("#highway").isNotNull()
+            | (F.col("tags").getItem("diagonal") == "connection")
+            | (F.col("tags").getItem("#diagonal") == "connection")
+        )
+    )
+    # per-path diagonal:weight override (graph.go:22-30 weightFromSegment,
+    # ParseFloat-gated: junk values mean no override)
+    factors = hw.select(
+        F.col("feature_id").alias("path_id"),
+        F.col("tags").getItem("diagonal:weight").try_cast("double").alias(
+            "weight_factor"
+        ),
     )
     segs = path_segments(hw).select(
         F.col("feature_id").alias("path_id"),
@@ -467,7 +482,7 @@ def elevation_gain_edges(features: DataFrame) -> DataFrame:
         _haversine_col(F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2")).alias(
             "dist_m"
         ),
-    )
+    ).join(factors, "path_id", "left")
     nodes = graph_node_flags(features)
     s = (
         segs.join(
@@ -500,7 +515,8 @@ def elevation_gain_edges(features: DataFrame) -> DataFrame:
         F.col("dst_ele").isNotNull() & mem.isNotNull(), F.col("dst_ele") - mem
     ).otherwise(F.lit(0.0))
     directed = s.select(
-        "path_id", "src", "dst", "dist_m", gain.alias("elev_gain_m")
+        "path_id", "src", "dst", "dist_m", gain.alias("elev_gain_m"),
+        "weight_factor",
     )
     rev = directed.select(
         "path_id",
@@ -508,6 +524,7 @@ def elevation_gain_edges(features: DataFrame) -> DataFrame:
         F.col("src").alias("dst"),
         "dist_m",
         "elev_gain_m",
+        "weight_factor",
     )
     return directed.unionByName(rev)
 
@@ -838,13 +855,21 @@ def connect_world(
     ).join(probes, "probe_id")
     # areas keep only their best side (ConnectArea keeps ONE projection
     # per polygon); points have a single probe each
+    # area probes carry their boundary-side index in the probe id
+    # ("fid#<side>"); point probes have none -- apply_connect_to_world
+    # uses it to splice the entrance into the area ring
+    side = F.when(
+        F.col("probe_id").contains("#"),
+        F.element_at(F.split("probe_id", "#"), -1).cast("int"),
+    )
     best = (
-        snapped.groupBy("feature_id")
+        snapped.withColumn("side", side)
+        .groupBy("feature_id")
         .agg(
             F.min(
                 F.struct(
                     "dist_m", "path_id", "seg_idx",
-                    "proj_lat", "proj_lng", "lat", "lng",
+                    "proj_lat", "proj_lng", "lat", "lng", "side",
                 )
             ).alias("b")
         )
@@ -865,6 +890,7 @@ def connect_world(
             F.col("proj_lat").alias("access_lat"),
             F.col("proj_lng").alias("access_lng"),
             "dist_m",
+            "side",
         )
     )
     insertions = connections.select(
@@ -882,3 +908,109 @@ def connect_world(
     if modify_paths:
         out["modified_paths"] = apply_connections_to_paths(paths, clustered)
     return out
+
+
+def apply_connect_to_world(features: DataFrame, out: dict) -> DataFrame:
+    """The b6-connect OUTPUT stage (cmd/b6-connect writes a new world:
+    InsertNewPointsIntoPaths.Output + the `diagonal=connection` stub
+    paths, connectivity.go:360-395): fold a ``connect_world`` result
+    back into a features table so routing can actually use it.
+
+      1. street paths are REPLACED by their spliced rebuilds (the
+         access insertions become real vertices);
+      2. each connected AREA gains its entrance (the winning side
+         midpoint) as a ring vertex, mirroring the reference's
+         insertion into the boundary path -- without it the area can
+         never test reachable, since reachability is boundary-vertex
+         membership;
+      3. one two-vertex stub path per connected feature, entrance ->
+         FINAL access coordinate (the resolved attachment: a surviving
+         insertion's interpolated vertex, its cluster representative,
+         or the snapped existing vertex), tagged `diagonal=connection`
+         (WalkingTimeWeights.IsUseable admits it).
+
+    Everything is joins over the connect outputs -- per-feature array
+    rebuilds ride in column expressions, nothing on the driver."""
+    conns = out["connections"]
+    mp = out["modified_paths"]
+    resolved = out["resolved"]
+
+    # spliced street paths keep their original tags/ns
+    new_paths = mp.join(
+        features.select("feature_id", "feature_type", "ns", "tags"),
+        "feature_id",
+    ).select(
+        "feature_id", "feature_type", "ns", "tags",
+        F.col("lngs").cast("array<double>").alias("xs"),
+        F.col("lats").cast("array<double>").alias("ys"),
+        F.array(F.lit(0)).cast("array<int>").alias("ring_offsets"),
+    )
+
+    # final access coordinate per insertion: resolve the attachment
+    # label, then look its coordinates up on the spliced path
+    verts = mp.select(
+        F.col("feature_id").alias("path_id"),
+        F.explode(F.arrays_zip("labels", "lats", "lngs")).alias("v"),
+    ).select(
+        "path_id",
+        F.col("v.labels").alias("label"),
+        F.col("v.lats").alias("alat"),
+        F.col("v.lngs").alias("alng"),
+    )
+    want = resolved.select(
+        "point_id",
+        "path_id",
+        F.when(F.col("attach_kind") == "self", F.col("point_id"))
+        .when(F.col("attach_kind") == "point", F.col("attach_to"))
+        .otherwise(F.concat(F.lit("v"), F.col("attach_to")))
+        .alias("label"),
+    )
+    access = want.join(verts, ["path_id", "label"]).select(
+        "point_id", "alat", "alng"
+    )
+    stubs = (
+        conns.select(
+            "feature_id", "entrance_lat", "entrance_lng",
+            F.concat(F.lit("access/"), "feature_id").alias("point_id"),
+        )
+        .join(access, "point_id")
+        .select(
+            F.concat(F.lit("path/connection/"), F.col("feature_id")).alias(
+                "feature_id"
+            ),
+            F.lit("path").alias("feature_type"),
+            F.lit("diagonal.works/connection").alias("ns"),
+            F.create_map(F.lit("diagonal"), F.lit("connection")).alias("tags"),
+            F.array("entrance_lng", "alng").cast("array<double>").alias("xs"),
+            F.array("entrance_lat", "alat").cast("array<double>").alias("ys"),
+            F.array(F.lit(0)).cast("array<int>").alias("ring_offsets"),
+        )
+    )
+
+    # connected areas: splice the entrance midpoint after its side's
+    # first vertex (side i -> between ring vertices i and i+1)
+    area_ins = conns.filter(F.col("side").isNotNull()).select(
+        "feature_id", "side", "entrance_lat", "entrance_lng"
+    )
+    areas = features.filter(F.col("feature_type") == "area").join(
+        area_ins, "feature_id"
+    ).select(
+        "feature_id", "feature_type", "ns", "tags",
+        F.concat(
+            F.slice("xs", 1, F.col("side") + 1),
+            F.array("entrance_lng"),
+            F.expr("slice(xs, side + 2, size(xs) - side - 1)"),
+        ).cast("array<double>").alias("xs"),
+        F.concat(
+            F.slice("ys", 1, F.col("side") + 1),
+            F.array("entrance_lat"),
+            F.expr("slice(ys, side + 2, size(ys) - side - 1)"),
+        ).cast("array<double>").alias("ys"),
+        "ring_offsets",
+    )
+
+    replaced = new_paths.select("feature_id").unionByName(
+        areas.select("feature_id")
+    )
+    kept = features.join(replaced, "feature_id", "left_anti")
+    return kept.unionByName(new_paths).unionByName(areas).unionByName(stubs)

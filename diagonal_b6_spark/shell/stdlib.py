@@ -206,9 +206,25 @@ def _network(env: Env) -> dict:
     # path features ONLY: the reference's path twin of a closed way is
     # emitted with its tags STRIPPED (ingest/features.go:112-115), so a
     # pedestrian square's perimeter carries no #highway tag and is NOT
-    # walkable -- it still counts toward degree (see _fn_degree)
+    # walkable -- it still counts toward degree (see _fn_degree).
+    # Connection stubs are walkable too (WalkingTimeWeights.IsUseable,
+    # graph/graph.go:221-226: any #highway OR diagonal=connection;
+    # `#diagonal` is this engine's indexed spelling of the same tag)
     paths = env.features.filter(
-        (F.col("feature_type") == "path") & F.col("tags")["#highway"].isNotNull()
+        (F.col("feature_type") == "path")
+        & (
+            F.col("tags")["#highway"].isNotNull()
+            | (F.col("tags")["diagonal"] == "connection")
+            | (F.col("tags")["#diagonal"] == "connection")
+        )
+    )
+    # per-path diagonal:weight override (graph.go:22-30 weightFromSegment,
+    # ParseFloat-gated: junk values mean no override)
+    factors = paths.select(
+        F.col("feature_id").alias("path_id"),
+        F.col("tags").getItem("diagonal:weight").try_cast("double").alias(
+            "weight_factor"
+        ),
     )
     segs = net_ops.path_segments(paths).select(
         F.col("feature_id").alias("path_id"),
@@ -222,16 +238,19 @@ def _network(env: Env) -> dict:
         _haversine_col(F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2")).alias(
             "dist_m"
         ),
-    )
+    ).join(factors, "path_id", "left")
     # both directions: the reference's walking traversal iterates
     # SegmentsByPoint regardless of digitization order (pedestrians
     # ignore oneway); weights_from_options weights each directed row
-    fwd = segs.select("src", "dst", "dist_m", F.lit(0.0).alias("elev_gain_m"))
+    fwd = segs.select(
+        "src", "dst", "dist_m", F.lit(0.0).alias("elev_gain_m"), "weight_factor"
+    )
     rev = segs.select(
         F.col("dst").alias("src"),
         F.col("src").alias("dst"),
         "dist_m",
         F.lit(0.0).alias("elev_gain_m"),
+        "weight_factor",
     )
     edges_raw = fwd.unionByName(rev)
     nodes = (
@@ -456,6 +475,17 @@ def _fn_accessible_all(env, origins, destinations, duration, options):
     out = _reachable_features(env, dist, omap, destinations).filter(
         F.col("feature_id") != F.col("origin")
     )
+    if _options_dict(options).get("flip") == "yes":
+        # odCollection.Flip (fn graph.go:139-152, 232-234): keys become
+        # destinations and values origins; the invalid padding for
+        # unreached origins is the ELSE branch only, so flipped output
+        # simply drops them
+        pairs = out.select(
+            F.col("feature_id").alias("origin"),
+            F.col("origin").alias("feature_id"),
+            "dist",
+        )
+        return pairs.join(env.features, "feature_id")
     # fn graph.go:235-240: an origin that reaches nothing still emits
     # one (origin, FeatureIDInvalid) entry; is-valid filters it away.
     missing = (

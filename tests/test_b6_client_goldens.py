@@ -1176,3 +1176,44 @@ def test_uk_ons_boundary_id(spark, world):
         .v
     )
     assert got == 76343044687353
+
+
+def test_accessibility_flipped(spark, world):
+    """api/functions/graph_test.go:15-85 TestAccessibility +
+    TestAccessibilityFlipped: from the bridge north end and Vermuteria,
+    accessible-all [entrance] 500 walk yields (bridge -> 3790640851) and
+    a padded invalid for Vermuteria (which reaches nothing) but NOT for
+    the bridge; with flip=yes the pair comes back reversed and the
+    padding disappears."""
+    from diagonal_b6_spark.shell import parse as P
+    from diagonal_b6_spark.shell import stdlib
+    from diagonal_b6_spark.shell.evaluate import Env
+
+    # a FRESH world: earlier goldens mutate STATE["world"] (added
+    # connection stubs / deleted features would shift reachability)
+    pristine = world_from_pbf(spark, GRANARY).localCheckpoint()
+    env = Env(spark, pristine)
+    origins = pristine.filter(
+        F.col("feature_id").isin("point/osm/1447052073", "point/osm/6082053666")
+    )
+    plain = stdlib._fn_accessible_all(
+        env, origins, P.QKeyed("entrance"), 500.0, {"mode": "walk"}
+    )
+    pairs = {
+        (r.origin, r.feature_id)
+        for r in plain.select("origin", "feature_id").collect()
+    }
+    assert ("point/osm/1447052073", "point/osm/3790640851") in pairs
+    assert ("point/osm/6082053666", None) in pairs
+    assert ("point/osm/1447052073", None) not in pairs
+
+    flipped = stdlib._fn_accessible_all(
+        env, origins, P.QKeyed("entrance"), 500.0,
+        {"flip": "yes", "mode": "walk"},
+    )
+    fpairs = {
+        (r.origin, r.feature_id)
+        for r in flipped.select("origin", "feature_id").collect()
+    }
+    assert ("point/osm/3790640851", "point/osm/1447052073") in fpairs
+    assert all(o is not None and d is not None for o, d in fpairs)

@@ -546,3 +546,40 @@ def test_materialise_map_merges_existing_items(spark, granary_world):
     assert sum(1 for k in tags if k.startswith("member:")) == (
         BUILDINGS_IN_GRANARY_SQUARE + 1
     )
+
+
+def test_connect_granary_square_increases_accessibility(spark, granary_world):
+    """graph/connectivity_test.go:262-297 TestConnectGranarySquare:
+    connecting [#building]/[#amenity] features to the street network
+    (thresholds 100 m) and folding the output back into the world makes
+    MORE buildings AND amenities walk-reachable from the Coal Drops
+    Yard footway south end (node 6083735356) within 1000."""
+    from diagonal_b6_spark.operators import network as net_ops
+    from diagonal_b6_spark.shell import parse as P
+    from diagonal_b6_spark.shell import stdlib
+    from diagonal_b6_spark.shell.evaluate import Env
+
+    out = net_ops.connect_world(
+        granary_world,
+        connection_threshold_m=100.0,
+        network_threshold_m=100.0,
+        connect_keys=("#building", "#amenity"),
+    )
+    world2 = net_ops.apply_connect_to_world(granary_world, out).localCheckpoint()
+
+    def counts(world):
+        env = Env(spark, world)
+        origin = world.filter(F.col("feature_id") == "point/osm/6083735356")
+        dist, omap = stdlib._sssp(env, origin, {"walk:speed": "1.0"}, 1000.0)
+        return {
+            key: stdlib._reachable_features(env, dist, omap, P.QKeyed(key))
+            .select("feature_id")
+            .distinct()
+            .count()
+            for key in ("#building", "#amenity")
+        }
+
+    before = counts(granary_world)
+    after = counts(world2)
+    assert after["#building"] > before["#building"], (before, after)
+    assert after["#amenity"] > before["#amenity"], (before, after)

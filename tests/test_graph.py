@@ -277,3 +277,53 @@ def test_interpolate_shortest_path_distances_reference_vectors(spark):
         assert len(got[i]) == len(want)
         for g, w in zip(got[i], want):
             assert abs(g - w) <= 1.0, (i, got[i], want)
+
+
+def test_shortest_path_with_overridden_weight(spark):
+    """graph_test.go:58-98 TestShortestPathWithOverriddenWeight: between
+    the two Royal College Street intersections the direct road wins; a
+    diagonal:weight=0.1 tag on the cycleway re-routes down it."""
+    from diagonal_b6_spark.operators import weights as w_ops
+    from diagonal_b6_spark.operators.network import _vertex_key, elevation_gain_edges
+
+    I1 = (51.5409703, -0.1376308)
+    I2 = (51.5416858, -0.1382541)
+    MID = (51.5416379, -0.1382604)
+
+    def world(cycle_tags):
+        rows = [
+            {"feature_id": "path/osm/835622320", "feature_type": "path",
+             "ns": "osm", "tags": {"#highway": "primary"},
+             "xs": [I1[1], I2[1]], "ys": [I1[0], I2[0]], "ring_offsets": [0]},
+            {"feature_id": "path/osm/835622319", "feature_type": "path",
+             "ns": "osm", "tags": cycle_tags,
+             "xs": [I1[1], MID[1], I2[1]], "ys": [I1[0], MID[0], I2[0]],
+             "ring_offsets": [0]},
+        ]
+        from diagonal_b6_spark import fixtures
+        return spark.createDataFrame(rows, fixtures.FEATURE_SCHEMA)
+
+    def route_ways(w):
+        edges = elevation_gain_edges(w)
+        weighted = w_ops.weights_from_options(edges, {"walk:speed": "1.0"})
+        origins = spark.createDataFrame([(1,)], "origin long").crossJoin(
+            spark.range(1).select(
+                _vertex_key(F.lit(I1[0]), F.lit(I1[1])).alias("node"))
+        )
+        dist = graph_ops.dijkstra_cogrouped(origins, weighted, max_cost=500.0)
+        dests = spark.range(1).select(
+            _vertex_key(F.lit(I2[0]), F.lit(I2[1])).alias("node"))
+        routes = graph_ops.routes_from_pred(dist, dests)
+        a = routes.select(
+            "origin", "dest", (F.col("step_idx") + 1).alias("step_idx"),
+            F.col("node").alias("u"))
+        b = routes.select("origin", "dest", "step_idx", F.col("node").alias("v"))
+        hit = a.join(b, ["origin", "dest", "step_idx"]).join(
+            edges.select("path_id", "src", "dst").distinct(),
+            (F.col("u") == F.col("src")) & (F.col("v") == F.col("dst")))
+        return {r.path_id for r in hit.select("path_id").distinct().collect()}
+
+    assert route_ways(world({"#highway": "cycleway"})) == {"path/osm/835622320"}
+    assert route_ways(
+        world({"#highway": "cycleway", "diagonal:weight": "0.1"})
+    ) == {"path/osm/835622319"}

@@ -407,3 +407,118 @@ def test_annotate_elevations_overwrites_existing_ele(spark):
     out = net_ops.annotate_elevations(feats, spots, radius_m=30.0)
     tags = {r["feature_id"]: dict(r["tags"]) for r in out.collect()}
     assert tags["point/peak"] == {"name": "peak", "ele": "42"}
+
+
+# --- ElevationWeights gain equivalence (graph/graph.go:163-212) -------------
+
+
+def _go_gains(paths, pts):
+    """Literal reimplementation of the reference's per-segment walk:
+    split each path at graph nodes (ingest/basic.go:256-260), then run
+    ElevationWeights' memory loop (graph.go:174-207) per segment, in
+    vertex-index order.  Returns {(pid, i): signed_gain} per pair."""
+    from collections import Counter
+
+    refs = Counter(c for _, cs in paths for c in cs)
+
+    def ele_of(c):
+        t = pts.get(c)
+        if not t or "ele" not in t:
+            return None
+        try:
+            return float(t["ele"])
+        except ValueError:
+            return None
+
+    out = {}
+    for pid, cs in paths:
+        def is_node(i):
+            if i == 0 or i == len(cs) - 1:
+                return True
+            if refs[cs[i]] > 1:
+                return True
+            t = pts.get(cs[i])
+            return bool(t)
+
+        node_idx = [i for i in range(len(cs)) if is_node(i)]
+        gains = [0.0] * (len(cs) - 1)
+        for a, b in zip(node_idx, node_idx[1:]):
+            elevation, from_memory = 0.0, False
+            for i in range(a, b):
+                start = ele_of(cs[i])
+                if start is not None:
+                    elevation, from_memory = start, True
+                stop = ele_of(cs[i + 1])
+                if from_memory and stop is not None:
+                    gains[i] = stop - elevation
+        for i, g in enumerate(gains):
+            out[(pid, i)] = g
+    return out
+
+
+def _vk(lat, lng):
+    import math
+
+    q = lambda v: int(math.floor(v * 1e7 + 0.5))  # HALF_UP, positive inputs
+    return q(lat) * 10_000_000_000 + q(lng + 360.0)
+
+
+def test_elevation_gain_edges_matches_go_walk(spark):
+    """Property: on seeded random worlds (shared-vertex junctions,
+    tagged/junk/bare points), elevation_gain_edges' signed per-pair
+    gains equal the reference algorithm run literally in Python."""
+    import random
+
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators.network import elevation_gain_edges
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        pool = [
+            (51.5 + i * 0.001, -0.2 + j * 0.001)
+            for i in range(4)
+            for j in range(3)
+        ]
+        paths = []
+        for p in range(6):
+            n = rng.randint(2, 5)
+            cs = rng.sample(pool, n)
+            paths.append((f"path/t/{p}", cs))
+        pts = {}
+        for c in pool:
+            r = rng.random()
+            if r < 0.3:
+                pts[c] = {"ele": str(rng.choice([10, 25.5, -4, 80]))}
+            elif r < 0.45:
+                pts[c] = {"ele": rng.choice(["93m", "junk", ""])}
+            elif r < 0.6:
+                pts[c] = {"amenity": "bench"}
+            elif r < 0.7:
+                pts[c] = {}
+        rows = [
+            {"feature_id": pid, "feature_type": "path", "ns": "t",
+             "tags": {"#highway": "path"},
+             "xs": [c[1] for c in cs], "ys": [c[0] for c in cs],
+             "ring_offsets": [0]}
+            for pid, cs in paths
+        ] + [
+            {"feature_id": f"point/t/{k}", "feature_type": "point", "ns": "t",
+             "tags": t, "xs": [c[1]], "ys": [c[0]], "ring_offsets": [0]}
+            for k, (c, t) in enumerate(pts.items())
+        ]
+        world = spark.createDataFrame(rows, fixtures.FEATURE_SCHEMA)
+        got = {
+            (r.path_id, r.src, r.dst): r.elev_gain_m
+            for r in elevation_gain_edges(world).collect()
+        }
+        want = {}
+        for pid, cs in paths:
+            gains = _go_gains(paths, pts)
+            for i in range(len(cs) - 1):
+                u, v = _vk(*cs[i]), _vk(*cs[i + 1])
+                g = gains[(pid, i)]
+                want[(pid, u, v)] = g
+                want[(pid, v, u)] = g
+        assert got == want, (seed, {k: (got.get(k), want.get(k))
+                                    for k in set(got) ^ set(want) | {
+                                        k for k in want if got.get(k) != want[k]}})
