@@ -334,6 +334,29 @@ def spherical_ring_area_m2(xs, ys):
     return abs(e) * EARTH_RADIUS_M * EARTH_RADIUS_M
 
 
+def ring_is_ccw(xs, ys) -> bool:
+    """True when the ring's vertices run counter-clockwise on the sphere.
+
+    The reference validates closed paths with ``loop.Area() > 2*pi``
+    (s2 loops keep the region to the LEFT of the edges, so a clockwise
+    vertex order encloses the complement, > hemisphere;
+    b6/ingest/validate.go:47-59).  For rings far smaller than a
+    hemisphere that test is exactly the sign of the trapezoid-form
+    excess below: over a closed ring the ``2 +`` term telescopes away
+    and what remains is MINUS the shoelace area in (lng, sin lat), so
+    negative = CCW.  Degenerate rings (<3 vertices) count as CCW --
+    the loop-validity check catches them separately.
+    """
+    lat = np.radians(np.asarray(ys, dtype=np.float64))
+    if len(lat) < 3:
+        return True
+    lng = np.radians(_norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])))
+    lat2 = np.roll(lat, -1)
+    lng2 = np.roll(lng, -1)
+    e = np.sum((lng2 - lng) * (2.0 + np.sin(lat) + np.sin(lat2))) / 2.0
+    return bool(e <= 0.0)
+
+
 def polygon_area_m2(xs, ys, ring_offsets):
     """Multi-ring polygon area with even-odd ring nesting.
 

@@ -260,3 +260,32 @@ def test_visvalingam_drops_tiny_kinks_keeps_corners():
     # never below a triangle
     tri = geom.visvalingam_indices(xs[:3], ys[:3], 1e12)
     assert len(tri) == 3
+
+
+def test_ring_is_ccw_matches_planar_shoelace():
+    """Orientation = sign of the planar shoelace for small mid-latitude
+    rings; random polygons both ways, plus antimeridian + both poles."""
+    import numpy as np
+
+    from diagonal_b6_spark.kernels import geom
+
+    rng = np.random.default_rng(42)
+    for _ in range(50):
+        n = int(rng.integers(3, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))  # star-shaped: no self-x
+        r = rng.uniform(0.001, 0.01, n)
+        clat = rng.uniform(-60, 60)
+        clng = rng.uniform(-179, 179)
+        xs = clng + r * np.cos(ang)
+        ys = clat + r * np.sin(ang)
+        shoelace = 0.5 * np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)
+        assert geom.ring_is_ccw(xs, ys) == (shoelace >= 0)
+        assert geom.ring_is_ccw(xs[::-1], ys[::-1]) == (shoelace < 0)
+
+    # antimeridian-straddling square, east-then-north = CCW
+    assert geom.ring_is_ccw([179.9, -179.9, -179.9, 179.9], [10.0, 10.0, 10.1, 10.1])
+    assert not geom.ring_is_ccw([179.9, 179.9, -179.9, -179.9], [10.0, 10.1, 10.1, 10.0])
+    # around the north pole, eastbound = CCW; the southern twin flips
+    lngs = np.linspace(-180, 180, 13)[:-1]
+    assert geom.ring_is_ccw(lngs, np.full(12, 89.0))
+    assert not geom.ring_is_ccw(lngs, np.full(12, -89.0))

@@ -29,6 +29,10 @@ from diagonal_b6_spark.operators import graph as graph_ops
 from diagonal_b6_spark.sources import osm as osm_src
 from diagonal_b6_spark.sources import uprn
 
+# change_ops.apply_changes runs ONE bounded action (`take(8)` over the
+# validation-error table) -- the transactional all-or-nothing gate, eager
+# in the reference too (ingest/change.go:160-186).  Everything else in
+# the guarded modules must stay lazy.
 FORBIDDEN = (".collect()", ".toPandas()")
 MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn,
            osm_src, change_ops]
