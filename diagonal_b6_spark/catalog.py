@@ -6241,6 +6241,62 @@ SELECT path_id, dst AS src, src AS dst, dist_m, elev_gain_m FROM g
 """
 
 
+def q_compare_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference UI's /compare endpoint (ui/ui.go:880-1014): the same
+    histogram analysis evaluated against a baseline world and a scenario
+    overlay, bars equalised onto the shared bucket set (zero-filled,
+    reindexed, per-world totals).  Worlds here are the documents table
+    and a deterministic mutation (zh docs reassigned to a 'scenario'
+    source); the analysis is the reference-exact categorical bucketing
+    (top-5 by count desc / value asc, then 'other').  The oracle replays
+    bucketing twice, the label union, the sortable-key ordering
+    (ui/lines.go:610-635, integer labels via %010d) and the zero-fill."""
+    from .operators import compare as compare_ops
+
+    docs = fixtures.testdata(spark, sf_dir, "documents").select("source", "lang")
+    scenario = docs.withColumn(
+        "source",
+        F.when(F.col("lang") == "zh", F.lit("scenario")).otherwise(F.col("source")),
+    )
+    return compare_ops.compare_scenarios(
+        docs, [scenario], lambda w: agg_ops.histogram_buckets(w, "source")
+    )
+
+
+def sql_compare_scenarios() -> str:
+    def bucketed(world_sql: str, name: str) -> str:
+        return f"""
+c{name} AS (SELECT v, count(*) AS c FROM ({world_sql}) GROUP BY v),
+k{name} AS (SELECT v FROM c{name} ORDER BY c DESC, v ASC LIMIT 5),
+b{name} AS (
+  SELECT CASE WHEN v IN (SELECT v FROM k{name}) THEN v ELSE 'other' END AS label,
+         count(*) AS value
+  FROM ({world_sql}) GROUP BY 1),
+t{name} AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM b{name})"""
+
+    w0 = "SELECT source AS v FROM documents"
+    w1 = (
+        "SELECT CASE WHEN lang = 'zh' THEN 'scenario' ELSE source END AS v "
+        "FROM documents"
+    )
+    sort_key = (
+        "CASE WHEN regexp_matches(label, '^[+-]?[0-9]+$') "
+        "THEN printf('%010d', CAST(label AS BIGINT)) ELSE label END"
+    )
+    return f"""
+WITH {bucketed(w0, '0')},
+{bucketed(w1, '1')},
+keys AS (SELECT DISTINCT label FROM (SELECT label FROM b0 UNION ALL SELECT label FROM b1)),
+idx AS (SELECT label, CAST(row_number() OVER (ORDER BY {sort_key}) - 1 AS INT) AS index FROM keys)
+SELECT 0 AS world, idx.index, idx.label,
+       CAST(coalesce(b0.value, 0) AS BIGINT) AS value, t0.total AS total
+FROM idx LEFT JOIN b0 USING (label), t0
+UNION ALL
+SELECT 1, idx.index, idx.label, CAST(coalesce(b1.value, 0) AS BIGINT), t1.total
+FROM idx LEFT JOIN b1 USING (label), t1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -6380,6 +6436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_dbscan": q_geo_dbscan,
     "debug_point_tokens": q_debug_point_tokens,
     "graph_elevation_edges": q_graph_elevation_edges,
+    "compare_scenarios": q_compare_scenarios,
 }
 
 ORACLES: dict[str, str] = {
@@ -6499,6 +6556,7 @@ ORACLES: dict[str, str] = {
     "geo_dbscan": sql_geo_dbscan(),
     "debug_point_tokens": sql_debug_point_tokens(),
     "graph_elevation_edges": sql_graph_elevation_edges(),
+    "compare_scenarios": sql_compare_scenarios(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
