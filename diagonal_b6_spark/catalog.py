@@ -925,7 +925,7 @@ hits AS (
   SELECT DISTINCT fid FROM tags
   WHERE (k = '#building' AND v = 'yes') OR (k = '#landuse' AND v = 'park')
 )
-SELECT h.fid AS feature_id, n.v AS value
+SELECT h.fid AS feature_id, 'name=' || n.v AS tag
 FROM hits h LEFT JOIN tags n ON n.fid = h.fid AND n.k = 'name'
 """
 
@@ -948,7 +948,7 @@ def sql_shell_pipeline() -> str:
     return f"""
 WITH tags(fid, ftype, k, v) AS (VALUES
     {_feature_tags_values()})
-SELECT v AS value, COUNT(*) AS count FROM tags
+SELECT '#amenity=' || v AS value, COUNT(*) AS count FROM tags
 WHERE k = '#amenity' GROUP BY v
 """
 

@@ -429,10 +429,8 @@ def _resolve_identifiable(env, f):
     return f
 
 
-def _fn_get(env, f, key):
-    """get: feature x key -> tag value (fn features.go:131-174).  The
-    reference returns a Tag; materialized per-feature this is the value
-    column (the key is constant and recorded in the column name)."""
+def _bare_tag_value(env, f, key):
+    """The tag's raw value column (get-string/-int/-float extraction)."""
     f = _resolve_identifiable(env, f)
     if isinstance(f, RowRef):
         return ColVal(f, F.col("tags")[key], name="value")
@@ -441,8 +439,24 @@ def _fn_get(env, f, key):
     raise ShellError("get expects a feature")
 
 
+def _fn_get(env, f, key):
+    """get: feature x key -> Tag (fn features.go:131-174).  A Tag
+    materializes as the engine's "key=value" double (the _col_of/_fn_tag
+    convention) under a column named "tag", so a downstream histogram
+    buckets AND labels by the whole tag -- the reference UI's tag atoms
+    (api/shell.go:927-929 UnparseTag, pinned by ui/lines_test.go
+    TestHistogramWithTagKeys).  A feature missing the key yields the
+    invalid tag (NULL; the reference's Tag{})."""
+    v = _bare_tag_value(env, f, key)
+    if isinstance(v, ColVal):
+        return ColVal(v.ref, F.concat(F.lit(key + "="), v.col), name="tag")
+    return v.select(
+        "feature_id", F.concat(F.lit(key + "="), F.col("value")).alias("tag")
+    )
+
+
 def _fn_get_string(env, f, key):
-    v = _fn_get(env, f, key)
+    v = _bare_tag_value(env, f, key)
     if isinstance(v, ColVal):
         return ColVal(v.ref, F.coalesce(v.col, F.lit("")), name="value")
     if isinstance(v, DataFrame) and "value" in v.columns:
@@ -452,16 +466,20 @@ def _fn_get_string(env, f, key):
 
 
 def _fn_get_float(env, f, key):
-    v = _fn_get(env, f, key)
+    v = _bare_tag_value(env, f, key)
     if isinstance(v, ColVal):
         return ColVal(v.ref, v.col.cast("double"), name="value")
+    if isinstance(v, DataFrame) and "value" in v.columns:
+        return v.withColumn("value", F.col("value").cast("double"))
     return v
 
 
 def _fn_get_int(env, f, key):
-    v = _fn_get(env, f, key)
+    v = _bare_tag_value(env, f, key)
     if isinstance(v, ColVal):
         return ColVal(v.ref, v.col.cast("long"), name="value")
+    if isinstance(v, DataFrame) and "value" in v.columns:
+        return v.withColumn("value", F.col("value").cast("long"))
     return v
 
 
@@ -486,11 +504,21 @@ def _fn_tag(env, a, b):
     return TagVal(a, b)
 
 
+def _tag_col_value(col: Column) -> Column:
+    """The value half of a materialized "key=value" tag column (keys
+    never contain '='; everything after the first '=' is the value)."""
+    return F.regexp_replace(col, "^[^=]*=", "")
+
+
 def _fn_value(env, t):
     if isinstance(t, TagVal):
         return t.value
     if isinstance(t, ColVal):
+        if t.name == "tag":
+            return ColVal(t.ref, _tag_col_value(t.col), name="value")
         return t
+    if isinstance(t, DataFrame) and "tag" in t.columns:
+        return t.withColumn("value", _tag_col_value(F.col("tag"))).drop("tag")
     raise ShellError("value expects a tag")
 
 

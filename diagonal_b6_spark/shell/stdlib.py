@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import evaluate
 from . import parse as P
 from .evaluate import (
     REGISTRY,
@@ -1965,7 +1966,8 @@ def _fn_int_value(env, t):
         except ValueError:
             return None
     if isinstance(t, ColVal):
-        return ColVal(t.ref, t.col.cast("long"))
+        col = evaluate._tag_col_value(t.col) if t.name == "tag" else t.col
+        return ColVal(t.ref, col.cast("long"))
     raise ShellError("int-value expects a tag")
 
 
@@ -1976,7 +1978,8 @@ def _fn_float_value(env, t):
         except ValueError:
             return None
     if isinstance(t, ColVal):
-        return ColVal(t.ref, t.col.cast("double"))
+        col = evaluate._tag_col_value(t.col) if t.name == "tag" else t.col
+        return ColVal(t.ref, col.cast("double"))
     raise ShellError("float-value expects a tag")
 
 

@@ -544,9 +544,27 @@ def test_get_centroid(spark, world):
 
 
 def test_get_tag(spark, world):
-    """b6_test.py:47-49."""
+    """b6_test.py:47-49: get returns the TAG ('name', 'The Lighterman');
+    the engine materializes tags as their "key=value" double."""
     out = g(spark, f'find-area {LIGHTERMAN} | get "name"')
-    assert val(out) == "The Lighterman"
+    assert val(out) == "name=The Lighterman"
+
+
+def test_histogram_with_tag_keys(spark, world):
+    """ui/lines_test.go:103-128 TestHistogramWithTagKeys: histogram over
+    tag values labels buckets with the full tag atom, the reference's
+    exact five #building labels on the granary world."""
+    out = g(spark, 'find [#building] | map (get "#building") | histogram')
+    labels = sorted(r["lo"] for r in out.collect())
+    assert labels == sorted(
+        [
+            "#building=yes",
+            "#building=university",
+            "#building=commercial",
+            "#building=apartments",
+            "#building=construction",
+        ]
+    )
 
 
 def test_get_tags_from_list_of_ids(spark, world):

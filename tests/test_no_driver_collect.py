@@ -34,8 +34,10 @@ from diagonal_b6_spark.sources import uprn
 # in the reference too (ingest/change.go:160-186).  Everything else in
 # the guarded modules must stay lazy.
 FORBIDDEN = (".collect()", ".toPandas()")
+from diagonal_b6_spark.operators import compare as compare_ops
+
 MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn,
-           osm_src, change_ops]
+           osm_src, change_ops, compare_ops]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)

@@ -145,8 +145,10 @@ def test_eval_map_lambda_compiles_to_columns(spark, feats):
     # no Python row loop: the plan is a pure Project over the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    vals = {r.value for r in out.collect()}
-    assert vals == {"bench", "cafe", "pub"}
+    # get returns a TAG: the engine's "key=value" double
+    # (ui/lines_test.go TestHistogramWithTagKeys)
+    vals = {r.tag for r in out.collect()}
+    assert vals == {"#amenity=bench", "#amenity=cafe", "#amenity=pub"}
 
 
 def test_eval_count_values(spark, feats):
@@ -154,15 +156,16 @@ def test_eval_count_values(spark, feats):
         spark, feats, 'find [#amenity] | map {f -> get f "#amenity"} | count-values'
     )
     got = {r.value: r["count"] for r in out.collect()}
-    assert got == {"bench": 7, "cafe": 7, "pub": 6}
+    assert got == {"#amenity=bench": 7, "#amenity=cafe": 7, "#amenity=pub": 6}
 
 
 def test_eval_implicit_lambda_partial_application(spark, feats):
     # `map (tag "name")` binds the key; the mapped feature arrives first
-    # (vm.go partialCall: bound args fill the LAST slots)
+    # (vm.go partialCall: bound args fill the LAST slots); the result is
+    # a Tag per feature, materialized as its "key=value" double
     out = run(spark, feats, 'all-areas | map (tag "name")')
-    got = dict((r.feature_id, r.value) for r in out.collect())
-    assert got["area/test/1"] == "square" and got["area/test/3"] == "concave"
+    got = dict((r.feature_id, r.tag) for r in out.collect())
+    assert got["area/test/1"] == "name=square" and got["area/test/3"] == "name=concave"
 
 
 def test_eval_nested_query_and_or(spark, feats):

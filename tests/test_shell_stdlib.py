@@ -238,13 +238,15 @@ def test_add_expression_then_evaluate_feature(spark, feats):
 
 
 def test_histogram_over_amenities(spark, feats):
+    # get returns a TAG, so histogram buckets label as "key=value"
+    # (ui/lines_test.go:103-128 TestHistogramWithTagKeys)
     out = run(
         spark,
         feats,
         'find [#amenity] | map {f -> get f "#amenity"} | histogram',
     )
     got = {r.lo: r.n for r in out.collect()}
-    assert got == {"bench": 7, "cafe": 7, "pub": 6}
+    assert got == {"#amenity=bench": 7, "#amenity=cafe": 7, "#amenity=pub": 6}
 
 
 def test_sum_by_key_shell(spark, feats):
