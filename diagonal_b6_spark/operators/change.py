@@ -136,16 +136,22 @@ def validate_features(
 
         # Resolution base: the delta's own points override/precede the
         # world's (in-stream features arrive before they are referenced).
-        world_pts = _point_locations(world)
-        delta_pts = _point_locations(delta)
-        locs = delta_pts.unionByName(
-            world_pts.join(delta_pts.select("_ref"), "_ref", "left_anti")
-        )
-
+        # Scale shape: a change delta is small but the world is not --
+        # semi-filter the world's point table down to the referenced ids
+        # with a broadcast BEFORE any join, so the world is scanned once
+        # and never shuffled; the surviving lookup table is delta-sized
+        # and broadcasts into the left join.
         exploded = ref_paths.select(
             "feature_id", F.posexplode("vertex_refs").alias("_pos", "_ref")
         )
-        resolved_refs = exploded.join(locs, "_ref", "left")
+        world_pts = _point_locations(world).join(
+            F.broadcast(exploded.select("_ref").distinct()), "_ref", "semi"
+        )
+        delta_pts = _point_locations(delta)
+        locs = delta_pts.unionByName(
+            world_pts.join(F.broadcast(delta_pts.select("_ref")), "_ref", "left_anti")
+        )
+        resolved_refs = exploded.join(F.broadcast(locs), "_ref", "left")
         errors.append(
             resolved_refs.filter(F.col("_lng").isNull()).select(
                 "feature_id",

@@ -285,3 +285,26 @@ def test_validate_features_construction_is_lazy(spark):
     assert [r["error"] for r in errors.collect()] == [
         "Path path/test/1 missing point point/test/missing"
     ]
+
+
+# Scale shape: resolving a delta's references never shuffles the world --
+# the world point table is semi-filtered by the (small, broadcast)
+# referenced-id set and every resolution join is a broadcast join.
+def test_validate_features_plan_broadcasts_world_probe(spark):
+    world = spark.createDataFrame(
+        [_pt(f"point/test/{i}", 51.0 + i * 1e-4, 0.0) for i in range(64)],
+        DELTA_SCHEMA,
+    ).drop("vertex_refs")
+    delta = spark.createDataFrame(
+        [_ref_path("path/test/1", ["point/test/1", "point/test/2"])], DELTA_SCHEMA
+    )
+    _, errors = change_ops.validate_features(world, delta)
+    plan = errors._jdf.queryExecution().executedPlan().toString()
+    # world semi-filtered by the broadcast referenced-id set, the
+    # delta-override anti-join broadcast, the resolution left join
+    # probing only the broadcast delta-sized lookup.  (The one
+    # SortMergeJoin left is delta-vs-delta -- the assembled-geometry
+    # join-back -- which is the right plan for bulk-import deltas.)
+    assert "LeftSemi, BuildRight" in plan
+    assert "LeftAnti, BuildRight" in plan
+    assert "LeftOuter, BuildRight" in plan
