@@ -90,3 +90,51 @@ def test_snapshot_read_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "zoom" in pf
     assert rd.count() == 250
+
+
+def test_clustered_snapshot_layout_and_pruning(spark, tmp_path):
+    """write_clustered_snapshot lays rows out in Hilbert (S2 cell16)
+    order: per-file cell ranges are pairwise disjoint, the manifest
+    records them, and files_for_cell_range prunes to the right subset
+    without touching parquet footers."""
+    import numpy as np
+
+    root = str(tmp_path / "clustered")
+    rng = np.random.default_rng(7)
+    n = 4000
+    rows = [
+        (int(i), float(lat), float(lng))
+        for i, (lat, lng) in enumerate(
+            zip(rng.uniform(40, 60, n), rng.uniform(-10, 10, n))
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    m = ckpt.write_clustered_snapshot(df, root, n_files=8, provenance="layout")
+
+    parts = sorted(m.partitions.values(), key=lambda p: p["cell_min"])
+    assert sum(p["rows"] for p in parts) == n
+    assert len(parts) >= 4
+    # Hilbert layout: file cell ranges never interleave
+    for a, b in zip(parts, parts[1:]):
+        assert a["cell_max"] <= b["cell_min"]
+
+    # manifest-level pruning: one mid-file's range maps back to just the
+    # files intersecting it, and reading that subset yields exactly the
+    # rows in range
+    probe = parts[len(parts) // 2]
+    files = ckpt.files_for_cell_range(m, probe["cell_min"], probe["cell_max"])
+    assert probe["path"] in files and len(files) <= 3
+    got = (
+        spark.read.parquet(*files)
+        .filter(
+            (ckpt.F.col("cell16") >= probe["cell_min"])
+            & (ckpt.F.col("cell16") <= probe["cell_max"])
+        )
+        .count()
+    )
+    full = spark.read.parquet(os.path.join(root, "data"))
+    want = full.filter(
+        (ckpt.F.col("cell16") >= probe["cell_min"])
+        & (ckpt.F.col("cell16") <= probe["cell_max"])
+    ).count()
+    assert got == want and got >= probe["rows"]
