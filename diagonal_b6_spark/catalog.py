@@ -6265,11 +6265,16 @@ def q_compare_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_compare_scenarios() -> str:
     def bucketed(world_sql: str, name: str) -> str:
+        # fold into 'other' ONLY past max_buckets distinct values --
+        # the engine's categorical() branch rule (agg.py:228-246):
+        # <= 6 distinct keeps one bucket per value
         return f"""
 c{name} AS (SELECT v, count(*) AS c FROM ({world_sql}) GROUP BY v),
+n{name} AS (SELECT count(*) AS d FROM c{name}),
 k{name} AS (SELECT v FROM c{name} ORDER BY c DESC, v ASC LIMIT 5),
 b{name} AS (
-  SELECT CASE WHEN v IN (SELECT v FROM k{name}) THEN v ELSE 'other' END AS label,
+  SELECT CASE WHEN (SELECT d FROM n{name}) <= 6
+                OR v IN (SELECT v FROM k{name}) THEN v ELSE 'other' END AS label,
          count(*) AS value
   FROM ({world_sql}) GROUP BY 1),
 t{name} AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM b{name})"""

@@ -215,6 +215,14 @@ def write_clustered_snapshot(
         .collect()  # one row per output file -- bounded by n_files
     )
     wall = (time.time() - t0) * 1000.0
+    # rows with null lat/lng have no cell id and would break both the
+    # layout contract and the manifest sort -- fail loudly, the caller
+    # owns filtering them
+    if any(r["cell_min"] is None for r in stats):
+        raise ValueError(
+            "write_clustered_snapshot: input has rows with null "
+            f"coordinates ({lat}/{lng}); filter them before clustering"
+        )
     for r in sorted(stats, key=lambda r: r["cell_min"]):
         path = r["file"].removeprefix("file://")
         m.partitions[os.path.basename(path)] = {
@@ -234,9 +242,18 @@ def write_clustered_snapshot(
 
 def files_for_cell_range(m: Manifest, lo: int, hi: int) -> list[str]:
     """The file subset whose [cell_min, cell_max] intersects [lo, hi] --
-    manifest-level pruning for a spatial scan (no footer reads)."""
+    manifest-level pruning for a spatial scan (no footer reads).  Only
+    meaningful for write_clustered_snapshot manifests: entries without
+    cell stats (plain write_snapshot / checkpointed_run) are rejected
+    rather than silently mis-pruned."""
+    entries = list(m.partitions.values())
+    if not all("cell_min" in p and "cell_max" in p for p in entries):
+        raise ValueError(
+            "files_for_cell_range: manifest carries no cell ranges -- "
+            "it was not written by write_clustered_snapshot"
+        )
     return [
         p["path"]
-        for p in m.partitions.values()
+        for p in entries
         if not (p["cell_max"] < lo or p["cell_min"] > hi)
     ]

@@ -313,25 +313,27 @@ def polyline_centroid(xs, ys):
     return float((midy * seg).sum() / total), float((midx * seg).sum() / total)
 
 
+def _signed_ring_excess(xs, ys) -> float:
+    """Trapezoid-form spherical excess of a ring (steradians; 0 for
+    degenerate rings).  Over a closed ring the ``2 +`` term telescopes
+    away and what remains is MINUS the shoelace area in (lng, sin lat):
+    negative = counter-clockwise.  Shared by area (abs) and orientation
+    (sign) so the two can never disagree."""
+    lat = np.radians(np.asarray(ys, dtype=np.float64))
+    if len(lat) < 3:
+        return 0.0
+    lng = np.radians(_norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])))
+    lat2 = np.roll(lat, -1)
+    lng2 = np.roll(lng, -1)
+    return float(np.sum((lng2 - lng) * (2.0 + np.sin(lat) + np.sin(lat2))) / 2.0)
+
+
 def spherical_ring_area_m2(xs, ys):
     """Spherical excess area of a single ring in m^2 (fn geometry.go:97-106).
 
-    L'Huilier via the signed spherical polygon area formula (sum of
-    longitude-difference * ... ) -- uses the standard 'sum of angles'
-    Girard excess computed with the tangent half-angle formula.
-    """
-    lat = np.radians(np.asarray(ys, dtype=np.float64))
-    lng = np.radians(_norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])))
-    if len(lat) < 3:
-        return 0.0
-    lat2 = np.roll(lat, -1)
-    lng2 = np.roll(lng, -1)
-    # Signed spherical excess (Eriksson): sum of dLng * (2 + sin(lat1) + sin(lat2)) / 2-ish;
-    # use the exact formula: E = sum( (lng2-lng1) * (2 + sin(lat1) + sin(lat2)) ) / 2 is
-    # approximate; instead use the tan-half-product (L'Huilier per triangle fan is
-    # overkill at our scales) -- the standard GIS formula below is exact on the sphere:
-    e = np.sum((lng2 - lng) * (2.0 + np.sin(lat) + np.sin(lat2))) / 2.0
-    return abs(e) * EARTH_RADIUS_M * EARTH_RADIUS_M
+    The standard GIS trapezoid formula, exact on the sphere (L'Huilier
+    per triangle fan is overkill at our scales)."""
+    return abs(_signed_ring_excess(xs, ys)) * EARTH_RADIUS_M * EARTH_RADIUS_M
 
 
 def ring_is_ccw(xs, ys) -> bool:
@@ -341,20 +343,11 @@ def ring_is_ccw(xs, ys) -> bool:
     (s2 loops keep the region to the LEFT of the edges, so a clockwise
     vertex order encloses the complement, > hemisphere;
     b6/ingest/validate.go:47-59).  For rings far smaller than a
-    hemisphere that test is exactly the sign of the trapezoid-form
-    excess below: over a closed ring the ``2 +`` term telescopes away
-    and what remains is MINUS the shoelace area in (lng, sin lat), so
+    hemisphere that test is exactly the sign of _signed_ring_excess:
     negative = CCW.  Degenerate rings (<3 vertices) count as CCW --
     the loop-validity check catches them separately.
     """
-    lat = np.radians(np.asarray(ys, dtype=np.float64))
-    if len(lat) < 3:
-        return True
-    lng = np.radians(_norm_lng(np.asarray(xs, dtype=np.float64), float(xs[0])))
-    lat2 = np.roll(lat, -1)
-    lng2 = np.roll(lng, -1)
-    e = np.sum((lng2 - lng) * (2.0 + np.sin(lat) + np.sin(lat2))) / 2.0
-    return bool(e <= 0.0)
+    return _signed_ring_excess(xs, ys) <= 0.0
 
 
 def polygon_area_m2(xs, ys, ring_offsets):

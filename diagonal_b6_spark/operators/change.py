@@ -250,27 +250,39 @@ def validate_features(
 
     _ccw = pandas_udf(_ccw_impl, BooleanType())
 
-    if resolved_paths is not None:
-        checked = resolved_paths.withColumn(
-            "_ccw", F.when(F.col("_closed"), _ccw("xs", "ys")).otherwise(F.lit(True))
+    def _orient(df: DataFrame, closed_col) -> DataFrame:
+        checked = df.withColumn(
+            "_ccw", F.when(closed_col, _ccw("xs", "ys")).otherwise(F.lit(True))
         )
-        errors.append(
-            checked.filter(~F.col("_ccw")).select(
-                "feature_id",
-                F.concat("feature_id", F.lit(": ordered clockwise")).alias("error"),
-            ) if not invert_clockwise_paths else
-            checked.limit(0).select(
-                "feature_id", F.lit("").alias("error")
+        if not invert_clockwise_paths:
+            errors.append(
+                checked.filter(~F.col("_ccw")).select(
+                    "feature_id",
+                    F.concat("feature_id", F.lit(": ordered clockwise")).alias("error"),
+                )
             )
-        )
-        fixed = checked.withColumn(
+        return checked.withColumn(
             "xs", F.when(F.col("_ccw"), F.col("xs")).otherwise(F.reverse("xs"))
         ).withColumn(
             "ys", F.when(F.col("_ccw"), F.col("ys")).otherwise(F.reverse("ys"))
         ).select(*cols)
-        resolved = inline.unionByName(fixed)
+
+    # Inline paths close by first==last vertex; reference paths by
+    # first==last ref (ClosedPath, world.go:953-957).  Both get the
+    # validate.go:47-59 orientation treatment.
+    inline_closed = (
+        (F.col("feature_type") == "path")
+        & (F.size("xs") >= 4)
+        & (F.col("xs")[0] == F.element_at("xs", -1))
+        & (F.col("ys")[0] == F.element_at("ys", -1))
+    )
+    oriented_inline = _orient(inline, inline_closed)
+    if resolved_paths is not None:
+        resolved = oriented_inline.unionByName(
+            _orient(resolved_paths, F.col("_closed"))
+        )
     else:
-        resolved = inline
+        resolved = oriented_inline
 
     all_errors = errors[0]
     for e in errors[1:]:
@@ -294,14 +306,12 @@ def apply_changes(
     already-validated prefix.  Returns the new world snapshot.
     """
     view = world
-    resolved_deltas = []
     pending_errors = None
     for delta in changes:
         resolved, errs = validate_features(
             view, delta, invert_clockwise_paths=invert_clockwise_paths
         )
         pending_errors = errs if pending_errors is None else pending_errors.unionByName(errs)
-        resolved_deltas.append(resolved)
         view = overlay_world(view, resolved)
 
     if pending_errors is not None:
@@ -314,10 +324,8 @@ def apply_changes(
                 "change failed validation, world unmodified: " + "; ".join(sample)
             )
 
-    out = world
-    for resolved in resolved_deltas:
-        out = overlay_world(out, resolved)
-    return out
+    # `view` IS world overlaid with every resolved delta in order.
+    return view
 
 
 def merge_changes(*deltas: DataFrame) -> DataFrame:

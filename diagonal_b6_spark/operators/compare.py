@@ -66,18 +66,30 @@ def histogram_label(numeric: bool) -> F.Column:
 def histogram_bars(hist: DataFrame) -> DataFrame:
     """(bucket, lo, hi, n) from agg.histogram_buckets -> the bar rows the
     UI renders: (label string, value long, total long)
-    (ui/histogram.go:30-76 fillResponseFromHistogramFeature)."""
+    (ui/histogram.go:30-76 fillResponseFromHistogramFeature).
+
+    Distinct numeric buckets can format to the SAME label (%.3g); the
+    reference's equaliseBars keys bars by label in a map, so the
+    last bar in bucket order wins (ui.go:989-992) -- mirrored here with
+    a max_by, which also guarantees labels are unique per histogram.
+    The total rides on every row so downstream alignment never has to
+    re-run the analysis just to re-aggregate it.
+    """
     numeric = dict(hist.dtypes).get("lo") == "double"
-    total = hist.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("total"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         hist.select(
             histogram_label(numeric).alias("label"),
             F.col("n").cast("long").alias("value"),
             F.col("bucket"),
+            # bounded window: one row per bucket (<= max_buckets)
+            F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("total"),
         )
-        .crossJoin(F.broadcast(total))
-        .orderBy("bucket")
-        .drop("bucket")
+        .groupBy("label")
+        .agg(
+            F.max_by("value", "bucket").alias("value"),
+            F.max("total").alias("total"),
+        )
     )
 
 
@@ -117,19 +129,22 @@ def equalise_bars(bar_sets: Sequence[DataFrame]) -> DataFrame:
         (F.row_number().over(Window.orderBy(sortable_bar_key())) - 1).cast("int"),
     )
 
+    # Per world: one left join against the key table; the world's total
+    # spreads onto zero-filled rows via a window over the ALIGNED table
+    # (bounded by the union bucket count -- tiny), so the underlying
+    # analysis is scanned twice per world (keys + join), never a third
+    # time for a separate total aggregate.
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     out = None
     for i, bars in enumerate(bar_sets):
-        total_i = bars.agg(F.coalesce(F.max("total"), F.lit(0)).alias("_t"))
-        aligned = (
-            keys.join(bars, "label", "left")
-            .crossJoin(F.broadcast(total_i))
-            .select(
-                F.lit(i).alias("world"),
-                "index",
-                "label",
-                F.coalesce("value", F.lit(0)).cast("long").alias("value"),
-                F.col("_t").cast("long").alias("total"),
-            )
+        aligned = keys.join(bars, "label", "left").select(
+            F.lit(i).alias("world"),
+            "index",
+            "label",
+            F.coalesce("value", F.lit(0)).cast("long").alias("value"),
+            F.coalesce(F.max("total").over(w_all), F.lit(0))
+            .cast("long")
+            .alias("total"),
         )
         out = aligned if out is None else out.unionByName(aligned)
     return out

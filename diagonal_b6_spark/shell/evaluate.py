@@ -373,13 +373,20 @@ def _fn_map(env, coll, fn):
         )
     if isinstance(coll, DataFrame):
         ref = RowRef(coll)
-        if "tags" not in coll.columns and "value" in coll.columns:
-            # scalar collection (a literal {..} or an earlier map's value
-            # table): the lambda receives the VALUE as a per-row Column;
-            # keys pass through unchanged (vm_test.go:329-368 map-over-
-            # literal-collection semantics)
-            out = fn.apply(env, [ColVal(ref, F.col("value"))])
-            keys = [c for c in coll.columns if c != "value"]
+        # scalar collection (a literal {..} or an earlier map's value
+        # table): the lambda receives the VALUE as a per-row Column;
+        # keys pass through unchanged (vm_test.go:329-368 map-over-
+        # literal-collection semantics).  A tag collection (get/tag
+        # results, column "tag") maps the tag double the same way.
+        scalar_col = None
+        if "tags" not in coll.columns:
+            if "value" in coll.columns:
+                scalar_col = "value"
+            elif "tag" in coll.columns:
+                scalar_col = "tag"
+        if scalar_col is not None:
+            out = fn.apply(env, [ColVal(ref, F.col(scalar_col), name=scalar_col)])
+            keys = [c for c in coll.columns if c != scalar_col]
             if isinstance(out, ColVal):
                 src = out.ref.df
                 if src is coll:
@@ -495,11 +502,11 @@ def _fn_tag(env, a, b):
     # engine's "key=value" tag doubles, per element
     if isinstance(b, ColVal):
         return ColVal(
-            b.ref, F.concat(F.lit(str(a) + "="), b.col.cast("string")), name="value"
+            b.ref, F.concat(F.lit(str(a) + "="), b.col.cast("string")), name="tag"
         )
     if isinstance(a, ColVal):
         return ColVal(
-            a.ref, F.concat(F.lit(str(b) + "="), a.col.cast("string")), name="value"
+            a.ref, F.concat(F.lit(str(b) + "="), a.col.cast("string")), name="tag"
         )
     return TagVal(a, b)
 

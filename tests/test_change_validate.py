@@ -308,3 +308,26 @@ def test_validate_features_plan_broadcasts_world_probe(spark):
     assert "LeftSemi, BuildRight" in plan
     assert "LeftAnti, BuildRight" in plan
     assert "LeftOuter, BuildRight" in plan
+
+
+# Inline-geometry closed paths get the same orientation treatment as
+# reference paths (validate.go validates EVERY closed path).
+def test_inline_clockwise_closed_path(spark):
+    world = _empty_world(spark)
+    cw = {
+        "feature_id": "path/test/inline",
+        "feature_type": "path",
+        "ns": "test",
+        "tags": {},
+        # clockwise square, closed by repeating the first vertex
+        "xs": [0.0, 0.0, 0.0015, 0.0015, 0.0],
+        "ys": [51.0, 51.001, 51.001, 51.0, 51.0],
+        "ring_offsets": [0],
+        "vertex_refs": None,
+    }
+    delta = spark.createDataFrame([cw], DELTA_SCHEMA)
+    with pytest.raises(change_ops.ChangeApplyError, match="ordered clockwise"):
+        change_ops.apply_changes(world, delta)
+    out = change_ops.apply_changes(world, delta, invert_clockwise_paths=True)
+    path = out.collect()[0]
+    assert ring_is_ccw(path["xs"][:-1], path["ys"][:-1])

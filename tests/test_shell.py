@@ -352,3 +352,22 @@ def test_eval_generated_expressions_total(spark, feats):
             pass
         except Exception as ex:  # noqa: BLE001 -- the assertion itself
             raise AssertionError(f"{e!r} leaked {type(ex).__name__}: {ex}") from ex
+
+
+def test_eval_value_over_mapped_tag_collection(spark, feats):
+    # a tag collection (get result) maps through a second lambda: value
+    # extracts the bare tag value (the reference's Tag.Value)
+    out = run(
+        spark, feats,
+        'find [#amenity] | map {f -> get f "#amenity"} | map {t -> value t}',
+    )
+    vals = {r.value for r in out.collect()}
+    assert vals == {"bench", "cafe", "pub"}
+
+
+def test_eval_int_value_of_constructed_tag(spark, feats):
+    # constructor-built tags carry the same "key=value" double as get
+    # results; int-value parses the VALUE half (fn features.go int-value)
+    out = run(spark, feats, '{1: 3, 2: 5} | map {v -> int-value (tag "#levels" v)}')
+    vals = sorted(r[len(r) - 1] for r in out.collect())
+    assert vals == [3, 5]
