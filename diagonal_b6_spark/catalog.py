@@ -6241,6 +6241,126 @@ SELECT path_id, dst AS src, src AS dst, dist_m, elev_gain_m FROM g
 """
 
 
+# The change-validation gate key's delta: one row per ValidateFeature
+# check (ingest/validate.go), resolved against the fixture world.  The
+# clockwise ring is *computed* by both engines, not hardcoded.
+_VALIDATE_DELTA = [
+    # (feature_id, feature_type, xs, ys, vertex_refs)
+    ("point/delta/ok", "point", [-0.12], [51.5], None),
+    ("path/delta/ok", "path", [], [], ["point/delta/ok", "point/test/29"]),
+    ("path/delta/ghost", "path", [], [], ["point/delta/ok", "point/ghost/404"]),
+    ("path/delta/short", "path", [], [], ["point/delta/ok"]),
+    ("", "point", [-0.1], [51.0], None),
+    ("area/delta/degenerate", "area", [0.0, 0.001], [51.0, 51.0], None),
+    ("point/delta/r1", "point", [0.0], [51.0], None),
+    ("point/delta/r2", "point", [0.0], [51.001], None),
+    ("point/delta/r3", "point", [0.0015], [51.001], None),
+    # clockwise: r1 -> r2 (north) -> r3 (east) -> r1
+    ("path/delta/cw", "path", [], [],
+     ["point/delta/r1", "point/delta/r2", "point/delta/r3", "point/delta/r1"]),
+    # counter-clockwise twin: r1 -> r3 -> r2 -> r1 (no error)
+    ("path/delta/ccw", "path", [], [],
+     ["point/delta/r1", "point/delta/r3", "point/delta/r2", "point/delta/r1"]),
+]
+
+
+def q_change_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AddFeatures validation surface under the gate: the ERRORS table
+    of a deterministic mixed delta against the fixture world
+    (ingest/validate.go via operators/change.validate_features) -- one
+    delta row per check: valid point/path, unresolved reference, path
+    arity, invalid id, degenerate area ring, and a clockwise closed ring
+    whose orientation both engines COMPUTE (trapezoid-form excess here,
+    lag-window shoelace in the oracle)."""
+    from .operators import change as change_ops
+
+    world = fixtures.features_table(spark)
+    delta = spark.createDataFrame(
+        [
+            {
+                "feature_id": fid,
+                "feature_type": ft,
+                "ns": "delta",
+                "tags": {},
+                "xs": xs,
+                "ys": ys,
+                "ring_offsets": [0],
+                "vertex_refs": refs,
+            }
+            for fid, ft, xs, ys, refs in _VALIDATE_DELTA
+        ],
+        fixtures.FEATURE_SCHEMA + ", vertex_refs array<string>",
+    )
+    _, errors = change_ops.validate_features(world, delta)
+    return errors.select("feature_id", "error")
+
+
+def sql_change_validate() -> str:
+    pts = {
+        fid: (xs[0], ys[0])
+        for fid, ft, xs, ys, _ in _VALIDATE_DELTA
+        if ft == "point" and fid
+    }
+    for r in fixtures.feature_rows():
+        if r["feature_type"] == "point":
+            pts[r["feature_id"]] = (r["xs"][0], r["ys"][0])
+    pt_vals = ",\n    ".join(
+        f"('{fid}', {x!r}, {y!r})" for fid, (x, y) in sorted(pts.items())
+    )
+    ref_vals = []
+    for fid, ft, _, _, refs in _VALIDATE_DELTA:
+        if refs is not None:
+            for i, ref in enumerate(refs):
+                ref_vals.append(f"('{fid}', {i}, '{ref}')")
+    rv = ",\n    ".join(ref_vals)
+    return f"""
+WITH pts(pid, lng, lat) AS (VALUES
+    {pt_vals}),
+refs(fid, idx, ref) AS (VALUES
+    {rv}),
+-- invalid ids (validate.go:13-15)
+bad_id AS (SELECT '' AS feature_id, ': invalid ID' AS error),
+-- unresolved references
+missing AS (
+  SELECT r.fid AS feature_id,
+         'Path ' || r.fid || ' missing point ' || r.ref AS error
+  FROM refs r LEFT JOIN pts p ON p.pid = r.ref
+  WHERE p.pid IS NULL),
+-- path arity over DECLARED refs (validate.go:41-43)
+arity AS (
+  SELECT fid AS feature_id,
+         fid || ': ' || CAST(count(*) AS VARCHAR) || ' points, expected 2 or more' AS error
+  FROM refs GROUP BY fid HAVING count(*) < 2),
+-- degenerate area ring (ValidatePathForArea)
+area_ring AS (
+  SELECT 'area/delta/degenerate' AS feature_id,
+         'area/delta/degenerate: 2 points, expected 3 or more' AS error),
+-- closed-ring orientation: trapezoid-form excess over resolved refs;
+-- positive = clockwise (kernels/geom._signed_ring_excess's convention)
+ring AS (
+  SELECT r.fid, r.idx, p.lng, p.lat,
+         lead(p.lng) OVER (PARTITION BY r.fid ORDER BY r.idx) AS lng2,
+         lead(p.lat) OVER (PARTITION BY r.fid ORDER BY r.idx) AS lat2,
+         first_value(r.ref) OVER (PARTITION BY r.fid ORDER BY r.idx) AS first_ref,
+         last_value(r.ref) OVER (PARTITION BY r.fid ORDER BY r.idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ref,
+         count(*) OVER (PARTITION BY r.fid) AS n
+  FROM refs r JOIN pts p ON p.pid = r.ref),
+cw AS (
+  SELECT fid AS feature_id, fid || ': ordered clockwise' AS error
+  FROM ring
+  WHERE first_ref = last_ref AND n >= 4 AND lng2 IS NOT NULL
+  GROUP BY fid
+  HAVING sum((radians(lng2) - radians(lng))
+             * (2 + sin(radians(lat)) + sin(radians(lat2)))) / 2 > 0)
+SELECT * FROM bad_id
+UNION ALL SELECT * FROM missing
+UNION ALL SELECT * FROM arity
+UNION ALL SELECT * FROM area_ring
+UNION ALL SELECT * FROM cw
+"""
+
+
 def q_compare_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference UI's /compare endpoint (ui/ui.go:880-1014): the same
     histogram analysis evaluated against a baseline world and a scenario
@@ -6442,6 +6562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debug_point_tokens": q_debug_point_tokens,
     "graph_elevation_edges": q_graph_elevation_edges,
     "compare_scenarios": q_compare_scenarios,
+    "change_validate": q_change_validate,
 }
 
 ORACLES: dict[str, str] = {
@@ -6562,6 +6683,7 @@ ORACLES: dict[str, str] = {
     "debug_point_tokens": sql_debug_point_tokens(),
     "graph_elevation_edges": sql_graph_elevation_edges(),
     "compare_scenarios": sql_compare_scenarios(),
+    "change_validate": sql_change_validate(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
