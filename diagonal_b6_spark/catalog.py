@@ -6422,6 +6422,50 @@ FROM idx LEFT JOIN b1 USING (label), t1
 """
 
 
+# --- snapshot lifecycle (checkpoint.py append/incremental, north-rule
+# resumability story) --------------------------------------------------------
+
+
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-snapshot lifecycle end to end: base snapshot = events
+    with event_id % 7 != 0, child append = the % 7 == 0 rows, then the
+    Iceberg-style incremental scan between the two snapshot ids.  The
+    scan must surface EXACTLY the appended rows with their stored
+    coordinates (doubles pass through parquet bit-exact), which the
+    oracle replays as a plain filter over the events table.  The write
+    side (immutable per-snapshot data dirs, manifest chain, Hilbert
+    clustering) is pinned in tests/test_checkpoint_resume.py; this key
+    value-checks the read side under the driver gate."""
+    import os
+    import shutil
+
+    from . import checkpoint as ckpt
+
+    sfname = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/snap_lifecycle_{sfname}"
+    chain = ckpt.snapshot_log(root) if os.path.exists(os.path.join(root, "manifest.json")) else []
+    if len(chain) != 2:  # fresh build (or a stale/partial fixture): start over
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        pts = _events_points(spark, sf_dir)
+        ckpt.write_clustered_snapshot(
+            pts.filter(F.col("event_id") % 7 != 0), root, n_files=8, provenance="base"
+        )
+        ckpt.append_clustered_snapshot(
+            pts.filter(F.col("event_id") % 7 == 0), root, n_files=8, provenance="append"
+        )
+        chain = ckpt.snapshot_log(root)
+    inc = ckpt.read_incremental(spark, root, chain[-1].parent_id, chain[-1].snapshot_id)
+    return inc.select("event_id", "lat", "lng")
+
+
+def sql_snapshot_incremental() -> str:
+    return f"""
+WITH {_PTS_CTE}
+SELECT event_id, lat, lng FROM pts WHERE event_id % 7 = 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -6563,6 +6607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_elevation_edges": q_graph_elevation_edges,
     "compare_scenarios": q_compare_scenarios,
     "change_validate": q_change_validate,
+    "snapshot_incremental": q_snapshot_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -6684,6 +6729,7 @@ ORACLES: dict[str, str] = {
     "graph_elevation_edges": sql_graph_elevation_edges(),
     "compare_scenarios": sql_compare_scenarios(),
     "change_validate": sql_change_validate(),
+    "snapshot_incremental": sql_snapshot_incremental(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

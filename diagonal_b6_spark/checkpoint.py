@@ -63,11 +63,23 @@ class Manifest:
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)  # atomic commit
+        # immutable history entry first (time travel / incremental reads),
+        # then the current pointer -- both atomic renames, so a crash
+        # between them leaves the prior pointer valid
+        import shutil
+
+        hist = os.path.join(self.root, f"manifest-{self.snapshot_id}.json")
+        hist_tmp = hist + f".tmp.{uuid.uuid4().hex}"
+        shutil.copyfile(tmp, hist_tmp)
+        os.replace(hist_tmp, hist)
+        os.replace(tmp, self.path)  # atomic commit of the current pointer
 
     @classmethod
-    def load(cls, root: str) -> "Manifest | None":
-        p = os.path.join(root, "manifest.json")
+    def load(cls, root: str, snapshot_id: str | None = None) -> "Manifest | None":
+        """Load the current manifest, or -- given a snapshot id -- the
+        immutable history entry for that snapshot (time travel)."""
+        name = "manifest.json" if snapshot_id is None else f"manifest-{snapshot_id}.json"
+        p = os.path.join(root, name)
         if not os.path.exists(p):
             return None
         with open(p) as f:
@@ -186,23 +198,43 @@ def write_clustered_snapshot(
     (or a resume) can map a covering to the exact file set without
     touching parquet footers.
     """
-    from .operators.cover import with_point_cells
-
-    spark = df.sparkSession
-    nparts = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    clustered = (
-        with_point_cells(df, lat=lat, lng=lng)
-        .drop("bucket")
-        .repartitionByRange(nparts, F.col("cell16"))
-        .sortWithinPartitions("cell16")
-    )
     prior = Manifest.load(root)
     m = Manifest(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,
     )
+    _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False)
+    m.commit()
+    return m
+
+
+def _cluster_write(
+    df: DataFrame,
+    m: Manifest,
+    lat: str,
+    lng: str,
+    n_files: int | None,
+    has_cells: bool,
+) -> None:
+    """Range-partition `df` by cell16, write the files of snapshot `m`
+    into its own immutable `data-<id>/` directory, and record one
+    manifest entry per file with its [cell_min, cell_max].  Data files
+    are never rewritten in place -- history manifests keep referencing
+    the files of their own snapshot (the Iceberg immutable-data-file
+    model), so time travel and incremental reads stay valid until
+    `expire_snapshots` drops them."""
+    from .operators.cover import with_point_cells
+
+    spark = df.sparkSession
+    nparts = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not has_cells:
+        df = with_point_cells(df, lat=lat, lng=lng).drop("bucket")
+    clustered = (
+        df.repartitionByRange(nparts, F.col("cell16"))
+        .sortWithinPartitions("cell16")
+    )
     t0 = time.time()
-    data_dir = os.path.join(root, "data")
+    data_dir = os.path.join(m.root, f"data-{m.snapshot_id}")
     clustered.write.mode("overwrite").parquet(data_dir)
     written = spark.read.parquet(data_dir)
     stats = (
@@ -236,8 +268,6 @@ def write_clustered_snapshot(
             "cell_min": r["cell_min"],
             "cell_max": r["cell_max"],
         }
-    m.commit()
-    return m
 
 
 def files_for_cell_range(m: Manifest, lo: int, hi: int) -> list[str]:
@@ -257,3 +287,136 @@ def files_for_cell_range(m: Manifest, lo: int, hi: int) -> list[str]:
         for p in entries
         if not (p["cell_max"] < lo or p["cell_min"] > hi)
     ]
+
+
+# --- snapshot lifecycle: append / time travel / incremental / compact ------
+#
+# The Iceberg-analogue table-maintenance surface over the clustered
+# layout.  Every snapshot's data files are immutable (written once into
+# their own `data-<id>/` dir); a child manifest references the parent's
+# surviving files plus its own new ones, so:
+#   * time travel  = read the file list of any retained manifest,
+#   * incremental  = files in `to` whose key is absent from `from`,
+#   * compaction   = one new snapshot whose files re-cluster the whole
+#     table (restoring pairwise-disjoint cell ranges after appends),
+#   * expiry       = drop manifests past a retention depth and any data
+#     dir no retained manifest references.
+
+
+def append_clustered_snapshot(
+    df: DataFrame,
+    root: str,
+    lat: str = "lat",
+    lng: str = "lng",
+    n_files: int | None = None,
+    provenance: str = "",
+) -> Manifest:
+    """Append new rows as a child snapshot: the parent's files carry over
+    untouched, the new rows cluster-write into the child's own data dir.
+    Per-file cell ranges stay recorded, but ranges of files from
+    different generations may overlap -- `files_for_cell_range` stays
+    correct (it tests every file), and `compact_snapshot` restores
+    global disjointness."""
+    prior = Manifest.load(root)
+    if prior is None:
+        return write_clustered_snapshot(
+            df, root, lat=lat, lng=lng, n_files=n_files, provenance=provenance
+        )
+    m = Manifest(root=root, provenance=provenance, parent_id=prior.snapshot_id)
+    m.partitions = {
+        k: dict(e, recomputed=False) for k, e in prior.partitions.items()
+    }
+    _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False)
+    m.commit()
+    return m
+
+
+def read_snapshot(spark: SparkSession, root: str, as_of: str | None = None) -> DataFrame:
+    """Read the table at the current snapshot, or -- with `as_of` -- at a
+    retained historical snapshot id (time travel)."""
+    m = Manifest.load(root, snapshot_id=as_of)
+    if m is None:
+        which = f"snapshot {as_of}" if as_of else "current snapshot"
+        raise FileNotFoundError(f"read_snapshot: no manifest for {which} under {root}")
+    paths = [e["path"] for e in m.partitions.values()]
+    if not paths:
+        return spark.createDataFrame([], "cell16 long")
+    return spark.read.parquet(*paths)
+
+
+def read_incremental(
+    spark: SparkSession, root: str, from_id: str, to_id: str | None = None
+) -> DataFrame:
+    """Rows appended strictly after snapshot `from_id`, up to `to_id`
+    (default: current) -- the Iceberg incremental-append scan: the file
+    sets are compared by manifest key, no data read beyond the new
+    files themselves."""
+    frm = Manifest.load(root, snapshot_id=from_id)
+    to = Manifest.load(root, snapshot_id=to_id)
+    if frm is None or to is None:
+        raise FileNotFoundError(
+            f"read_incremental: missing manifest (from={from_id}, to={to_id})"
+        )
+    new = [e["path"] for k, e in to.partitions.items() if k not in frm.partitions]
+    if not new:
+        return spark.createDataFrame([], "cell16 long")
+    return spark.read.parquet(*new)
+
+
+def snapshot_log(root: str) -> list[Manifest]:
+    """The retained snapshot chain, oldest first, walked from the current
+    manifest through parent ids (expired ancestors end the walk)."""
+    chain: list[Manifest] = []
+    m = Manifest.load(root)
+    while m is not None:
+        chain.append(m)
+        m = Manifest.load(root, snapshot_id=m.parent_id) if m.parent_id else None
+    return list(reversed(chain))
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    n_files: int | None = None,
+    provenance: str = "compact",
+) -> Manifest:
+    """Rewrite the whole table as one freshly-clustered snapshot
+    (Iceberg's rewrite_data_files): rows are unchanged, files become
+    pairwise-disjoint in cell16 again after a run of appends.  Old
+    files stay on disk for time travel until `expire_snapshots`."""
+    prior = Manifest.load(root)
+    if prior is None:
+        raise FileNotFoundError(f"compact_snapshot: no snapshot under {root}")
+    current = read_snapshot(spark, root)
+    m = Manifest(root=root, provenance=provenance, parent_id=prior.snapshot_id)
+    _cluster_write(current, m, lat="lat", lng="lng", n_files=n_files, has_cells=True)
+    m.commit()
+    return m
+
+
+def expire_snapshots(root: str, keep: int = 2) -> list[str]:
+    """Drop history manifests beyond the newest `keep` in the current
+    chain, then delete any `data-<id>` directory no retained manifest
+    references.  Returns the removed paths.  The current snapshot is
+    always retained (keep < 1 is rejected)."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError("expire_snapshots: keep must be >= 1")
+    chain = snapshot_log(root)
+    kept, dropped = chain[-keep:], chain[:-keep]
+    removed: list[str] = []
+    for m in dropped:
+        p = os.path.join(root, f"manifest-{m.snapshot_id}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(p)
+    live_dirs = {
+        os.path.dirname(e["path"]) for m in kept for e in m.partitions.values()
+    }
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if name.startswith("data-") and os.path.isdir(full) and full not in live_dirs:
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed

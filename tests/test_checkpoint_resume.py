@@ -132,9 +132,103 @@ def test_clustered_snapshot_layout_and_pruning(spark, tmp_path):
         )
         .count()
     )
-    full = spark.read.parquet(os.path.join(root, "data"))
+    full = ckpt.read_snapshot(spark, root)
     want = full.filter(
         (ckpt.F.col("cell16") >= probe["cell_min"])
         & (ckpt.F.col("cell16") <= probe["cell_max"])
     ).count()
     assert got == want and got >= probe["rows"]
+
+
+def _grid_df(spark, n, start=0):
+    """Deterministic point grid: id -> (lat, lng) spread over ~20 deg."""
+    return spark.range(start, start + n).selectExpr(
+        "id",
+        "40.0 + (id % 97) * 0.2 as lat",
+        "-10.0 + ((id * 7) % 101) * 0.2 as lng",
+    )
+
+
+def test_snapshot_append_time_travel_incremental(spark, tmp_path):
+    """Appends create child snapshots with immutable parents: time travel
+    reads the old row set, the incremental scan reads exactly the
+    appended rows, and the log walks the chain oldest-first."""
+    root = str(tmp_path / "life")
+    m1 = ckpt.write_clustered_snapshot(_grid_df(spark, 500), root, n_files=4)
+    m2 = ckpt.append_clustered_snapshot(_grid_df(spark, 300, start=500), root, n_files=4)
+
+    assert m2.parent_id == m1.snapshot_id
+    chain = ckpt.snapshot_log(root)
+    assert [m.snapshot_id for m in chain] == [m1.snapshot_id, m2.snapshot_id]
+
+    assert ckpt.read_snapshot(spark, root).count() == 800
+    old = ckpt.read_snapshot(spark, root, as_of=m1.snapshot_id)
+    assert old.count() == 500
+    assert old.agg({"id": "max"}).collect()[0][0] == 499
+
+    inc = ckpt.read_incremental(spark, root, m1.snapshot_id)
+    ids = sorted(r.id for r in inc.select("id").collect())
+    assert ids == list(range(500, 800))
+    # parent entries carried over are marked not-recomputed lineage
+    carried = [e for k, e in m2.partitions.items() if k in m1.partitions]
+    assert carried and all(not e["recomputed"] for e in carried)
+
+
+def test_snapshot_compact_restores_disjoint_layout(spark, tmp_path):
+    """After appends the per-file cell ranges of different generations
+    overlap; compaction rewrites one disjoint snapshot with identical
+    rows, and manifest-level pruning still matches a brute filter."""
+    root = str(tmp_path / "compact")
+    ckpt.write_clustered_snapshot(_grid_df(spark, 400), root, n_files=4)
+    ckpt.append_clustered_snapshot(_grid_df(spark, 400, start=400), root, n_files=4)
+
+    def overlaps(m):
+        parts = sorted(m.partitions.values(), key=lambda p: p["cell_min"])
+        return sum(1 for a, b in zip(parts, parts[1:]) if a["cell_max"] > b["cell_min"])
+
+    assert overlaps(ckpt.Manifest.load(root)) > 0  # the append interleaves
+    m3 = ckpt.compact_snapshot(spark, root, n_files=4)
+    assert overlaps(m3) == 0
+
+    full = ckpt.read_snapshot(spark, root)
+    assert full.count() == 800
+    assert sorted(r.id for r in full.select("id").collect()) == list(range(800))
+
+    parts = sorted(m3.partitions.values(), key=lambda p: p["cell_min"])
+    probe = parts[len(parts) // 2]
+    files = ckpt.files_for_cell_range(m3, probe["cell_min"], probe["cell_max"])
+    got = (
+        spark.read.parquet(*files)
+        .filter(
+            (ckpt.F.col("cell16") >= probe["cell_min"])
+            & (ckpt.F.col("cell16") <= probe["cell_max"])
+        )
+        .count()
+    )
+    want = full.filter(
+        (ckpt.F.col("cell16") >= probe["cell_min"])
+        & (ckpt.F.col("cell16") <= probe["cell_max"])
+    ).count()
+    assert got == want and probe["path"] in files
+
+
+def test_snapshot_expire_drops_unreferenced_files(spark, tmp_path):
+    """Expiry keeps the newest `keep` snapshots, removes older manifests
+    and any data dir none of the keepers reference; the current read is
+    untouched and expired time travel fails loudly."""
+    root = str(tmp_path / "expire")
+    m1 = ckpt.write_clustered_snapshot(_grid_df(spark, 300), root, n_files=2)
+    m2 = ckpt.append_clustered_snapshot(_grid_df(spark, 200, start=300), root, n_files=2)
+    m3 = ckpt.compact_snapshot(spark, root, n_files=2)
+
+    removed = ckpt.expire_snapshots(root, keep=1)
+    # m1+m2 manifests go; both pre-compaction data dirs are unreferenced
+    assert os.path.join(root, f"manifest-{m1.snapshot_id}.json") in removed
+    assert os.path.join(root, f"data-{m1.snapshot_id}") in removed
+    assert os.path.join(root, f"data-{m2.snapshot_id}") in removed
+    assert os.path.isdir(os.path.join(root, f"data-{m3.snapshot_id}"))
+
+    assert ckpt.read_snapshot(spark, root).count() == 500
+    assert ckpt.snapshot_log(root)[-1].snapshot_id == m3.snapshot_id
+    with pytest.raises(FileNotFoundError):
+        ckpt.read_snapshot(spark, root, as_of=m1.snapshot_id)
