@@ -333,7 +333,14 @@ def append_clustered_snapshot(
 
 def read_snapshot(spark: SparkSession, root: str, as_of: str | None = None) -> DataFrame:
     """Read the table at the current snapshot, or -- with `as_of` -- at a
-    retained historical snapshot id (time travel)."""
+    retained historical snapshot id (time travel).
+
+    Schema evolution: appended generations may carry columns the parent
+    files lack (or drop columns the parent had) -- reads merge the file
+    schemas (parquet `mergeSchema`), older rows surface NULL for columns
+    added later, exactly Iceberg's add-column semantics.  Column type
+    CHANGES are not reconciled (parquet refuses the merge) -- rewrite
+    via `compact_snapshot` after a cast instead."""
     m = Manifest.load(root, snapshot_id=as_of)
     if m is None:
         which = f"snapshot {as_of}" if as_of else "current snapshot"
@@ -341,7 +348,7 @@ def read_snapshot(spark: SparkSession, root: str, as_of: str | None = None) -> D
     paths = [e["path"] for e in m.partitions.values()]
     if not paths:
         return spark.createDataFrame([], "cell16 long")
-    return spark.read.parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def read_incremental(
@@ -360,7 +367,7 @@ def read_incremental(
     new = [e["path"] for k, e in to.partitions.items() if k not in frm.partitions]
     if not new:
         return spark.createDataFrame([], "cell16 long")
-    return spark.read.parquet(*new)
+    return spark.read.option("mergeSchema", "true").parquet(*new)
 
 
 def snapshot_log(root: str) -> list[Manifest]:

@@ -232,3 +232,30 @@ def test_snapshot_expire_drops_unreferenced_files(spark, tmp_path):
     assert ckpt.snapshot_log(root)[-1].snapshot_id == m3.snapshot_id
     with pytest.raises(FileNotFoundError):
         ckpt.read_snapshot(spark, root, as_of=m1.snapshot_id)
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """An appended generation may add a column: merged reads surface NULL
+    for pre-evolution rows (Iceberg add-column semantics), time travel
+    still sees the old schema, and compaction rewrites one unified
+    schema."""
+    root = str(tmp_path / "evolve")
+    m1 = ckpt.write_clustered_snapshot(_grid_df(spark, 200), root, n_files=2)
+    evolved = _grid_df(spark, 100, start=200).selectExpr("*", "id * 2 as score")
+    ckpt.append_clustered_snapshot(evolved, root, n_files=2)
+
+    cur = ckpt.read_snapshot(spark, root)
+    assert "score" in cur.columns
+    assert cur.count() == 300
+    assert cur.filter("score IS NULL").count() == 200  # pre-evolution rows
+    assert cur.filter("score = id * 2").count() == 100
+
+    old = ckpt.read_snapshot(spark, root, as_of=m1.snapshot_id)
+    assert "score" not in old.columns  # time travel keeps the old schema
+
+    m3 = ckpt.compact_snapshot(spark, root, n_files=2)
+    compacted = ckpt.read_snapshot(spark, root)
+    assert compacted.count() == 300 and "score" in compacted.columns
+    # one generation again: ranges disjoint after the rewrite
+    parts = sorted(m3.partitions.values(), key=lambda p: p["cell_min"])
+    assert all(a["cell_max"] <= b["cell_min"] for a, b in zip(parts, parts[1:]))
