@@ -6466,6 +6466,92 @@ SELECT event_id, lat, lng FROM pts WHERE event_id % 7 = 0
 """
 
 
+# --- exact substring (span-level) dedup -------------------------------------
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style exact substring dedup over the documents table:
+    every maximal span of tokens covered by a corpus-duplicated 13-token
+    window (operators/dedup.duplicate_spans, windowed reformulation of
+    the suffix-array method).  The oracle replays tokenization, window
+    extraction, the >=2 multiplicity rule, and the gaps-and-islands
+    interval merge relationally."""
+    docs = fixtures.testdata(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_spans(docs, "doc_id", "text").select(
+        "doc_id", "span_start", "span_end", "span_tokens"
+    )
+
+
+def sql_dedup_spans() -> str:
+    k = dedup_ops.DUP_SPAN_K
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[u.i:u.i+{k - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 1))) AS u(i)),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM wins WHERE gram IN (SELECT gram FROM dup)),
+m AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+      FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+s AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM m)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {k - 1} AS INT) AS span_end,
+       CAST(max(pos) + {k - 1} - min(pos) + 1 AS INT) AS span_tokens
+FROM s GROUP BY doc_id, span_id
+"""
+
+
+def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER span-level dedup (remove_duplicate_spans):
+    per-document surviving-token count plus an md5 over the rebuilt
+    text, so the oracle value-checks the exact surviving TOKEN SEQUENCE
+    of every document, not just counts."""
+    docs = fixtures.testdata(spark, sf_dir, "documents")
+    out = dedup_ops.remove_duplicate_spans(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_after").cast("int").alias("n_tokens_after"),
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
+def sql_dedup_spans_apply() -> str:
+    k = dedup_ops.DUP_SPAN_K
+    return rf"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+wins AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(t[u.i:u.i+{k - 1}], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - {k - 2}, 1))) AS u(i)),
+dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT doc_id, pos FROM wins WHERE gram IN (SELECT gram FROM dup)),
+m AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER w IS NULL
+               OR pos > lag(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+      FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + {k - 1} AS span_end
+       FROM (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m)
+       GROUP BY doc_id, span_id),
+alltok AS (SELECT doc_id, CAST(u.i AS INT) AS pos, t[u.i] AS tok
+           FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+kept AS (SELECT a.* FROM alltok a WHERE NOT EXISTS
+          (SELECT 1 FROM sp WHERE sp.doc_id = a.doc_id
+             AND a.pos BETWEEN sp.span_start AND sp.span_end))
+SELECT t.doc_id,
+       CAST(coalesce(kc.n, 0) AS INT) AS n_tokens_after,
+       md5(coalesce(kc.txt, '')) AS clean_md5
+FROM toks t LEFT JOIN
+  (SELECT doc_id, count(*) AS n, string_agg(tok, ' ' ORDER BY pos) AS txt
+   FROM kept GROUP BY doc_id) kc USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -6608,6 +6694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_scenarios": q_compare_scenarios,
     "change_validate": q_change_validate,
     "snapshot_incremental": q_snapshot_incremental,
+    "dedup_spans": q_dedup_spans,
+    "dedup_spans_apply": q_dedup_spans_apply,
 }
 
 ORACLES: dict[str, str] = {
@@ -6730,6 +6818,8 @@ ORACLES: dict[str, str] = {
     "compare_scenarios": sql_compare_scenarios(),
     "change_validate": sql_change_validate(),
     "snapshot_incremental": sql_snapshot_incremental(),
+    "dedup_spans": sql_dedup_spans(),
+    "dedup_spans_apply": sql_dedup_spans_apply(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -429,3 +429,133 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+# --- exact substring (span-level) dedup -------------------------------------
+#
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" (public methodology): remove every maximal token span that
+# occurs more than once in the corpus, rather than dropping whole
+# documents.  The suffix-array construction of the paper is replaced by
+# the equivalent windowed formulation that distributes: a token is
+# duplicated iff some k-token window covering it occurs >= 2 times
+# corpus-wide (multiplicity counted across AND within documents), and
+# spans are maximal runs of duplicated tokens.
+
+DUP_SPAN_K = 13  # the standard 13-token overlap window
+
+
+def token_windows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, pos, gram): every k-token window of every document, built
+    from zero-shuffle array expressions (same tokenization as
+    shingles(): split on whitespace after trim).  pos is 1-based."""
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    wins = F.when(
+        F.size("_toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", F.slice("_toks", i, k)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    return toks.select(F.col(id_col), F.explode(wins).alias("w")).select(
+        id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    gram_key: str = "hash",
+) -> DataFrame:
+    """Maximal duplicated spans per document: (id, span_start, span_end,
+    span_tokens), token positions 1-based inclusive.
+
+    Plan shape at scale: one groupBy on the gram key (map-side partial
+    counts -- hot boilerplate grams cost one counter row, never a
+    quadratic bucket, unlike pair-producing LSH joins), one shuffle
+    join back on the same key, one per-DOCUMENT window for the interval
+    merge.  No self-join anywhere.
+
+    gram_key='hash' shuffles 8-byte xxhash64 keys (a 2^-64 collision
+    could mark a unique span duplicated -- the standard trade at corpus
+    scale); 'text' shuffles the gram strings (bit-exact, ~k times the
+    shuffle bytes).  Both orderings produce identical spans on
+    collision-free data (pinned in tests)."""
+    from pyspark.sql.window import Window
+
+    wins = token_windows(df, id_col, text_col, k)
+    key = F.xxhash64("gram") if gram_key == "hash" else F.col("gram")
+    keyed = wins.select(id_col, "pos", key.alias("gk"))
+    dup_keys = (
+        keyed.groupBy("gk").agg(F.count("*").alias("_n")).filter(F.col("_n") >= 2).select("gk")
+    )
+    dup = keyed.join(dup_keys, "gk").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # windows sorted by pos: a new span starts when this window no longer
+    # overlaps-or-abuts the previous one's [pos, pos+k-1] coverage
+    brk = F.coalesce(
+        (F.col("pos") > F.lag("pos").over(w) + k).cast("int"), F.lit(1)
+    )
+    return (
+        dup.withColumn("_brk", brk)
+        .withColumn("_span", F.sum("_brk").over(w))
+        .groupBy(id_col, "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DUP_SPAN_K,
+    gram_key: str = "hash",
+) -> DataFrame:
+    """The corpus AFTER span-level dedup: tokens covered by any
+    duplicated span are dropped, survivors re-join with single spaces
+    (whitespace normalizes, same as the tokenization).  Documents with
+    no duplicated span pass through with the same normalization.
+
+    The span table is tiny next to the corpus (only documents with
+    corpus-duplicated text appear), so the join back is broadcast-sized
+    at real corpus shapes; the rebuild itself is pure array
+    expressions."""
+    spans = duplicate_spans(df, id_col, text_col, k, gram_key)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    joined = toks.join(per_doc, id_col, "left")
+    indexed = F.transform(
+        "_toks", lambda t, i: F.struct((i + 1).cast("int").alias("pos"), t.alias("tok"))
+    )
+    kept = F.when(F.col("_spans").isNull(), indexed).otherwise(
+        F.filter(
+            indexed,
+            lambda s: ~F.exists(
+                "_spans",
+                lambda sp: (s["pos"] >= sp["span_start"]) & (s["pos"] <= sp["span_end"]),
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])).alias(text_col),
+        F.size(kept).alias("n_tokens_after"),
+    )

@@ -232,3 +232,70 @@ def test_decontaminate_min_hits_threshold(spark):
         for r in dedup_ops.decontaminate(corpus, bench, n=3, min_hits=2).collect()
     }
     assert out == {1: False, 2: True}  # doc 2 shares 'a b c' AND 'b c d'
+
+
+def _span_corpus(spark):
+    """Closed-form span fixture, k=4: 'A B C D E' repeats in docs 1 and 2
+    (one maximal 5-token span each), doc 3 repeats a 4-gram WITHIN
+    itself twice (within-doc multiplicity counts), doc 4 is unique."""
+    rows = [
+        (1, "A B C D E x1 y1 z1 w1"),
+        (2, "p2 q2 A B C D E r2 s2"),
+        (3, "m n o p GAP1 GAP2 GAP3 m n o p"),
+        (4, "u4 v4 w4 x4 y4 z4"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_duplicate_spans_closed_form(spark):
+    spans = dedup.duplicate_spans(_span_corpus(spark), k=4).collect()
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in spans)
+    # doc1: A..E at tokens 1-5; doc2: at 3-7; doc3: 'm n o p' at 1-4 and 8-11
+    assert got == [(1, 1, 5, 5), (2, 3, 7, 5), (3, 1, 4, 4), (3, 8, 11, 4)]
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    """Two duplicated windows that abut exactly (pos2 == pos1 + k) form
+    ONE contiguous duplicated-token run, not two spans."""
+    rows = [
+        (1, "a b c d e f x x x"),
+        (2, "a b c q1 q2 q3 d e f"),  # duplicates 'a b c' and 'd e f' separately
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df, k=3).collect()
+    }
+    # doc1: windows at pos 1 ('a b c') and pos 4 ('d e f') abut -> one span 1-6
+    assert (1, 1, 6) in spans
+    assert (2, 1, 3) in spans and (2, 7, 9) in spans
+
+
+def test_duplicate_spans_hash_and_text_keys_agree(spark):
+    df = _span_corpus(spark)
+    a = sorted(map(tuple, dedup.duplicate_spans(df, k=4, gram_key="hash").collect()))
+    b = sorted(map(tuple, dedup.duplicate_spans(df, k=4, gram_key="text").collect()))
+    assert a == b
+
+
+def test_remove_duplicate_spans_closed_form(spark):
+    out = {
+        r.doc_id: (r.text, r.n_tokens_after)
+        for r in dedup.remove_duplicate_spans(_span_corpus(spark), k=4).collect()
+    }
+    assert out[1] == ("x1 y1 z1 w1", 4)
+    assert out[2] == ("p2 q2 r2 s2", 4)
+    assert out[3] == ("GAP1 GAP2 GAP3", 3)
+    assert out[4] == ("u4 v4 w4 x4 y4 z4", 6)  # untouched, normalization only
+
+
+def test_duplicate_spans_no_self_join_plan(spark):
+    """The gram-frequency stage must be an aggregate + equi-join back,
+    never a gram-table self-join producing pairs: the executed plan has
+    no cartesian/nested-loop join, and short docs (< k tokens) produce
+    no windows at all."""
+    df = _span_corpus(spark)
+    plan = dedup.duplicate_spans(df, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    tiny = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    assert dedup.token_windows(tiny, "doc_id", "text", 4).count() == 0
