@@ -4005,6 +4005,24 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.token_count(d, "doc_id", "text")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (operators/text.token_count_bpe): the
+    oracle runs the SAME lookahead-free pre-tokenizer pattern through
+    DuckDB's RE2, so Java-regex/RE2 agreement is value-checked per
+    document."""
+    d = fixtures.testdata(spark, sf_dir, "documents")
+    return text_ops.token_count_bpe(d, "doc_id", "text")
+
+
+def sql_token_count_bpe() -> str:
+    pat = text_ops.BPE_TOKEN_RE.replace("'", "''")
+    return rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}', 0)) AS INT) AS n_tokens_bpe
+FROM documents
+"""
+
+
 def sql_token_count() -> str:
     return r"""
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
@@ -6696,6 +6714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_incremental": q_snapshot_incremental,
     "dedup_spans": q_dedup_spans,
     "dedup_spans_apply": q_dedup_spans_apply,
+    "token_count_bpe": q_token_count_bpe,
 }
 
 ORACLES: dict[str, str] = {
@@ -6820,6 +6839,7 @@ ORACLES: dict[str, str] = {
     "snapshot_incremental": sql_snapshot_incremental(),
     "dedup_spans": sql_dedup_spans(),
     "dedup_spans_apply": sql_dedup_spans_apply(),
+    "token_count_bpe": sql_token_count_bpe(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

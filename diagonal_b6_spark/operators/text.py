@@ -20,11 +20,31 @@ FR_STOPWORDS = ["le", "la", "et", "les", "des"]
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Whitespace token count (the BPE-ish regex variant adds word/punct
-    splitting; both stay JVM-side)."""
+    """Whitespace token count (token_count_bpe is the regex variant;
+    both stay JVM-side)."""
     return df.select(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free: contractions, letter runs,
+# digit runs, punctuation runs, lone apostrophes.  (The published GPT-2
+# pattern's trailing-space lookahead is dropped -- RE2-class engines
+# reject lookarounds, and leading-space variants only matter for byte
+# merges, not counts.)  Leftmost-first alternation semantics agree
+# between Java regex (Spark) and RE2 (DuckDB) on this pattern.
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s']+|'"
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token count: pre-tokenizer matches per document, one JVM
+    regexp pass (whole-stage codegen), no Python."""
+    return df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+        ).alias("n_tokens_bpe"),
     )
 
 

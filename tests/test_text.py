@@ -225,3 +225,36 @@ def test_c4_clean_rule_branches(spark):
     assert not rows[4].keep and rows[4].n_lines_kept == 4  # lorem ipsum page
     assert not rows[5].keep  # curly-brace page
     assert rows[6].n_lines_kept == 0 and not rows[6].keep and rows[6].cleaned == ""
+
+
+def test_token_count_bpe_closed_form_and_engine_agreement(spark):
+    """The BPE-ish pre-tokenizer on adversarial inputs: contractions,
+    unicode letters/digits, punctuation runs, lone apostrophes -- and
+    Java-regex (Spark) vs RE2 (DuckDB) agreement on the SAME strings,
+    which the corpus parity key can't probe (ASCII-ish documents)."""
+    import duckdb
+
+    from diagonal_b6_spark.operators.text import BPE_TOKEN_RE, token_count_bpe
+
+    cases = [
+        (1, "It's John's dog"),      # It 's John 's dog -> 5
+        (2, "don't we'll they're"),  # don 't we 'll they 're -> 6
+        (3, "a1b2"),                 # a 1 b 2 -> 4
+        (4, "héllo wörld αβγ 42"),   # unicode letters count as letter runs -> 4
+        (5, "...!? -- ,,"),          # punct runs: ...!? / -- / ,, -> 3
+        (6, "rock 'n roll"),         # rock / ' / n / roll -> 4
+        (7, ""),                     # empty -> 0
+        (8, "x"),                    # -> 1
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, text string")
+    got = {r.doc_id: r.n_tokens_bpe for r in token_count_bpe(df, "doc_id", "text").collect()}
+    assert got == {1: 5, 2: 6, 3: 4, 4: 4, 5: 3, 6: 4, 7: 0, 8: 1}
+
+    con = duckdb.connect()
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    for doc_id, text in cases:
+        txt = text.replace("'", "''")
+        (n,) = con.execute(
+            f"SELECT len(regexp_extract_all('{txt}', '{pat}', 0))"
+        ).fetchone()
+        assert n == got[doc_id], (doc_id, text, n, got[doc_id])
