@@ -4023,6 +4023,42 @@ FROM documents
 """
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (operators/
+    text.lm_bigram_scores).  The oracle value-checks the EXACT integer
+    aggregates (bigram count / prefix-unigram count sums per document);
+    the float avg_logprob derives deterministically from them and is
+    pinned against a python reference in tests/test_text.py."""
+    d = fixtures.testdata(spark, sf_dir, "documents")
+    return text_ops.lm_bigram_scores(d, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_bigram_count").cast("long").alias("sum_bigram_count"),
+        F.col("sum_prefix_count").cast("long").alias("sum_prefix_count"),
+    )
+
+
+def sql_lm_bigram_score() -> str:
+    return r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+bg AS (SELECT doc_id, t[u.i] AS w, array_to_string(t[u.i:u.i+1], ' ') AS b
+       FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+uni AS (SELECT t[u.i] AS w FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+uc AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+agg AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         sum(bc.cb) AS sum_bigram_count, sum(uc.cu) AS sum_prefix_count
+  FROM bg JOIN bc USING (b) JOIN uc USING (w)
+  GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(agg.sum_bigram_count, 0) AS BIGINT) AS sum_bigram_count,
+       CAST(coalesce(agg.sum_prefix_count, 0) AS BIGINT) AS sum_prefix_count
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def sql_token_count() -> str:
     return r"""
 SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
@@ -6715,6 +6751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans": q_dedup_spans,
     "dedup_spans_apply": q_dedup_spans_apply,
     "token_count_bpe": q_token_count_bpe,
+    "lm_bigram_score": q_lm_bigram_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -6840,6 +6877,7 @@ ORACLES: dict[str, str] = {
     "dedup_spans": sql_dedup_spans(),
     "dedup_spans_apply": sql_dedup_spans_apply(),
     "token_count_bpe": sql_token_count_bpe(),
+    "lm_bigram_score": sql_lm_bigram_score(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -367,3 +367,67 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_sent.alias("n_sentences"),
         keep.alias("keep"),
     )
+
+
+def lm_bigram_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram-LM fluency scoring (the CCNet/CC-Net-style
+    LM quality filter shape, public methodology): train MLE bigram
+    probabilities P(w2|w1) = c(w1 w2)/c(w1) on the corpus itself, score
+    each document by its mean bigram log-probability.  Low scores mark
+    gibberish / boilerplate-shredded text.
+
+    Distributed shape: bigrams and unigrams are zero-shuffle array
+    expressions; the two count tables are single groupBys (map-side
+    partial aggregation); scoring joins each document bigram to its two
+    counts on natural keys (AQE handles hot-bigram skew -- count rows
+    are 16 bytes).  No Python anywhere.
+
+    Returns every document: (id, n_bigrams, sum_bigram_count,
+    sum_prefix_count, avg_logprob).  The first four are EXACT integers
+    (what the oracle value-checks); avg_logprob = mean ln(cb/cu) is the
+    user-facing score (pinned against a python reference in tests --
+    cross-engine float parity is deliberately not claimed).  Documents
+    with < 2 tokens score n_bigrams = 0 and NULL avg_logprob.
+    Convention: prefix counts c(w1) count ALL corpus occurrences of w1,
+    including document-final positions."""
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"))
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w"),
+                        F.concat_ws(" ", F.slice("_t", i, 2)).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w:string,b:string>>"))
+        ).alias("x"),
+    ).select(id_col, F.col("x.w").alias("w"), F.col("x.b").alias("b"))
+    unigrams = toks.select(F.explode("_t").alias("w"))
+    uc = unigrams.groupBy("w").agg(F.count("*").alias("cu"))
+    bc = bigrams.groupBy("b").agg(F.count("*").alias("cb"))
+    scored = (
+        bigrams.join(bc, "b")
+        .join(uc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cb").alias("sum_bigram_count"),
+            F.sum("cu").alias("sum_prefix_count"),
+            F.avg(F.log(F.col("cb") / F.col("cu"))).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_bigram_count", F.lit(0)).alias("sum_bigram_count"),
+            F.coalesce("sum_prefix_count", F.lit(0)).alias("sum_prefix_count"),
+            F.col("avg_logprob"),
+        )
+    )

@@ -299,3 +299,56 @@ def test_duplicate_spans_no_self_join_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     tiny = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     assert dedup.token_windows(tiny, "doc_id", "text", 4).count() == 0
+
+
+def test_duplicate_spans_brute_force_equivalence(spark):
+    """Seeded random corpora over a tiny alphabet (forcing heavy window
+    collisions) against a python brute-force reference of the stated
+    semantics: token duplicated iff covered by a window occurring >= 2
+    times corpus-wide; spans = maximal duplicated runs."""
+    import numpy as np
+
+    def brute(docs, k):
+        from collections import Counter
+
+        toks = {d: t.strip().split() if t.strip() else [""] for d, t in docs}
+        wins = Counter()
+        for d, ts in toks.items():
+            for i in range(len(ts) - k + 1):
+                wins[tuple(ts[i : i + k])] += 1
+        spans = set()
+        for d, ts in toks.items():
+            covered = sorted(
+                {
+                    p
+                    for i in range(len(ts) - k + 1)
+                    if wins[tuple(ts[i : i + k])] >= 2
+                    for p in range(i + 1, i + k + 1)  # 1-based token positions
+                }
+            )
+            run_start = None
+            prev = None
+            for p in covered + [None]:
+                if run_start is None:
+                    run_start = p
+                elif p is None or p > prev + 1:
+                    spans.add((d, run_start, prev, prev - run_start + 1))
+                    run_start = p
+                prev = p if p is not None else prev
+        return spans
+
+    rng = np.random.default_rng(20260821)
+    for trial in range(8):
+        k = int(rng.integers(2, 5))
+        n_docs = int(rng.integers(3, 9))
+        docs = []
+        for d in range(n_docs):
+            n = int(rng.integers(0, 26))
+            docs.append((d, " ".join(rng.choice(list("abcd"), size=n))))
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.duplicate_spans(df, k=k).collect()
+        }
+        want = brute(docs, k)
+        assert got == want, (trial, k, docs, got ^ want)

@@ -258,3 +258,51 @@ def test_token_count_bpe_closed_form_and_engine_agreement(spark):
             f"SELECT len(regexp_extract_all('{txt}', '{pat}', 0))"
         ).fetchone()
         assert n == got[doc_id], (doc_id, text, n, got[doc_id])
+
+
+def test_lm_bigram_scores_reference(spark):
+    """Exact integer aggregates AND avg_logprob against a brute python
+    bigram-LM on a closed-form corpus; short docs yield zero bigrams and
+    NULL scores."""
+    import math
+    from collections import Counter
+
+    from diagonal_b6_spark.operators.text import lm_bigram_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "mat the cat"),
+        (4, "solo"),
+        (5, ""),
+    ]
+    toks = {d: (t.strip().split() if t.strip() else [""]) for d, t in docs}
+    uc = Counter(w for ts in toks.values() for w in ts)
+    bc = Counter((ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1))
+    want = {}
+    for d, ts in toks.items():
+        grams = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        if not grams:
+            want[d] = (0, 0, 0, None)
+            continue
+        want[d] = (
+            len(grams),
+            sum(bc[g] for g in grams),
+            sum(uc[g[0]] for g in grams),
+            sum(math.log(bc[g] / uc[g[0]]) for g in grams) / len(grams),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_bigram_count, r.sum_prefix_count, r.avg_logprob)
+        for r in lm_bigram_scores(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][:3] == want[d][:3], (d, got[d], want[d])
+        if want[d][3] is None:
+            assert got[d][3] is None
+        else:
+            assert abs(got[d][3] - want[d][3]) < 1e-12, (d, got[d], want[d])
+    # fluent repeated phrasing scores higher than the shuffled doc
+    assert got[2][3] > got[3][3]
