@@ -42,10 +42,17 @@ _GEOM_COLS = ["feature_id", "xs", "ys", "ring_offsets"]
 def _refine_pip(
     candidates: DataFrame, point_id: str, lat: str, lng: str, keep_cols: list[str]
 ) -> DataFrame:
-    """Exact PIP refine over candidate pairs carrying polygon geometry."""
-    pid_type = candidates.schema[point_id].dataType.simpleString()
-    out_fields = [f"{point_id} {pid_type}", f"{lat} double", f"{lng} double", "feature_id string"]
-    schema = ", ".join(out_fields)
+    """Exact PIP refine over candidate pairs carrying polygon geometry.
+    `keep_cols` pass through the refine untouched (e.g. an event-time
+    column for streaming geofences)."""
+    out_cols = [point_id, lat, lng, "feature_id"] + list(keep_cols)
+    fields = dict(
+        (f.name, f.dataType.simpleString())
+        for f in candidates.schema.fields
+    )
+    schema = ", ".join(
+        f"{c} {fields[c] if c != 'feature_id' else 'string'}" for c in out_cols
+    )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -62,11 +69,13 @@ def _refine_pip(
                     grp[lng].to_numpy(), grp[lat].to_numpy(), xs, ys, offs
                 )
                 keep[grp.index.to_numpy()] = inside
-            res = pdf.loc[keep, [point_id, lat, lng, "feature_id"]]
+            res = pdf.loc[keep, out_cols]
             if len(res):
                 yield res.reset_index(drop=True)
 
-    return candidates.select(point_id, lat, lng, *_GEOM_COLS).mapInPandas(refine, schema=schema)
+    return candidates.select(point_id, lat, lng, *_GEOM_COLS, *keep_cols).mapInPandas(
+        refine, schema=schema
+    )
 
 
 def containment_join_broadcast(
@@ -75,6 +84,7 @@ def containment_join_broadcast(
     point_id: str = "image_id",
     lat: str = "lat",
     lng: str = "lng",
+    extras: list[str] | None = None,
 ) -> DataFrame:
     """PIP containment join, polygon side broadcast (the `containing-areas`
     shape: N huge points x M small areas).  Returns (point_id, lat, lng,
@@ -95,7 +105,7 @@ def containment_join_broadcast(
     cand = points.join(F.broadcast(buckets), "bucket").filter(
         (F.col("cell16") >= F.col("rmin")) & (F.col("cell16") <= F.col("rmax"))
     )
-    return _refine_pip(cand, point_id, lat, lng, [])
+    return _refine_pip(cand, point_id, lat, lng, extras or [])
 
 
 def containment_join(

@@ -232,3 +232,56 @@ def _duration_s(d: str) -> int:
     mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
             "hour": 3600, "hours": 3600}[unit]
     return int(n) * mult
+
+
+def streaming_geofence(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "event_id",
+    lat: str = "lat",
+    lng: str = "lng",
+    extras: "list[str] | None" = None,
+) -> DataFrame:
+    """Streaming spatial containment (geofencing): each arriving point
+    emits one row per containing polygon.  Reuses the BATCH broadcast
+    PIP containment join VERBATIM -- the stream-static equi-join on the
+    bucket key and the Arrow PIP refine both run unchanged under
+    Structured Streaming (stateless, append mode), so batch == stream
+    by construction (pinned in tests).  The polygon cover index is
+    static; Spark re-broadcasts it per micro-batch."""
+    from ..operators import spatial_join
+
+    return spatial_join.containment_join_broadcast(
+        points, polygons, point_id, lat, lng, extras=extras
+    )
+
+
+def geofence_occupancy(
+    points: DataFrame,
+    polygons: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    point_id: str = "event_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """Windowed per-geofence occupancy: the containment join carries the
+    event-time column through the Arrow refine (the watermark re-attaches
+    AFTER the join, since custom mapInPandas output drops event-time
+    metadata), then a watermarked tumbling-window count per polygon.
+    State stays finite at web scale: the join is stateless and the
+    windowed aggregation expires by watermark."""
+    pts = points.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hits = streaming_geofence(pts, polygons, point_id, lat, lng, extras=[ts_col])
+    src = hits.withWatermark(ts_col, watermark) if hits.isStreaming else hits
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("feature_id"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "feature_id",
+            "n",
+        )
+    )

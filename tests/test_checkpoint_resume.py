@@ -259,3 +259,45 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     # one generation again: ranges disjoint after the rewrite
     parts = sorted(m3.partitions.values(), key=lambda p: p["cell_min"])
     assert all(a["cell_max"] <= b["cell_min"] for a, b in zip(parts, parts[1:]))
+
+
+def test_snapshot_random_lifecycle_sequences(spark, tmp_path):
+    """Randomized op sequences (append / compact / expire) against a
+    model of the table contents: after every op the current read equals
+    the model row set, the manifest chain parents link correctly, and
+    every manifest entry's file exists on disk."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        root = str(tmp_path / f"rand{trial}")
+        next_id = 0
+
+        def take(n):
+            nonlocal next_id
+            df = _grid_df(spark, n, start=next_id)
+            next_id += n
+            return df
+
+        model = set()
+        n0 = int(rng.integers(50, 200))
+        ckpt.write_clustered_snapshot(take(n0), root, n_files=3)
+        model |= set(range(n0))
+        for _ in range(5):
+            op = rng.choice(["append", "compact", "expire"])
+            if op == "append":
+                start = next_id
+                n = int(rng.integers(20, 120))
+                ckpt.append_clustered_snapshot(take(n), root, n_files=3)
+                model |= set(range(start, start + n))
+            elif op == "compact":
+                ckpt.compact_snapshot(spark, root, n_files=3)
+            else:
+                ckpt.expire_snapshots(root, keep=int(rng.integers(1, 3)))
+            got = {r.id for r in ckpt.read_snapshot(spark, root).select("id").collect()}
+            assert got == model, (trial, op, len(got), len(model))
+            chain = ckpt.snapshot_log(root)
+            for parent, child in zip(chain, chain[1:]):
+                assert child.parent_id == parent.snapshot_id
+            cur = chain[-1]
+            assert all(os.path.isfile(e["path"]) for e in cur.partitions.values())

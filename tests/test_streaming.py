@@ -160,3 +160,68 @@ def test_stream_interval_join_equals_batch(spark, events_stream_dir, captions_st
     )
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == want
+
+
+def test_streaming_geofence_equals_batch(spark, events_stream_dir):
+    """The broadcast PIP containment join runs unchanged as a
+    stream-static join: per-point containing-polygon pairs from the
+    stream equal the batch result row-for-row."""
+    from diagonal_b6_spark import catalog
+    from diagonal_b6_spark.operators import cover as cover_ops
+
+    feats = fixtures.features_table(spark)
+
+    def pts(df):
+        return cover_ops.with_point_cells(
+            df.withColumn("lat", F.expr(catalog.LAT_SQL)).withColumn(
+                "lng", F.expr(catalog.LNG_SQL)
+            )
+        )
+
+    batch = pts(fixtures.testdata(spark, SF, "events"))
+    want = sorted(
+        (r.event_id, r.feature_id)
+        for r in sw.streaming_geofence(batch, feats).collect()
+    )
+    assert len(want) > 0
+
+    stream = pts(_stream(spark, events_stream_dir))
+    got_df = sw.run_stream_to_memory(
+        sw.streaming_geofence(stream, feats), "geofence_hits", spark,
+        output_mode="append",
+    )
+    got = sorted((r.event_id, r.feature_id) for r in got_df.collect())
+    assert got == want
+
+
+def test_geofence_occupancy_stream_equals_batch(spark, events_stream_dir):
+    """Watermarked windowed occupancy per geofence: stream (append mode,
+    availableNow) equals the batch groupBy twin."""
+    from diagonal_b6_spark import catalog
+    from diagonal_b6_spark.operators import cover as cover_ops
+
+    feats = fixtures.features_table(spark)
+
+    def pts(df):
+        return cover_ops.with_point_cells(
+            df.withColumn("lat", F.expr(catalog.LAT_SQL)).withColumn(
+                "lng", F.expr(catalog.LNG_SQL)
+            )
+        )
+
+    batch = pts(fixtures.testdata(spark, SF, "events"))
+    want = sorted(
+        tuple(r) for r in sw.geofence_occupancy(batch, feats, window="1 hour").collect()
+    )
+    assert len(want) > 0
+
+    stream = pts(_stream(spark, events_stream_dir))
+    # complete mode: append would withhold windows newer than the final
+    # watermark at availableNow termination (same convention as the
+    # windowed_event_counts test)
+    got_df = sw.run_stream_to_memory(
+        sw.geofence_occupancy(stream, feats, window="1 hour"),
+        "geofence_occ", spark,
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
