@@ -132,6 +132,49 @@ FROM crossings GROUP BY event_id, pid HAVING count(*) % 2 = 1
 """
 
 
+def q_geofence_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.geofence_occupancy (the stream-static
+    geofence + watermarked window counts): per-hour per-polygon
+    containment counts.  The operator is the SAME code path the stream
+    runs (batch==stream pinned in tests/test_streaming.py); the oracle
+    composes the geo_pip winding-parity CTEs with an hourly bucket."""
+    from .streaming import windows as sw
+
+    ev = fixtures.testdata(spark, sf_dir, "events").select(
+        "event_id", "ts", F.expr(LAT_SQL).alias("lat"), F.expr(LNG_SQL).alias("lng")
+    )
+    pts = cover_ops.with_point_cells(ev)
+    occ = sw.geofence_occupancy(
+        pts, fixtures.features_table(spark), window="1 hour", point_id="event_id"
+    )
+    return occ.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "feature_id",
+        "n",
+    )
+
+
+def sql_geofence_occupancy() -> str:
+    return f"""
+WITH {_PTS_CTE},
+edges(pid, x1, y1, x2, y2) AS (VALUES
+    {_polygon_edges_values()}),
+crossings AS (
+  SELECT p.event_id, e.pid
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+   AND p.lng < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+),
+hits AS (
+  SELECT event_id, pid AS feature_id
+  FROM crossings GROUP BY event_id, pid HAVING count(*) % 2 = 1)
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       h.feature_id, count(*) AS n
+FROM hits h JOIN events e USING (event_id)
+GROUP BY 1, 2
+"""
+
+
 def q_geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result through the salted bucketed join (skew path)."""
     pts = cover_ops.with_point_cells(_events_points(spark, sf_dir))
@@ -6752,6 +6795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_spans_apply": q_dedup_spans_apply,
     "token_count_bpe": q_token_count_bpe,
     "lm_bigram_score": q_lm_bigram_score,
+    "geofence_occupancy": q_geofence_occupancy,
 }
 
 ORACLES: dict[str, str] = {
@@ -6878,6 +6922,7 @@ ORACLES: dict[str, str] = {
     "dedup_spans_apply": sql_dedup_spans_apply(),
     "token_count_bpe": sql_token_count_bpe(),
     "lm_bigram_score": sql_lm_bigram_score(),
+    "geofence_occupancy": sql_geofence_occupancy(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas
