@@ -6538,20 +6538,21 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import checkpoint as ckpt
 
+    # rebuilt from the CURRENT events table on every call (a cached copy
+    # could silently serve stale rows after a testdata regeneration);
+    # pid-suffixed so concurrent gate runs never race on the same root
     sfname = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/snap_lifecycle_{sfname}"
-    chain = ckpt.snapshot_log(root) if os.path.exists(os.path.join(root, "manifest.json")) else []
-    if len(chain) != 2:  # fresh build (or a stale/partial fixture): start over
-        if os.path.isdir(root):
-            shutil.rmtree(root)
-        pts = _events_points(spark, sf_dir)
-        ckpt.write_clustered_snapshot(
-            pts.filter(F.col("event_id") % 7 != 0), root, n_files=8, provenance="base"
-        )
-        ckpt.append_clustered_snapshot(
-            pts.filter(F.col("event_id") % 7 == 0), root, n_files=8, provenance="append"
-        )
-        chain = ckpt.snapshot_log(root)
+    root = f"/tmp/snap_lifecycle_{sfname}_{os.getpid()}"
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    pts = _events_points(spark, sf_dir)
+    ckpt.write_clustered_snapshot(
+        pts.filter(F.col("event_id") % 7 != 0), root, n_files=8, provenance="base"
+    )
+    ckpt.append_clustered_snapshot(
+        pts.filter(F.col("event_id") % 7 == 0), root, n_files=8, provenance="append"
+    )
+    chain = ckpt.snapshot_log(root)
     inc = ckpt.read_incremental(spark, root, chain[-1].parent_id, chain[-1].snapshot_id)
     return inc.select("event_id", "lat", "lng")
 

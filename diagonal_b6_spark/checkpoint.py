@@ -46,6 +46,11 @@ class Manifest:
     created_at: float = field(default_factory=time.time)
     provenance: str = ""
     partitions: dict[str, dict] = field(default_factory=dict)
+    # clustered-lifecycle snapshots keep an immutable history entry for
+    # time travel / incremental reads; checkpointed_run / write_snapshot
+    # layouts overwrite their data in place, so history would be dead
+    # weight accumulating one JSON per run -- they leave this False
+    keep_history: bool = False
 
     @property
     def path(self) -> str:
@@ -63,15 +68,17 @@ class Manifest:
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-        # immutable history entry first (time travel / incremental reads),
-        # then the current pointer -- both atomic renames, so a crash
-        # between them leaves the prior pointer valid
-        import shutil
+        if self.keep_history:
+            # immutable history entry first, then the current pointer --
+            # both atomic renames, so a crash between them leaves the
+            # prior pointer valid (the orphan history entry is swept by
+            # expire_snapshots)
+            import shutil
 
-        hist = os.path.join(self.root, f"manifest-{self.snapshot_id}.json")
-        hist_tmp = hist + f".tmp.{uuid.uuid4().hex}"
-        shutil.copyfile(tmp, hist_tmp)
-        os.replace(hist_tmp, hist)
+            hist = os.path.join(self.root, f"manifest-{self.snapshot_id}.json")
+            hist_tmp = hist + f".tmp.{uuid.uuid4().hex}"
+            shutil.copyfile(tmp, hist_tmp)
+            os.replace(hist_tmp, hist)
         os.replace(tmp, self.path)  # atomic commit of the current pointer
 
     @classmethod
@@ -202,6 +209,7 @@ def write_clustered_snapshot(
     m = Manifest(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,
+        keep_history=True,
     )
     _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False)
     m.commit()
@@ -322,7 +330,9 @@ def append_clustered_snapshot(
         return write_clustered_snapshot(
             df, root, lat=lat, lng=lng, n_files=n_files, provenance=provenance
         )
-    m = Manifest(root=root, provenance=provenance, parent_id=prior.snapshot_id)
+    m = Manifest(
+        root=root, provenance=provenance, parent_id=prior.snapshot_id, keep_history=True
+    )
     m.partitions = {
         k: dict(e, recomputed=False) for k, e in prior.partitions.items()
     }
@@ -357,16 +367,42 @@ def read_incremental(
     """Rows appended strictly after snapshot `from_id`, up to `to_id`
     (default: current) -- the Iceberg incremental-append scan: the file
     sets are compared by manifest key, no data read beyond the new
-    files themselves."""
+    files themselves.
+
+    Only valid over an APPEND-ONLY stretch of history: `from_id` must be
+    an ancestor of `to`, and no intervening snapshot may have dropped a
+    file (a compaction or overwrite rewrites the whole table, so "files
+    in to but not in from" would be the entire corpus, not the appended
+    rows).  Both conditions raise, matching Iceberg's refusal to
+    incremental-scan across replace snapshots."""
     frm = Manifest.load(root, snapshot_id=from_id)
     to = Manifest.load(root, snapshot_id=to_id)
     if frm is None or to is None:
         raise FileNotFoundError(
             f"read_incremental: missing manifest (from={from_id}, to={to_id})"
         )
+    ancestor = to
+    while ancestor is not None and ancestor.snapshot_id != from_id:
+        ancestor = (
+            Manifest.load(root, snapshot_id=ancestor.parent_id)
+            if ancestor.parent_id
+            else None
+        )
+    if ancestor is None:
+        raise ValueError(
+            f"read_incremental: {from_id} is not an ancestor of "
+            f"{to.snapshot_id} in the retained history"
+        )
+    removed = [k for k in frm.partitions if k not in to.partitions]
+    if removed:
+        raise ValueError(
+            "read_incremental: history between the snapshots is not "
+            f"append-only ({len(removed)} file(s) were replaced -- a "
+            "compaction or overwrite); read the target snapshot instead"
+        )
     new = [e["path"] for k, e in to.partitions.items() if k not in frm.partitions]
     if not new:
-        return spark.createDataFrame([], "cell16 long")
+        return read_snapshot(spark, root, as_of=to.snapshot_id).limit(0)
     return spark.read.option("mergeSchema", "true").parquet(*new)
 
 
@@ -395,7 +431,9 @@ def compact_snapshot(
     if prior is None:
         raise FileNotFoundError(f"compact_snapshot: no snapshot under {root}")
     current = read_snapshot(spark, root)
-    m = Manifest(root=root, provenance=provenance, parent_id=prior.snapshot_id)
+    m = Manifest(
+        root=root, provenance=provenance, parent_id=prior.snapshot_id, keep_history=True
+    )
     _cluster_write(current, m, lat="lat", lng="lng", n_files=n_files, has_cells=True)
     m.commit()
     return m
@@ -411,13 +449,20 @@ def expire_snapshots(root: str, keep: int = 2) -> list[str]:
     if keep < 1:
         raise ValueError("expire_snapshots: keep must be >= 1")
     chain = snapshot_log(root)
-    kept, dropped = chain[-keep:], chain[:-keep]
+    kept = chain[-keep:]
+    kept_ids = {m.snapshot_id for m in kept}
     removed: list[str] = []
-    for m in dropped:
-        p = os.path.join(root, f"manifest-{m.snapshot_id}.json")
-        if os.path.exists(p):
-            os.remove(p)
-            removed.append(p)
+    # every history manifest outside the kept set goes -- dropped chain
+    # ancestors AND orphans a crashed commit left behind (history written,
+    # pointer never flipped)
+    for name in sorted(os.listdir(root)):
+        if not (name.startswith("manifest-") and name.endswith(".json")):
+            continue
+        sid = name[len("manifest-"):-len(".json")]
+        if sid not in kept_ids:
+            full = os.path.join(root, name)
+            os.remove(full)
+            removed.append(full)
     live_dirs = {
         os.path.dirname(e["path"]) for m in kept for e in m.partitions.values()
     }

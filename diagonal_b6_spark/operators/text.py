@@ -34,7 +34,10 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # reject lookarounds, and leading-space variants only matter for byte
 # merges, not counts.)  Leftmost-first alternation semantics agree
 # between Java regex (Spark) and RE2 (DuckDB) on this pattern.
-BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s']+|'"
+# Whitespace is an EXPLICIT class, not \s: Java's \s includes vertical
+# tab U+000B, RE2's does not, so \s here would silently diverge the
+# engines on VT-bearing documents.
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N} \t\n\x0b\f\r']+|'"
 
 
 def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

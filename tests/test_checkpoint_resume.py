@@ -301,3 +301,50 @@ def test_snapshot_random_lifecycle_sequences(spark, tmp_path):
                 assert child.parent_id == parent.snapshot_id
             cur = chain[-1]
             assert all(os.path.isfile(e["path"]) for e in cur.partitions.values())
+
+
+def test_read_incremental_refuses_non_append_history(spark, tmp_path):
+    """Incremental scans across a compaction (file replacement) or from a
+    non-ancestor must raise, never silently return the whole table."""
+    root = str(tmp_path / "guard")
+    m1 = ckpt.write_clustered_snapshot(_grid_df(spark, 100), root, n_files=2)
+    m2 = ckpt.append_clustered_snapshot(_grid_df(spark, 50, start=100), root, n_files=2)
+    m3 = ckpt.compact_snapshot(spark, root, n_files=2)
+
+    with pytest.raises(ValueError, match="append-only"):
+        ckpt.read_incremental(spark, root, m2.snapshot_id, m3.snapshot_id)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        ckpt.read_incremental(spark, root, m3.snapshot_id, m1.snapshot_id)
+    # empty diff keeps the table schema, zero rows
+    same = ckpt.read_incremental(spark, root, m3.snapshot_id, m3.snapshot_id)
+    assert same.count() == 0 and "id" in same.columns
+
+
+def test_expire_sweeps_orphan_history_manifests(spark, tmp_path):
+    """A history manifest whose snapshot never became current (crashed
+    commit) is swept by expire along with its data dir."""
+    import json
+
+    root = str(tmp_path / "orphan")
+    ckpt.write_clustered_snapshot(_grid_df(spark, 100), root, n_files=2)
+    orphan = os.path.join(root, "manifest-deadbeef.json")
+    with open(orphan, "w") as f:
+        json.dump({"snapshot_id": "deadbeef", "parent_id": None, "partitions": {}}, f)
+    os.makedirs(os.path.join(root, "data-deadbeef"))
+    removed = ckpt.expire_snapshots(root, keep=1)
+    assert orphan in removed
+    assert os.path.join(root, "data-deadbeef") in removed
+    assert ckpt.read_snapshot(spark, root).count() == 100
+
+
+def test_plain_checkpoint_layouts_keep_no_history(spark, tmp_root, tmp_path):
+    """checkpointed_run / write_snapshot overwrite data in place -- they
+    must not accumulate manifest-<id>.json history files."""
+    _run(spark, tmp_root, ["1", "2"], [])
+    _run(spark, tmp_root, ["1", "2"], [])
+    assert [f for f in os.listdir(tmp_root) if f.startswith("manifest-")] == []
+    snap_root = str(tmp_path / "plain_snap")
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 2 as int) as zoom")
+    ckpt.write_snapshot(df, snap_root, "zoom")
+    ckpt.write_snapshot(df, snap_root, "zoom")
+    assert [f for f in os.listdir(snap_root) if f.startswith("manifest-")] == []

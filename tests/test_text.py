@@ -306,3 +306,22 @@ def test_lm_bigram_scores_reference(spark):
             assert abs(got[d][3] - want[d][3]) < 1e-12, (d, got[d], want[d])
     # fluent repeated phrasing scores higher than the shuffled doc
     assert got[2][3] > got[3][3]
+
+
+def test_token_count_bpe_vertical_tab_engine_agreement(spark):
+    """U+000B is where Java's \\s and RE2's \\s diverge -- the explicit
+    whitespace class must make both engines treat VT identically."""
+    import duckdb
+
+    from diagonal_b6_spark.operators.text import BPE_TOKEN_RE, token_count_bpe
+
+    text = "a\x0bb .\x0b."
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    (got,) = [r.n_tokens_bpe for r in token_count_bpe(df, "doc_id", "text").collect()]
+    assert got == 4  # a / b / . / . with VT as whitespace in both engines
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    con = duckdb.connect()
+    (n,) = con.execute(
+        "SELECT len(regexp_extract_all(?, '" + pat + "', 0))", [text]
+    ).fetchone()
+    assert n == got
