@@ -6650,6 +6650,74 @@ FROM toks t LEFT JOIN
 """
 
 
+# --- quadkey tiles + skew diagnostics ---------------------------------------
+
+
+def q_geo_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing quadkey encoding of the tile assignment at zooms 12/16
+    (operators/cover.quadkey_col, published Bing Maps Tile System
+    spec).  The oracle replays the tile math AND the digit interleave
+    character for character."""
+    pts = _events_points(spark, sf_dir)
+    outs = []
+    for z in (12, 16):
+        x, y = cover_ops.tile_xy_cols(z)
+        outs.append(
+            pts.select(
+                "event_id",
+                F.lit(z).alias("zoom"),
+                cover_ops.quadkey_col(x, y, z).alias("quadkey"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def sql_geo_quadkey() -> str:
+    def digits(z: int) -> str:
+        parts = []
+        for i in range(1, z + 1):
+            p = float(1 << (z - i))
+            d = (
+                f"CAST(floor(tx / {p}) AS BIGINT) % 2"
+                f" + 2 * (CAST(floor(ty / {p}) AS BIGINT) % 2)"
+            )
+            parts.append(f"substr('0123', CAST({d} AS INT) + 1, 1)")
+        return " || ".join(parts)
+
+    def zoom_sel(z: int) -> str:
+        n = float(1 << z)
+        return f"""
+SELECT event_id, {z} AS zoom, {digits(z)} AS quadkey FROM (
+  SELECT event_id,
+         CAST(floor((lng + 180.0) / 360.0 * {n}) AS BIGINT) AS tx,
+         CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * {n}) AS BIGINT) AS ty
+  FROM pts)"""
+
+    return f"""
+WITH {_PTS_CTE}
+{zoom_sel(12)}
+UNION ALL
+{zoom_sel(16)}
+"""
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostics (operators/agg.key_skew_stats): top event
+    types by count with their share of the table -- the pre-shuffle
+    measurement that picks salt factors at 100 TB."""
+    ev = fixtures.testdata(spark, sf_dir, "events")
+    return agg_ops.key_skew_stats(ev, "event_type", top=20)
+
+
+def sql_skew_stats() -> str:
+    return """
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT event_type, n, round(n / t.total, 6) AS share
+FROM c, t ORDER BY n DESC, event_type LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- flagship geo + new round-2 greens (oracle-backed) ---
     "geo_pip": q_geo_pip,
@@ -6797,6 +6865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": q_token_count_bpe,
     "lm_bigram_score": q_lm_bigram_score,
     "geofence_occupancy": q_geofence_occupancy,
+    "geo_quadkey": q_geo_quadkey,
+    "skew_stats": q_skew_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -6924,6 +6994,8 @@ ORACLES: dict[str, str] = {
     "token_count_bpe": sql_token_count_bpe(),
     "lm_bigram_score": sql_lm_bigram_score(),
     "geofence_occupancy": sql_geofence_occupancy(),
+    "geo_quadkey": sql_geo_quadkey(),
+    "skew_stats": sql_skew_stats(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

@@ -300,3 +300,21 @@ def histogram_buckets(
     out = df.groupBy(expr.alias("bucket")).agg(F.count("*").alias("n"))
     bdf = spark.createDataFrame(bounds, "bucket int, lo double, hi double")
     return out.join(bdf, "bucket").select("bucket", "lo", "hi", "n")
+
+
+def key_skew_stats(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Hot-key diagnostics: the top-N keys by row count with each key's
+    share of the table -- the measurement that picks salt factors and
+    flags AQE-skew-join candidates before a 100 TB shuffle.
+
+    One groupBy (map-side partial counts) + a global top-N (tiny) + a
+    broadcast of the single-row total; the input is never shuffled
+    whole.  Deterministic: ties order by key."""
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    ranked = counts.orderBy(F.desc("n"), F.col(key)).limit(top)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        key,
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+    )

@@ -215,3 +215,20 @@ def with_tiles(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng") -> 
         F.shiftleft(x, 29)
     ).bitwiseOR(y)
     return df.withColumn(f"tile_z{zoom}", packed)
+
+
+def quadkey_col(x, y, zoom: int):
+    """Bing-maps quadkey string for tile columns (x, y) at `zoom`
+    (published Bing Maps Tile System spec: digit i interleaves bit
+    (zoom-i) of y and x, most-significant first).  Statically unrolled
+    per zoom into pure whole-stage-codegen expressions; the variable
+    shifts are exact double divisions (tile coordinates < 2^23 are
+    double-exact), so any SQL engine replays it digit for digit."""
+    digits = []
+    for i in range(1, zoom + 1):
+        p = float(1 << (zoom - i))
+        dx = (F.floor(x / F.lit(p)) % 2).cast("int")
+        dy = (F.floor(y / F.lit(p)) % 2).cast("int")
+        d = (dx + dy * 2).cast("int")
+        digits.append(F.lit("0123").substr(d + 1, F.lit(1)))
+    return F.concat(*digits)

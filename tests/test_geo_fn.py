@@ -531,3 +531,18 @@ def test_join_paths_plain(spark):
     # TestJoin's length invariant: shared join length == sum of parts
     xs, ys = out["shared"]
     assert len(xs) == 2 + 2 - 1
+
+
+def test_quadkey_published_example(spark):
+    """Bing Maps Tile System worked example: tile (3, 5) at level 3 is
+    quadkey '213'; plus the level-1 quadrants."""
+    from diagonal_b6_spark.operators.cover import quadkey_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    (qk,) = [r.qk for r in df.select(quadkey_col(F.col("x"), F.col("y"), 3).alias("qk")).collect()]
+    assert qk == "213"
+    quads = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1, 1)], "x long, y long")
+    got = {(r.x, r.y): r.qk for r in quads.select(
+        "x", "y", quadkey_col(F.col("x"), F.col("y"), 1).alias("qk")).collect()}
+    assert got == {(0, 0): "0", (1, 0): "1", (0, 1): "2", (1, 1): "3"}
