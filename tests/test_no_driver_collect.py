@@ -36,8 +36,14 @@ from diagonal_b6_spark.sources import uprn
 FORBIDDEN = (".collect()", ".toPandas()")
 from diagonal_b6_spark.operators import compare as compare_ops
 
+from diagonal_b6_spark.operators import dedup as dedup_ops
+from diagonal_b6_spark.operators import sampling as sampling_ops
+from diagonal_b6_spark.operators import text as text_ops
+from diagonal_b6_spark.streaming import windows as stream_windows
+
 MODULES = [network, sightline, gridjoin, colouring, conflate, render, uprn,
-           osm_src, change_ops, compare_ops]
+           osm_src, change_ops, compare_ops, dedup_ops, text_ops,
+           sampling_ops, stream_windows]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=lambda m: m.__name__)
@@ -179,3 +185,35 @@ def test_percentiles_has_no_unbounded_single_partition(spark, tmp_path):
     got = {(r["k"], r["v"]): r["pct"] for r in df.collect()}
     for r in expect.collect():
         assert got[(r["k"], r["v"])] == r["pct"]
+
+
+def test_text_and_dedup_construction_is_lazy(spark):
+    """The seventh-sitting operators (span dedup, bigram LM, skew stats,
+    streaming geofence) must launch zero jobs at plan construction."""
+    from diagonal_b6_spark import fixtures
+    from diagonal_b6_spark.operators import agg as agg_ops
+    from diagonal_b6_spark.operators import cover as cover_ops
+    from diagonal_b6_spark.operators import dedup as dd
+    from diagonal_b6_spark.operators import text as tx
+    from diagonal_b6_spark.streaming import windows as sw
+
+    docs = spark.range(10).selectExpr(
+        "cast(id as int) as doc_id", "concat('tok', id % 3, ' a b c d') as text"
+    )
+    pts = spark.range(5).select(
+        F.col("id").alias("event_id"),
+        (F.lit(51.5) + F.col("id") * 0.001).alias("lat"),
+        (F.lit(-0.1) + F.col("id") * 0.001).alias("lng"),
+    )
+    feats = fixtures.features_table(spark)
+
+    before = _n_jobs(spark)
+    dd.duplicate_spans(docs, k=3)
+    dd.remove_duplicate_spans(docs, k=3)
+    tx.lm_bigram_scores(docs, "doc_id", "text")
+    tx.token_count_bpe(docs, "doc_id", "text")
+    agg_ops.key_skew_stats(docs, "doc_id")
+    sw.streaming_geofence(cover_ops.with_point_cells(pts), feats)
+    time.sleep(0.2)
+    after = _n_jobs(spark)
+    assert after == before, f"construction launched {after - before} job(s)"
