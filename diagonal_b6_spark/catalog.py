@@ -229,6 +229,38 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tile_pyramid_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tile-pyramid maintenance
+    (pipeline.tile_pyramid_apply_delta): build the pyramid over a base
+    subset, then apply an add + remove delta WITHOUT rescanning the
+    corpus; the oracle computes every level of the FINAL point set from
+    raw points, so incremental == full rebuild is value-checked per
+    tile at every zoom."""
+    from .pipeline import tile_assignments, tile_pyramid_apply_delta, tile_pyramid_rollup
+
+    pts = _events_points(spark, sf_dir).withColumnRenamed("event_id", "image_id")
+    base = pts.filter(F.col("image_id") % 5 != 0)
+    added = pts.filter(F.col("image_id") % 5 == 0)
+    removed = base.filter(F.col("image_id") % 3 == 0)  # strict subset of base
+    pyramid = tile_pyramid_rollup(tile_assignments(base, zooms=(14,)), 14, 10)
+    return tile_pyramid_apply_delta(pyramid, added, removed, 14, 10)
+
+
+def sql_tile_pyramid_incremental() -> str:
+    return f"""
+WITH {_PTS_CTE},
+final AS (SELECT * FROM pts
+          WHERE (event_id % 5 <> 0 AND event_id % 3 <> 0) OR event_id % 5 = 0),
+zooms(zoom, n) AS (VALUES (10, 1024.0), (11, 2048.0), (12, 4096.0), (13, 8192.0), (14, 16384.0))
+SELECT zoom,
+  CAST(floor((lng + 180.0) / 360.0 * n) AS BIGINT) AS tile_x,
+  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * n) AS BIGINT) AS tile_y,
+  count(*) AS n
+FROM final, zooms
+GROUP BY 1, 2, 3
+"""
+
+
 def q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash keys (precision 8) for every event point, plus the
     precision-5 PREFIX relation (a geohash's prefix IS its ancestor
@@ -6867,6 +6899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geofence_occupancy": q_geofence_occupancy,
     "geo_quadkey": q_geo_quadkey,
     "skew_stats": q_skew_stats,
+    "tile_pyramid_incremental": q_tile_pyramid_incremental,
 }
 
 ORACLES: dict[str, str] = {
@@ -6996,6 +7029,7 @@ ORACLES: dict[str, str] = {
     "geofence_occupancy": sql_geofence_occupancy(),
     "geo_quadkey": sql_geo_quadkey(),
     "skew_stats": sql_skew_stats(),
+    "tile_pyramid_incremental": sql_tile_pyramid_incremental(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests): geo_s2_covering, geo_convex_hull, geo_clip,
     # image_pipeline (lossy), geo_s2_cells, debug_tokens, collect_areas

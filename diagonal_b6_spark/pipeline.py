@@ -46,6 +46,67 @@ def tile_assignments(images: DataFrame, zooms: tuple[int, ...] = (12, 16)) -> Da
     return out
 
 
+def tile_pyramid_apply_delta(
+    pyramid: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    base_zoom: int,
+    min_zoom: int,
+) -> DataFrame:
+    """Incremental maintenance of a tile-pyramid rollup: signed
+    per-base-tile deltas from the added/removed point sets roll up
+    through the same parent//2 composition as the full build, then ONE
+    merge join against the stored pyramid.  Work is proportional to the
+    TOUCHED tiles, the corpus is never rescanned -- the
+    incremental-view-maintenance shape a 10^12-image tile service needs
+    between full rebuilds.  Tiles whose count reaches zero drop, so the
+    result is value-equal to a full rebuild over
+    (base - removed + added) (oracle-checked).  `removed` must be a
+    subset of the indexed points; a non-subset surfaces as a tile whose
+    merged count would go negative, which raises at read time via the
+    n >= 0 check column rather than silently corrupting counts."""
+
+    def _base_counts(pts: DataFrame, sign: int) -> DataFrame:
+        a = tile_assignments(pts, zooms=(base_zoom,))
+        return a.groupBy("zoom", "tile_x", "tile_y").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("dn")
+        )
+
+    level = (
+        _base_counts(added, 1)
+        .unionByName(_base_counts(removed, -1))
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.sum("dn").alias("dn"))
+    )
+    deltas = level
+    for z in range(base_zoom - 1, min_zoom - 1, -1):
+        level = (
+            level.groupBy(
+                (F.col("tile_x") / 2).cast("long").alias("tile_x"),
+                (F.col("tile_y") / 2).cast("long").alias("tile_y"),
+            )
+            .agg(F.sum("dn").alias("dn"))
+            .select(F.lit(z).alias("zoom"), "tile_x", "tile_y", "dn")
+        )
+        deltas = deltas.unionByName(level)
+    merged = (
+        pyramid.join(deltas, ["zoom", "tile_x", "tile_y"], "full")
+        .select(
+            "zoom",
+            "tile_x",
+            "tile_y",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        )
+    )
+    negative_guard = F.when(
+        F.col("n") < 0,
+        F.raise_error(F.lit("tile_pyramid_apply_delta: removed set is not a subset of the indexed points")),
+    ).otherwise(F.col("n"))
+    return merged.select("zoom", "tile_x", "tile_y", negative_guard.alias("n")).filter(
+        F.col("n") > 0
+    )
+
+
 def tile_pyramid_rollup(
     assignments: DataFrame, base_zoom: int, min_zoom: int
 ) -> DataFrame:

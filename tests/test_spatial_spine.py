@@ -235,3 +235,38 @@ def test_segment_intersections_street_crosses_square(spark):
     # both crossing points lie ON the square's boundary x-range
     for r in out:
         assert 51.533 < r["iy"] < 51.537
+
+
+def test_tile_pyramid_apply_delta_semantics(spark):
+    """Incremental pyramid maintenance: zero-count tiles drop (equal to a
+    full rebuild), and a removed set that is not a subset of the indexed
+    points raises instead of going negative."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from diagonal_b6_spark.pipeline import (
+        tile_assignments,
+        tile_pyramid_apply_delta,
+        tile_pyramid_rollup,
+    )
+
+    pts = spark.range(40).select(
+        F.col("id").alias("image_id"),
+        (F.lit(51.0) + F.col("id") * 0.01).alias("lat"),
+        (F.lit(-0.2) + F.col("id") * 0.01).alias("lng"),
+    )
+    base = pts.filter("image_id < 30")
+    added = pts.filter("image_id >= 30")
+    removed = pts.filter("image_id < 10")
+    pyramid = tile_pyramid_rollup(tile_assignments(base, zooms=(12,)), 12, 10)
+    got = tile_pyramid_apply_delta(pyramid, added, removed, 12, 10)
+    final = pts.filter("image_id >= 10")
+    want = tile_pyramid_rollup(tile_assignments(final, zooms=(12,)), 12, 10)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # every fully-vacated tile is gone, not present with n=0
+    assert got.filter("n <= 0").count() == 0
+
+    not_subset = pts.filter("image_id >= 35")  # overlaps `added`, not in base
+    bad = tile_pyramid_apply_delta(pyramid, added.limit(0), not_subset, 12, 10)
+    with pytest.raises(Exception, match="not a subset"):
+        bad.collect()
