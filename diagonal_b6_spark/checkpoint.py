@@ -223,35 +223,52 @@ def _cluster_write(
     lng: str,
     n_files: int | None,
     has_cells: bool,
+    ts: str | None = None,
 ) -> None:
-    """Range-partition `df` by cell16, write the files of snapshot `m`
-    into its own immutable `data-<id>/` directory, and record one
-    manifest entry per file with its [cell_min, cell_max].  Data files
-    are never rewritten in place -- history manifests keep referencing
-    the files of their own snapshot (the Iceberg immutable-data-file
-    model), so time travel and incremental reads stay valid until
-    `expire_snapshots` drops them."""
-    from .operators.cover import with_point_cells
+    """Range-partition `df` by cell16 -- or, with `ts`, by the Z-order
+    space-time key -- write the files of snapshot `m` into its own
+    immutable `data-<id>/` directory, and record one manifest entry per
+    file with its [cell_min, cell_max] (plus [ts_min, ts_max] epoch
+    seconds when `ts` is given).  Data files are never rewritten in
+    place -- history manifests keep referencing the files of their own
+    snapshot (the Iceberg immutable-data-file model), so time travel and
+    incremental reads stay valid until `expire_snapshots` drops them."""
+    from .operators.cover import spacetime_zvalue_col, with_point_cells
 
     spark = df.sparkSession
     nparts = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if not has_cells:
         df = with_point_cells(df, lat=lat, lng=lng).drop("bucket")
-    clustered = (
-        df.repartitionByRange(nparts, F.col("cell16"))
-        .sortWithinPartitions("cell16")
-    )
+    if ts is None:
+        clustered = (
+            df.repartitionByRange(nparts, F.col("cell16"))
+            .sortWithinPartitions("cell16")
+        )
+    else:
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts))
+        clustered = (
+            df.withColumn("_zv", zv)
+            .repartitionByRange(nparts, F.col("_zv"))
+            .sortWithinPartitions("_zv")
+            .drop("_zv")
+        )
     t0 = time.time()
     data_dir = os.path.join(m.root, f"data-{m.snapshot_id}")
     clustered.write.mode("overwrite").parquet(data_dir)
     written = spark.read.parquet(data_dir)
+    aggs = [
+        F.min("cell16").alias("cell_min"),
+        F.max("cell16").alias("cell_max"),
+        F.count("*").alias("rows"),
+    ]
+    if ts is not None:
+        aggs += [
+            F.min(F.col(ts).cast("long")).alias("ts_min"),
+            F.max(F.col(ts).cast("long")).alias("ts_max"),
+        ]
     stats = (
         written.groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.min("cell16").alias("cell_min"),
-            F.max("cell16").alias("cell_max"),
-            F.count("*").alias("rows"),
-        )
+        .agg(*aggs)
         .collect()  # one row per output file -- bounded by n_files
     )
     wall = (time.time() - t0) * 1000.0
@@ -263,9 +280,13 @@ def _cluster_write(
             "write_clustered_snapshot: input has rows with null "
             f"coordinates ({lat}/{lng}); filter them before clustering"
         )
+    if ts is not None and any(r["ts_min"] is None for r in stats):
+        raise ValueError(
+            f"clustered write: input has rows with null {ts}; filter them first"
+        )
     for r in sorted(stats, key=lambda r: r["cell_min"]):
         path = r["file"].removeprefix("file://")
-        m.partitions[os.path.basename(path)] = {
+        entry = {
             "key": os.path.basename(path),
             "path": path,
             "rows": r["rows"],
@@ -276,6 +297,57 @@ def _cluster_write(
             "cell_min": r["cell_min"],
             "cell_max": r["cell_max"],
         }
+        if ts is not None:
+            entry["ts_min"] = r["ts_min"]
+            entry["ts_max"] = r["ts_max"]
+        m.partitions[os.path.basename(path)] = entry
+
+
+def write_spacetime_snapshot(
+    df: DataFrame,
+    root: str,
+    ts: str,
+    lat: str = "lat",
+    lng: str = "lng",
+    n_files: int | None = None,
+    provenance: str = "",
+) -> Manifest:
+    """Spatio-temporal snapshot: rows Z-order by (cell16 top bits x
+    epoch hour), so per-file min/max boxes are tight on BOTH dimensions
+    and a (cell range x time range) scan prunes files on both
+    predicates via `files_for_box` -- the layout for event tables where
+    every query carries a region AND a time window.  Same immutable
+    per-snapshot dirs + manifest chain as the Hilbert layout."""
+    prior = Manifest.load(root)
+    m = Manifest(
+        root=root, provenance=provenance,
+        parent_id=prior.snapshot_id if prior else None,
+        keep_history=True,
+    )
+    _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False, ts=ts)
+    m.commit()
+    return m
+
+
+def files_for_box(
+    m: Manifest, cell_lo: int, cell_hi: int, ts_lo: int, ts_hi: int
+) -> list[str]:
+    """Manifest-level pruning on BOTH dimensions of a spacetime snapshot:
+    files whose [cell_min, cell_max] x [ts_min, ts_max] box intersects
+    the query box.  Entries without time stats are rejected (wrong
+    layout) rather than silently unpruned."""
+    entries = list(m.partitions.values())
+    if not all("ts_min" in p and "cell_min" in p for p in entries):
+        raise ValueError(
+            "files_for_box: manifest carries no spacetime stats -- "
+            "it was not written by write_spacetime_snapshot"
+        )
+    return [
+        p["path"]
+        for p in entries
+        if not (p["cell_max"] < cell_lo or p["cell_min"] > cell_hi)
+        and not (p["ts_max"] < ts_lo or p["ts_min"] > ts_hi)
+    ]
 
 
 def files_for_cell_range(m: Manifest, lo: int, hi: int) -> list[str]:

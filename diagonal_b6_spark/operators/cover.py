@@ -232,3 +232,30 @@ def quadkey_col(x, y, zoom: int):
         d = (dx + dy * 2).cast("int")
         digits.append(F.lit("0123").substr(d + 1, F.lit(1)))
     return F.concat(*digits)
+
+
+def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24):
+    """Z-order key interleaving the top `bits` of the S2 cell16 id with
+    the epoch-hour of an event time -- the spatio-temporal clustering
+    key (Morton order over space x time).  Sorting a table by this value
+    makes per-file min/max boxes TIGHT on both dimensions at once, so a
+    (cell range x time range) scan prunes files on both predicates.
+    Pure unrolled whole-stage-codegen bit math (same style as
+    geohash_col); pruning CORRECTNESS never depends on this key -- the
+    manifest records real per-file min/max of both columns -- only
+    pruning tightness does."""
+    if not 1 <= bits <= 24:
+        raise ValueError(f"spacetime_zvalue_col bits must be 1..24, got {bits}")
+    # signed cell16 -> top `bits` as an unsigned rank (order-preserving):
+    # arithmetic >> (64-bits) lands in [-2^(bits-1), 2^(bits-1)), the
+    # offset shifts it to [0, 2^bits)
+    c = (F.shiftright(cell_col, 64 - bits) + F.lit(1 << (bits - 1))).cast("long")
+    # epoch hours, wrapped to `bits` (wraps after ~1900 years at 24 bits)
+    h = (F.floor(ts_col.cast("long") / F.lit(3600.0)).cast("long")) % F.lit(1 << bits)
+    h = ((h + F.lit(1 << bits)) % F.lit(1 << bits)).cast("long")  # pre-1970 safety
+    v = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        cb = F.shiftright(c, i).bitwiseAND(F.lit(1))
+        hb = F.shiftright(h, i).bitwiseAND(F.lit(1))
+        v = F.shiftleft(v, 2).bitwiseOR(F.shiftleft(cb, 1)).bitwiseOR(hb)
+    return v

@@ -348,3 +348,61 @@ def test_plain_checkpoint_layouts_keep_no_history(spark, tmp_root, tmp_path):
     ckpt.write_snapshot(df, snap_root, "zoom")
     ckpt.write_snapshot(df, snap_root, "zoom")
     assert [f for f in os.listdir(snap_root) if f.startswith("manifest-")] == []
+
+
+def test_spacetime_snapshot_two_dimensional_pruning(spark, tmp_path):
+    """Z-order layout: a (cell range x time range) box prunes files on
+    BOTH dimensions -- strictly more than either dimension alone on
+    space-time-uncorrelated data -- and reading the pruned subset plus
+    the filter equals a brute filter over the whole table."""
+    import numpy as np
+
+    root = str(tmp_path / "spacetime")
+    rng = np.random.default_rng(11)
+    n = 6000
+    rows = [
+        (int(i), float(lat), float(lng), int(t))
+        for i, (lat, lng, t) in enumerate(
+            zip(
+                rng.uniform(40, 60, n),
+                rng.uniform(-10, 10, n),
+                rng.integers(1_600_000_000, 1_600_000_000 + 400 * 3600, n),
+            )
+        )
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double, ts long")
+    m = ckpt.write_spacetime_snapshot(df, root, ts="ts", n_files=16)
+
+    parts = list(m.partitions.values())
+    assert all("ts_min" in p and "ts_max" in p for p in parts)
+    full = ckpt.read_snapshot(spark, root)
+    assert full.count() == n
+
+    probe = parts[len(parts) // 2]
+    c_lo = probe["cell_min"]
+    c_hi = probe["cell_max"]
+    t_lo = probe["ts_min"]
+    t_hi = (probe["ts_min"] + probe["ts_max"]) // 2
+    boxed = ckpt.files_for_box(m, c_lo, c_hi, t_lo, t_hi)
+    cell_only = [
+        p["path"] for p in parts if not (p["cell_max"] < c_lo or p["cell_min"] > c_hi)
+    ]
+    time_only = [
+        p["path"] for p in parts if not (p["ts_max"] < t_lo or p["ts_min"] > t_hi)
+    ]
+    assert set(boxed) <= set(cell_only) and set(boxed) <= set(time_only)
+    assert len(boxed) < len(parts)  # pruning actually drops files
+
+    cond = (
+        (ckpt.F.col("cell16") >= c_lo) & (ckpt.F.col("cell16") <= c_hi)
+        & (ckpt.F.col("ts") >= t_lo) & (ckpt.F.col("ts") <= t_hi)
+    )
+    want = full.filter(cond).count()
+    got = spark.read.parquet(*boxed).filter(cond).count() if boxed else 0
+    assert got == want and want > 0
+
+    # wrong-layout rejection: cell-only manifest has no ts stats
+    root2 = str(tmp_path / "plainclustered")
+    m2 = ckpt.write_clustered_snapshot(_grid_df(spark, 100), root2, n_files=2)
+    with pytest.raises(ValueError, match="spacetime"):
+        ckpt.files_for_box(m2, 0, 1, 0, 1)
