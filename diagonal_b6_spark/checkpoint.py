@@ -544,3 +544,36 @@ def expire_snapshots(root: str, keep: int = 2) -> list[str]:
             shutil.rmtree(full)
             removed.append(full)
     return removed
+
+
+def overlap_fraction(m: Manifest) -> float:
+    """Layout-degradation metric: the fraction of adjacent file pairs
+    (in cell_min order) whose cell ranges interleave.  A freshly
+    clustered snapshot scores 0.0; every append generation can push it
+    up.  Drives the compaction policy without reading any data."""
+    parts = sorted(m.partitions.values(), key=lambda p: p["cell_min"])
+    if len(parts) < 2:
+        return 0.0
+    overlapping = sum(
+        1 for a, b in zip(parts, parts[1:]) if a["cell_max"] > b["cell_min"]
+    )
+    return overlapping / (len(parts) - 1)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    root: str,
+    threshold: float = 0.25,
+    n_files: int | None = None,
+) -> Manifest | None:
+    """Compaction policy: rewrite the table only when the layout has
+    degraded past `threshold` (overlap_fraction of the current
+    manifest).  Returns the new manifest, or None when the layout is
+    still tight -- the maintenance loop a 100 TB table runs after every
+    append batch without paying a rewrite each time."""
+    m = Manifest.load(root)
+    if m is None:
+        raise FileNotFoundError(f"maybe_compact: no snapshot under {root}")
+    if overlap_fraction(m) <= threshold:
+        return None
+    return compact_snapshot(spark, root, n_files=n_files, provenance="auto-compact")

@@ -406,3 +406,20 @@ def test_spacetime_snapshot_two_dimensional_pruning(spark, tmp_path):
     m2 = ckpt.write_clustered_snapshot(_grid_df(spark, 100), root2, n_files=2)
     with pytest.raises(ValueError, match="spacetime"):
         ckpt.files_for_box(m2, 0, 1, 0, 1)
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Auto-compaction fires only past the degradation threshold: a
+    fresh layout is left alone (None), an append-degraded layout is
+    rewritten to overlap 0.0."""
+    root = str(tmp_path / "policy")
+    ckpt.write_clustered_snapshot(_grid_df(spark, 300), root, n_files=4)
+    assert ckpt.overlap_fraction(ckpt.Manifest.load(root)) == 0.0
+    assert ckpt.maybe_compact(spark, root, threshold=0.25) is None
+
+    ckpt.append_clustered_snapshot(_grid_df(spark, 300, start=300), root, n_files=4)
+    assert ckpt.overlap_fraction(ckpt.Manifest.load(root)) > 0.25
+    m = ckpt.maybe_compact(spark, root, threshold=0.25, n_files=4)
+    assert m is not None and ckpt.overlap_fraction(m) == 0.0
+    assert ckpt.read_snapshot(spark, root).count() == 600
+    assert ckpt.maybe_compact(spark, root, threshold=0.25) is None  # tight again

@@ -217,3 +217,26 @@ def test_text_and_dedup_construction_is_lazy(spark):
     time.sleep(0.2)
     after = _n_jobs(spark)
     assert after == before, f"construction launched {after - before} job(s)"
+
+
+def test_new_key_plan_shapes(spark):
+    """Plan discipline for the seventh-sitting keys: quadkey encoding is
+    a pure per-row projection (ZERO exchanges), skew-stats partial-
+    aggregates map-side before its single shuffle, and the bigram-LM
+    join graph contains no cartesian/nested-loop join."""
+    from diagonal_b6_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+
+    qk = catalog.q_geo_quadkey(spark, sf)
+    plan = qk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "quadkey must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    sk = catalog.q_skew_stats(spark, sf)
+    splan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in splan or "HashAggregate" in splan
+
+    lm = catalog.q_lm_bigram_score(spark, sf)
+    lplan = lm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lplan and "BroadcastNestedLoopJoin" not in lplan
