@@ -51,6 +51,10 @@ class Manifest:
     # layouts overwrite their data in place, so history would be dead
     # weight accumulating one JSON per run -- they leave this False
     keep_history: bool = False
+    # {"kind": "hilbert"} or {"kind": "spacetime", "ts": <col>} for the
+    # clustered lifecycle -- append/compact read it so maintenance
+    # preserves the table's layout instead of silently converting it
+    layout: dict = field(default_factory=dict)
 
     @property
     def path(self) -> str:
@@ -63,6 +67,7 @@ class Manifest:
             "parent_id": self.parent_id,
             "created_at": self.created_at,
             "provenance": self.provenance,
+            "layout": self.layout,
             "partitions": self.partitions,
         }
         os.makedirs(self.root, exist_ok=True)
@@ -96,6 +101,7 @@ class Manifest:
         m.parent_id = data.get("parent_id")
         m.created_at = data.get("created_at", 0.0)
         m.provenance = data.get("provenance", "")
+        m.layout = data.get("layout", {})
         m.partitions = data.get("partitions", {})
         return m
 
@@ -210,6 +216,7 @@ def write_clustered_snapshot(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,
         keep_history=True,
+        layout={"kind": "hilbert"},
     )
     _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False)
     m.commit()
@@ -260,11 +267,24 @@ def _cluster_write(
         F.min("cell16").alias("cell_min"),
         F.max("cell16").alias("cell_max"),
         F.count("*").alias("rows"),
+        # per-ROW null counts: F.min ignores nulls, so a file mixing null
+        # and non-null rows would otherwise slip past the guard with a
+        # box that silently excludes the null rows
+        F.sum(F.col("cell16").isNull().cast("int")).alias("null_cells"),
     ]
     if ts is not None:
+        from .operators.cover import spacetime_zvalue_col
+
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts))
         aggs += [
             F.min(F.col(ts).cast("long")).alias("ts_min"),
             F.max(F.col(ts).cast("long")).alias("ts_max"),
+            F.sum(F.col(ts).isNull().cast("int")).alias("null_ts"),
+            # Z-value ranges drive overlap_fraction for this layout --
+            # raw cell16 ranges of adjacent Z-order files interleave by
+            # design, so they cannot measure degradation here
+            F.min(zv).alias("zv_min"),
+            F.max(zv).alias("zv_max"),
         ]
     stats = (
         written.groupBy(F.input_file_name().alias("file"))
@@ -275,12 +295,12 @@ def _cluster_write(
     # rows with null lat/lng have no cell id and would break both the
     # layout contract and the manifest sort -- fail loudly, the caller
     # owns filtering them
-    if any(r["cell_min"] is None for r in stats):
+    if any(r["cell_min"] is None or r["null_cells"] for r in stats):
         raise ValueError(
             "write_clustered_snapshot: input has rows with null "
             f"coordinates ({lat}/{lng}); filter them before clustering"
         )
-    if ts is not None and any(r["ts_min"] is None for r in stats):
+    if ts is not None and any(r["ts_min"] is None or r["null_ts"] for r in stats):
         raise ValueError(
             f"clustered write: input has rows with null {ts}; filter them first"
         )
@@ -300,6 +320,8 @@ def _cluster_write(
         if ts is not None:
             entry["ts_min"] = r["ts_min"]
             entry["ts_max"] = r["ts_max"]
+            entry["zv_min"] = r["zv_min"]
+            entry["zv_max"] = r["zv_max"]
         m.partitions[os.path.basename(path)] = entry
 
 
@@ -323,6 +345,7 @@ def write_spacetime_snapshot(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,
         keep_history=True,
+        layout={"kind": "spacetime", "ts": ts},
     )
     _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False, ts=ts)
     m.commit()
@@ -403,12 +426,16 @@ def append_clustered_snapshot(
             df, root, lat=lat, lng=lng, n_files=n_files, provenance=provenance
         )
     m = Manifest(
-        root=root, provenance=provenance, parent_id=prior.snapshot_id, keep_history=True
+        root=root, provenance=provenance, parent_id=prior.snapshot_id,
+        keep_history=True, layout=dict(prior.layout) or {"kind": "hilbert"},
     )
     m.partitions = {
         k: dict(e, recomputed=False) for k, e in prior.partitions.items()
     }
-    _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False)
+    _cluster_write(
+        df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False,
+        ts=m.layout.get("ts"),
+    )
     m.commit()
     return m
 
@@ -504,9 +531,13 @@ def compact_snapshot(
         raise FileNotFoundError(f"compact_snapshot: no snapshot under {root}")
     current = read_snapshot(spark, root)
     m = Manifest(
-        root=root, provenance=provenance, parent_id=prior.snapshot_id, keep_history=True
+        root=root, provenance=provenance, parent_id=prior.snapshot_id,
+        keep_history=True, layout=dict(prior.layout) or {"kind": "hilbert"},
     )
-    _cluster_write(current, m, lat="lat", lng="lng", n_files=n_files, has_cells=True)
+    _cluster_write(
+        current, m, lat="lat", lng="lng", n_files=n_files, has_cells=True,
+        ts=m.layout.get("ts"),
+    )
     m.commit()
     return m
 
@@ -548,15 +579,26 @@ def expire_snapshots(root: str, keep: int = 2) -> list[str]:
 
 def overlap_fraction(m: Manifest) -> float:
     """Layout-degradation metric: the fraction of adjacent file pairs
-    (in cell_min order) whose cell ranges interleave.  A freshly
+    (in clustering-key order) whose key ranges interleave.  A freshly
     clustered snapshot scores 0.0; every append generation can push it
-    up.  Drives the compaction policy without reading any data."""
-    parts = sorted(m.partitions.values(), key=lambda p: p["cell_min"])
+    up.  Drives the compaction policy without reading any data.  The
+    clustering key is the Z-value for spacetime layouts (raw cell16
+    ranges of adjacent Z-order files interleave BY DESIGN and would
+    read as permanently degraded) and cell16 for Hilbert layouts."""
+    entries = list(m.partitions.values())
+    if all("zv_min" in p for p in entries) and entries:
+        lo, hi = "zv_min", "zv_max"
+    elif all("cell_min" in p for p in entries) and entries:
+        lo, hi = "cell_min", "cell_max"
+    else:
+        raise ValueError(
+            "overlap_fraction: manifest carries no clustering-key ranges -- "
+            "it was not written by the clustered-snapshot lifecycle"
+        )
+    parts = sorted(entries, key=lambda p: p[lo])
     if len(parts) < 2:
         return 0.0
-    overlapping = sum(
-        1 for a, b in zip(parts, parts[1:]) if a["cell_max"] > b["cell_min"]
-    )
+    overlapping = sum(1 for a, b in zip(parts, parts[1:]) if a[hi] > b[lo])
     return overlapping / (len(parts) - 1)
 
 

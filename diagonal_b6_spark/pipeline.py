@@ -66,6 +66,23 @@ def tile_pyramid_apply_delta(
     merged count would go negative, which raises at read time via the
     n >= 0 check column rather than silently corrupting counts."""
 
+    # a pyramid whose zoom domain differs from [min_zoom, base_zoom]
+    # would merge deltas into some levels while passing stale counts
+    # through at others -- the mixed-zoom corruption tile_pyramid_rollup
+    # guards against with its base-zoom filter; raise instead
+    zoom_guard = F.when(
+        ~F.col("zoom").between(min_zoom, base_zoom),
+        F.raise_error(
+            F.lit(
+                "tile_pyramid_apply_delta: stored pyramid has zoom levels "
+                f"outside [{min_zoom}, {base_zoom}]"
+            )
+        ),
+    ).otherwise(F.col("zoom"))
+    pyramid = pyramid.select(
+        zoom_guard.alias("zoom"), "tile_x", "tile_y", "n"
+    )
+
     def _base_counts(pts: DataFrame, sign: int) -> DataFrame:
         a = tile_assignments(pts, zooms=(base_zoom,))
         return a.groupBy("zoom", "tile_x", "tile_y").agg(

@@ -423,3 +423,83 @@ def test_maybe_compact_policy(spark, tmp_path):
     assert m is not None and ckpt.overlap_fraction(m) == 0.0
     assert ckpt.read_snapshot(spark, root).count() == 600
     assert ckpt.maybe_compact(spark, root, threshold=0.25) is None  # tight again
+
+
+def test_spacetime_maintenance_preserves_layout(spark, tmp_path):
+    """Append + auto-compaction on a spacetime table must preserve the
+    Z-order layout: appended and compacted manifests keep ts/zv stats,
+    files_for_box still works, and overlap_fraction measures the
+    Z-value (a fresh spacetime layout scores 0.0, not perma-degraded)."""
+    import numpy as np
+
+    root = str(tmp_path / "st_maint")
+    rng = np.random.default_rng(5)
+
+    def pts(n, start=0):
+        rows = [
+            (int(start + i), float(a), float(b), int(t))
+            for i, (a, b, t) in enumerate(
+                zip(
+                    rng.uniform(40, 60, n),
+                    rng.uniform(-10, 10, n),
+                    rng.integers(1_600_000_000, 1_600_000_000 + 400 * 3600, n),
+                )
+            )
+        ]
+        return spark.createDataFrame(rows, "id long, lat double, lng double, ts long")
+
+    m1 = ckpt.write_spacetime_snapshot(pts(1500), root, ts="ts", n_files=6)
+    assert m1.layout == {"kind": "spacetime", "ts": "ts"}
+    assert ckpt.overlap_fraction(m1) == 0.0  # fresh Z-order is tight in zv
+
+    m2 = ckpt.append_clustered_snapshot(pts(1500, start=1500), root, n_files=6)
+    assert m2.layout["kind"] == "spacetime"
+    assert all("ts_min" in e and "zv_min" in e for e in m2.partitions.values())
+    assert ckpt.overlap_fraction(m2) > 0.0
+
+    m3 = ckpt.maybe_compact(spark, root, threshold=0.0, n_files=6)
+    assert m3 is not None and m3.layout["kind"] == "spacetime"
+    assert all("ts_min" in e and "zv_min" in e for e in m3.partitions.values())
+    assert ckpt.overlap_fraction(m3) == 0.0
+    probe = sorted(m3.partitions.values(), key=lambda p: p["cell_min"])[2]
+    files = ckpt.files_for_box(
+        m3, probe["cell_min"], probe["cell_max"], probe["ts_min"], probe["ts_max"]
+    )
+    assert probe["path"] in files
+    assert ckpt.read_snapshot(spark, root).count() == 3000
+
+
+def test_lifecycle_guards_raise_explicitly(spark, tmp_path):
+    """Null-ts rows (even mixed into non-null files), plain-layout
+    manifests under overlap_fraction, and zoom-domain mismatches in
+    tile_pyramid_apply_delta all raise with explicit messages."""
+    from diagonal_b6_spark.pipeline import (
+        tile_assignments,
+        tile_pyramid_apply_delta,
+        tile_pyramid_rollup,
+    )
+
+    root = str(tmp_path / "nullts")
+    df = spark.range(100).selectExpr(
+        "id", "45.0 + id * 0.1 as lat", "0.1 * id as lng",
+        "CASE WHEN id = 7 THEN NULL ELSE 1600000000 + id END as ts",
+    )
+    with pytest.raises(ValueError, match="null ts"):
+        ckpt.write_spacetime_snapshot(df, root, ts="ts", n_files=2)
+
+    snap = str(tmp_path / "plain")
+    m = ckpt.write_snapshot(
+        spark.range(10).selectExpr("id", "cast(id % 2 as int) as zoom"), snap, "zoom"
+    )
+    with pytest.raises(ValueError, match="clustering-key"):
+        ckpt.overlap_fraction(m)
+
+    p = spark.range(30).select(
+        ckpt.F.col("id").alias("image_id"),
+        (ckpt.F.lit(51.0) + ckpt.F.col("id") * 0.01).alias("lat"),
+        (ckpt.F.lit(-0.2) + ckpt.F.col("id") * 0.01).alias("lng"),
+    )
+    pyr = tile_pyramid_rollup(tile_assignments(p, zooms=(12,)), 12, 10)
+    bad = tile_pyramid_apply_delta(pyr, p.limit(0), p.limit(0), 12, 11)  # domain mismatch
+    with pytest.raises(Exception, match="outside"):
+        bad.collect()
