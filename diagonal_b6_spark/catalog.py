@@ -6572,11 +6572,27 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rebuilt from the CURRENT events table on every call (a cached copy
     # could silently serve stale rows after a testdata regeneration);
-    # pid-suffixed so concurrent gate runs never race on the same root
+    # pid-suffixed so concurrent gate runs never race on the same root.
+    # The returned DataFrame reads these files lazily (the driver
+    # collects AFTER this function returns), so the root must outlive
+    # the call -- cleanup is deferred to process exit via atexit, and
+    # roots leaked by dead pids (a kill before atexit ran) are swept here
     sfname = os.path.basename(sf_dir.rstrip("/"))
     root = f"/tmp/snap_lifecycle_{sfname}_{os.getpid()}"
     if os.path.isdir(root):
         shutil.rmtree(root)
+    import atexit
+    import glob as _glob
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    for stale in _glob.glob("/tmp/snap_lifecycle_*_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+            os.kill(pid, 0)  # raises if that pid is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid -- leave its root alone
     pts = _events_points(spark, sf_dir)
     ckpt.write_clustered_snapshot(
         pts.filter(F.col("event_id") % 7 != 0), root, n_files=8, provenance="base"

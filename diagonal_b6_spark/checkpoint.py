@@ -55,6 +55,10 @@ class Manifest:
     # clustered lifecycle -- append/compact read it so maintenance
     # preserves the table's layout instead of silently converting it
     layout: dict = field(default_factory=dict)
+    # Spark schema JSON of the written table, so a zero-partition
+    # snapshot can still be read with the table's real schema (Iceberg
+    # keeps the schema in table metadata for the same reason)
+    schema_json: str | None = None
 
     @property
     def path(self) -> str:
@@ -68,6 +72,7 @@ class Manifest:
             "created_at": self.created_at,
             "provenance": self.provenance,
             "layout": self.layout,
+            "schema_json": self.schema_json,
             "partitions": self.partitions,
         }
         os.makedirs(self.root, exist_ok=True)
@@ -102,6 +107,7 @@ class Manifest:
         m.created_at = data.get("created_at", 0.0)
         m.provenance = data.get("provenance", "")
         m.layout = data.get("layout", {})
+        m.schema_json = data.get("schema_json")
         m.partitions = data.get("partitions", {})
         return m
 
@@ -263,6 +269,7 @@ def _cluster_write(
     data_dir = os.path.join(m.root, f"data-{m.snapshot_id}")
     clustered.write.mode("overwrite").parquet(data_dir)
     written = spark.read.parquet(data_dir)
+    m.schema_json = written.schema.json()
     aggs = [
         F.min("cell16").alias("cell_min"),
         F.max("cell16").alias("cell_max"),
@@ -456,7 +463,21 @@ def read_snapshot(spark: SparkSession, root: str, as_of: str | None = None) -> D
         raise FileNotFoundError(f"read_snapshot: no manifest for {which} under {root}")
     paths = [e["path"] for e in m.partitions.values()]
     if not paths:
-        return spark.createDataFrame([], "cell16 long")
+        # a legitimately-empty snapshot must still present the table's
+        # real schema so downstream column references behave identically
+        # to the non-empty case; manifests written before schema_json
+        # existed raise rather than guessing a schema
+        if m.schema_json:
+            from pyspark.sql import types as _T
+
+            return spark.createDataFrame(
+                [], _T.StructType.fromJson(json.loads(m.schema_json))
+            )
+        raise ValueError(
+            f"read_snapshot: snapshot {m.snapshot_id} under {root} has no "
+            "data files and its manifest predates schema persistence -- "
+            "cannot construct an empty DataFrame with the table schema"
+        )
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
@@ -542,18 +563,29 @@ def compact_snapshot(
     return m
 
 
-def expire_snapshots(root: str, keep: int = 2) -> list[str]:
+def expire_snapshots(root: str, keep: int = 2, grace_s: float = 0.0) -> list[str]:
     """Drop history manifests beyond the newest `keep` in the current
     chain, then delete any `data-<id>` directory no retained manifest
     references.  Returns the removed paths.  The current snapshot is
-    always retained (keep < 1 is rejected)."""
+    always retained (keep < 1 is rejected).
+
+    SINGLE-WRITER maintenance op: an in-flight concurrent commit (history
+    entry written, current pointer not yet flipped) is indistinguishable
+    from a crash orphan, so sweeping while another writer commits would
+    delete the about-to-commit snapshot's manifest and data.  Run it from
+    the table's one writer (Iceberg imposes the same rule on
+    expire_snapshots).  When a concurrent sweeper is unavoidable, pass
+    `grace_s` > the writer's worst-case commit latency: manifests (and
+    their data dirs) younger than `grace_s` seconds are left alone."""
     import shutil
 
     if keep < 1:
         raise ValueError("expire_snapshots: keep must be >= 1")
+    now = time.time()
     chain = snapshot_log(root)
     kept = chain[-keep:]
     kept_ids = {m.snapshot_id for m in kept}
+    young_ids: set[str] = set()
     removed: list[str] = []
     # every history manifest outside the kept set goes -- dropped chain
     # ancestors AND orphans a crashed commit left behind (history written,
@@ -564,6 +596,9 @@ def expire_snapshots(root: str, keep: int = 2) -> list[str]:
         sid = name[len("manifest-"):-len(".json")]
         if sid not in kept_ids:
             full = os.path.join(root, name)
+            if grace_s > 0.0 and now - os.path.getmtime(full) < grace_s:
+                young_ids.add(sid)  # possibly an in-flight commit
+                continue
             os.remove(full)
             removed.append(full)
     live_dirs = {
@@ -572,6 +607,13 @@ def expire_snapshots(root: str, keep: int = 2) -> list[str]:
     for name in sorted(os.listdir(root)):
         full = os.path.join(root, name)
         if name.startswith("data-") and os.path.isdir(full) and full not in live_dirs:
+            # data of a possibly in-flight commit: its manifest was young,
+            # or (data dirs are written BEFORE the manifest) no manifest
+            # exists yet but the dir itself is younger than the grace
+            if name.removeprefix("data-") in young_ids:
+                continue
+            if grace_s > 0.0 and now - os.path.getmtime(full) < grace_s:
+                continue
             shutil.rmtree(full)
             removed.append(full)
     return removed
@@ -586,9 +628,13 @@ def overlap_fraction(m: Manifest) -> float:
     ranges of adjacent Z-order files interleave BY DESIGN and would
     read as permanently degraded) and cell16 for Hilbert layouts."""
     entries = list(m.partitions.values())
-    if all("zv_min" in p for p in entries) and entries:
+    if not entries:
+        # an empty table has no layout to degrade; returning 0.0 keeps
+        # maybe_compact a no-op instead of tripping the layout guard
+        return 0.0
+    if all("zv_min" in p for p in entries):
         lo, hi = "zv_min", "zv_max"
-    elif all("cell_min" in p for p in entries) and entries:
+    elif all("cell_min" in p for p in entries):
         lo, hi = "cell_min", "cell_max"
     else:
         raise ValueError(
@@ -598,7 +644,10 @@ def overlap_fraction(m: Manifest) -> float:
     parts = sorted(entries, key=lambda p: p[lo])
     if len(parts) < 2:
         return 0.0
-    overlapping = sum(1 for a, b in zip(parts, parts[1:]) if a[hi] > b[lo])
+    # inclusive overlap (>=): adjacent files sharing a boundary key value
+    # (repartitionByRange may split equal keys) both serve a key-range
+    # scan, matching files_for_cell_range's inclusive intersection
+    overlapping = sum(1 for a, b in zip(parts, parts[1:]) if a[hi] >= b[lo])
     return overlapping / (len(parts) - 1)
 
 

@@ -503,3 +503,54 @@ def test_lifecycle_guards_raise_explicitly(spark, tmp_path):
     bad = tile_pyramid_apply_delta(pyr, p.limit(0), p.limit(0), 12, 11)  # domain mismatch
     with pytest.raises(Exception, match="outside"):
         bad.collect()
+
+
+def test_empty_manifest_and_schema_persistence(spark, tmp_path):
+    """Round-5 ADVICE regressions: (a) overlap_fraction of a
+    zero-partition manifest is 0.0 (not the layout-guard error) and
+    maybe_compact on it is a no-op; (b) read_snapshot of an empty
+    snapshot presents the table's REAL persisted schema; (c) a
+    pre-schema_json manifest raises explicitly instead of inventing a
+    schema; (d) boundary-sharing adjacent files count as overlapping
+    (inclusive >=, matching files_for_cell_range)."""
+    root = str(tmp_path / "emptiness")
+    m = ckpt.write_clustered_snapshot(_grid_df(spark, 200), root, n_files=3)
+    schema = ckpt.read_snapshot(spark, root).schema
+    # (a) + (b): synthesize the empty-table state with the real schema kept
+    m.partitions = {}
+    m.commit()
+    cur = ckpt.Manifest.load(root)
+    assert ckpt.overlap_fraction(cur) == 0.0
+    assert ckpt.maybe_compact(spark, root, threshold=0.25) is None
+    empty = ckpt.read_snapshot(spark, root)
+    assert empty.schema == schema and empty.count() == 0
+    # (c): legacy manifest without schema_json
+    cur.schema_json = None
+    cur.commit()
+    with pytest.raises(ValueError, match="schema"):
+        ckpt.read_snapshot(spark, root)
+    # (d): adjacent files sharing one boundary key value overlap
+    m2 = ckpt.Manifest(root=str(tmp_path / "fake"))
+    m2.partitions = {
+        "a": {"path": "a", "cell_min": 0, "cell_max": 10},
+        "b": {"path": "b", "cell_min": 10, "cell_max": 20},
+        "c": {"path": "c", "cell_min": 21, "cell_max": 30},
+    }
+    assert ckpt.overlap_fraction(m2) == 0.5
+
+
+def test_expire_snapshots_grace_period(spark, tmp_path):
+    """expire_snapshots with grace_s leaves young unreferenced
+    manifests and data dirs alone (a concurrent in-flight commit is
+    indistinguishable from a crash orphan), while grace_s=0 sweeps
+    them (single-writer default)."""
+    root = str(tmp_path / "grace")
+    m1 = ckpt.write_clustered_snapshot(_grid_df(spark, 200), root, n_files=2)
+    ckpt.append_clustered_snapshot(_grid_df(spark, 200, start=200), root, n_files=2)
+    # everything here was written milliseconds ago: with a 1-hour grace
+    # nothing may be deleted even though keep=1 would drop m1
+    assert ckpt.expire_snapshots(root, keep=1, grace_s=3600.0) == []
+    assert ckpt.read_snapshot(spark, root, as_of=m1.snapshot_id).count() == 200
+    # default grace (0.0) sweeps as before
+    removed = ckpt.expire_snapshots(root, keep=1)
+    assert removed and ckpt.read_snapshot(spark, root).count() == 400
