@@ -1195,10 +1195,26 @@ SELECT fid AS feature_id, round(greatest(area, 0.0), 1) AS area_m2 FROM tot
 
 
 def q_geo_s2_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """s2-covering tokens per feature (rows-only; pinned vectors in pytest)."""
+    """s2-covering tokens per feature -- the core index primitive
+    (reference: b6/search/spatial.go:30-32, b6/api/functions/s2.go:48-59).
+    Fully value-checked since r5: the oracle regenerates the ENTIRE
+    covering independently in SQL (sql_cellmath.py -- point Hilbert
+    encode as a 30-level recursive CTE, the greedy budgeted cap
+    refinement as one-loop-iteration-per-recursive-step over a
+    LIST<STRUCT> candidate column)."""
     return geo_fn.s2_covering(fixtures.features_table(spark)).select(
         "feature_id", "token", "level"
     )
+
+
+def sql_geo_s2_covering() -> str:
+    from . import sql_cellmath
+
+    return f"""
+WITH RECURSIVE {sql_cellmath.covering_sql_ctes(_feature_ring_vertices_values())}
+SELECT fid AS feature_id, {sql_cellmath.TOKEN_SQL} AS token, CAST(level AS INT) AS level
+FROM allcells
+"""
 
 
 def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6976,6 +6992,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": sql_fingerprint(),
     "multimodal_features": sql_multimodal_features(),
     "image_pipeline_lossless": sql_image_pipeline_lossless(),
+    "geo_s2_covering": sql_geo_s2_covering(),
     "geo_hull_metrics": sql_geo_hull_metrics(),
     "ordered_join": sql_ordered_join(),
     "geo_render_tiles": sql_geo_render_tiles(),
