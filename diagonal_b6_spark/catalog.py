@@ -3179,6 +3179,146 @@ FROM o WHERE a > 0.0
 """
 
 
+# --- general (concave) clip under a full value oracle -----------------------
+#
+# Staircase-tower fixtures: x-monotone RECTILINEAR CONCAVE polygons on the
+# integer lattice (12 columns, per-column heights from integer hash
+# formulas, minimal rings -- no collinear vertices), clipped against a
+# fixed HALF-lattice window, so no input vertex ever lies on a window edge
+# and no crossing coincides with a vertex.  The general Greiner-Hormann
+# traversal runs in full (concave inputs, multi-piece outputs when the
+# window's bottom edge cuts a tower's short columns); the oracle replays
+# the clip in closed form by clamping each column's [a, b] interval to the
+# window and counting:
+#   pieces   = maximal runs of consecutive non-empty clamped columns
+#              (adjacent clamped intervals always overlap by >= 0.5 unit
+#              -- construction keeps b_min >= a_max + 1, window edges at
+#              half-integers -- so runs ARE the connected pieces),
+#   vertices = 2 * (#top segments + #bottom segments) per piece, the
+#              corner count of an x-monotone rectilinear region,
+#   area     = sum of clamped column boxes, every value a multiple of the
+#              quarter-cell 2^-22 deg^2 (integer after scaling; crossing
+#              coordinates computed via the kernel's parametric t can be
+#              1 ulp off, absorbed by rounding -- same contract as
+#              collect_areas_rect).
+_CLIPG_WX1, _CLIPG_WX2 = 40.5, 280.5  # window in lattice units
+_CLIPG_WY1, _CLIPG_WY2 = 30.5, 210.5
+_CLIPG_MOD = 10  # every 10th event becomes a tower fixture
+
+# per-column height formulas, shared verbatim (integer ops only) between
+# the Spark ring builder and the DuckDB oracle: a in {0,1,2}, b in [3,8],
+# b - a >= 3 so adjacent column intervals always overlap by >= 1 unit
+_CLIPG_A = "((g*7 + {c}*5 + (g div 24)*3) % 3)"
+_CLIPG_B = _CLIPG_A + " + 3 + (g*11 + {c}*13) % 4"
+_CLIPG_X0 = "((g % 24)*14 + ((g div 24) % 24) % 7)"
+_CLIPG_Y0 = "(((g div 24) % 24)*12 + (g % 24) % 5)"
+
+
+def q_geo_clip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general concave path of the Foster/GH clip kernel under a
+    full value oracle (see block comment above; reference
+    b6/geometry/foster.go:21-600).  Ring construction is pure Spark
+    higher-order functions (no UDF before the clip kernel itself)."""
+    a_prev = _CLIPG_A.format(c="(c - 1)")
+    a_cur = _CLIPG_A.format(c="c")
+    # bottom staircase left->right: start corner, jump pairs where a
+    # changes, end corner; top staircase right->left symmetric.  The
+    # concat of both is the minimal CCW ring.
+    bottom = (
+        "concat("
+        f"array(struct(CAST(x0 AS DOUBLE), CAST(y0 + {_CLIPG_A.format(c='0')} AS DOUBLE))), "
+        "flatten(transform(sequence(1, 11), c -> "
+        f"IF({a_cur} = {a_prev}, array(), "
+        f"array(struct(CAST(x0 + c AS DOUBLE), CAST(y0 + {a_prev} AS DOUBLE)), "
+        f"struct(CAST(x0 + c AS DOUBLE), CAST(y0 + {a_cur} AS DOUBLE)))))), "
+        f"array(struct(CAST(x0 + 12 AS DOUBLE), CAST(y0 + {_CLIPG_A.format(c='11')} AS DOUBLE))))"
+    )
+    bc = _CLIPG_B.format(c="cc")
+    bc_prev = _CLIPG_B.format(c="(cc - 1)")
+    top = (
+        "concat("
+        f"array(struct(CAST(x0 + 12 AS DOUBLE), CAST(y0 + {_CLIPG_B.format(c='11')} AS DOUBLE))), "
+        "flatten(transform(sequence(11, 1), cc -> "
+        f"IF({bc} = {bc_prev}, array(), "
+        f"array(struct(CAST(x0 + cc AS DOUBLE), CAST(y0 + {bc} AS DOUBLE)), "
+        f"struct(CAST(x0 + cc AS DOUBLE), CAST(y0 + {bc_prev} AS DOUBLE)))))), "
+        f"array(struct(CAST(x0 AS DOUBLE), CAST(y0 + {_CLIPG_B.format(c='0')} AS DOUBLE))))"
+    )
+    u = _ULAT
+    feats = (
+        fixtures.testdata(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _CLIPG_MOD == 0)
+        .selectExpr(
+            "event_id",
+            f"event_id div {_CLIPG_MOD} AS g",
+        )
+        .selectExpr(
+            "event_id",
+            "g",
+            f"{_CLIPG_X0} AS x0",
+            f"{_CLIPG_Y0} AS y0",
+        )
+        .selectExpr(
+            "CAST(event_id AS STRING) AS feature_id",
+            f"concat({bottom}, {top}) AS ring",
+        )
+        .selectExpr(
+            "feature_id",
+            f"transform(ring, p -> -0.25 + p.col1 * {u!r}) AS xs",
+            f"transform(ring, p -> 51.25 + p.col2 * {u!r}) AS ys",
+            "array(0) AS ring_offsets",
+        )
+    )
+    wx = [-0.25 + v * u for v in (_CLIPG_WX1, _CLIPG_WX2, _CLIPG_WX2, _CLIPG_WX1)]
+    wy = [51.25 + v * u for v in (_CLIPG_WY1, _CLIPG_WY1, _CLIPG_WY2, _CLIPG_WY2)]
+    out = geo_fn.clip_to_window(feats, wx, wy, "intersection")
+    return out.select(
+        F.col("feature_id").cast("long").alias("event_id"),
+        F.size("xs").alias("n_vertices"),
+        F.round(F.col("area_deg2") * F.lit(4194304.0), 0).alias("area_scaled"),
+    )
+
+
+def sql_geo_clip_general() -> str:
+    a = _CLIPG_A.format(c="c.range").replace(" div ", " // ")
+    b = _CLIPG_B.format(c="c.range").replace(" div ", " // ")
+    x0 = _CLIPG_X0.replace(" div ", " // ")
+    y0 = _CLIPG_Y0.replace(" div ", " // ")
+    return f"""
+WITH g0 AS (
+  SELECT event_id, event_id // {_CLIPG_MOD} AS g FROM events
+  WHERE event_id % {_CLIPG_MOD} = 0),
+cols AS (
+  SELECT event_id, CAST(c.range AS INT) AS c,
+         GREATEST(CAST({x0} + c.range AS DOUBLE), {_CLIPG_WX1!r}) AS cx1,
+         LEAST(CAST({x0} + c.range + 1 AS DOUBLE), {_CLIPG_WX2!r}) AS cx2,
+         GREATEST(CAST({y0} + {a} AS DOUBLE), {_CLIPG_WY1!r}) AS lo,
+         LEAST(CAST({y0} + {b} AS DOUBLE), {_CLIPG_WY2!r}) AS hi
+  FROM g0, range(12) c),
+flags AS (
+  SELECT *, (cx2 > cx1 AND hi > lo) AS ne,
+         coalesce(lag(cx2 > cx1 AND hi > lo) OVER (PARTITION BY event_id ORDER BY c), false) AS prev_ne,
+         lag(lo) OVER (PARTITION BY event_id ORDER BY c) AS prev_lo,
+         lag(hi) OVER (PARTITION BY event_id ORDER BY c) AS prev_hi
+  FROM cols),
+runs AS (
+  SELECT *, sum(CASE WHEN ne AND NOT prev_ne THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_id ORDER BY c) AS piece
+  FROM flags),
+pieces AS (
+  SELECT event_id, piece,
+    -- corners of an x-monotone rectilinear region: 2 per maximal
+    -- constant-height segment of the top and of the bottom boundary
+    2 * (2 + sum(CASE WHEN prev_ne AND ne AND hi <> prev_hi THEN 1 ELSE 0 END)
+           + sum(CASE WHEN prev_ne AND ne AND lo <> prev_lo THEN 1 ELSE 0 END)) AS n_vertices,
+    round(sum((cx2 - cx1) * (hi - lo)), 10) AS area_units
+  FROM runs WHERE ne GROUP BY event_id, piece)
+SELECT event_id, CAST(n_vertices AS INT) AS n_vertices,
+       round(area_units * 4.0, 0) AS area_scaled
+FROM pieces
+"""
+
+
 def q_collect_areas_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect-areas union semantics under a FULL value oracle: groups of
     three dyadic-lattice rectangles (chain / split / all-disjoint layouts
@@ -6832,10 +6972,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # whole registry. ---
     "geo_s2_covering": q_geo_s2_covering,
     "geo_hull_metrics": q_geo_hull_metrics,
-    "geo_convex_hull": q_geo_convex_hull,
+    # r5 (VERDICT r4 #6): the fully-oracled hull-vertex key takes the
+    # gate slot (exact-lattice vertex membership, O(n^3) edge-enumeration
+    # oracle); the full-cloud float hull stays registered past the gate,
+    # pinned by pytest + the metrics/vertices oracle pair
+    "geo_hull_vertices": q_geo_hull_vertices,
     "geo_render_tiles": q_geo_render_tiles,
     "geo_sightline": q_geo_sightline,
-    "geo_clip": q_geo_clip,
+    # r5 (VERDICT r4 #5): the gate's boolean-op representative is the
+    # CONCAVE staircase corpus through the same GH kernel, fully
+    # value-checked; the fixture-area window clip stays registered past
+    # the gate (rows-only, pinned in tests/test_clip.py)
+    "geo_clip_general": q_geo_clip_general,
     "graph_paths_to_reach": q_graph_paths_to_reach,
     "doc_fingerprint": q_fingerprint,
     "embedding_knn_ivf": q_embedding_knn_ivf,
@@ -6879,7 +7027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_street_network_star": q_geo_street_network_star,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
-    "geo_hull_vertices": q_geo_hull_vertices,
+    "geo_convex_hull": q_geo_convex_hull,
+    "geo_clip": q_geo_clip,
     "geo_clip_rect": q_geo_clip_rect,
     "collect_areas_rect": q_collect_areas_rect,
     "image_lossy_dc": q_image_lossy_dc,
@@ -7024,6 +7173,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": sql_dedup_clusters(),
     "dedup_apply": sql_dedup_apply(),
     "geo_hull_vertices": sql_geo_hull_vertices(),
+    "geo_clip_general": sql_geo_clip_general(),
     "geo_clip_rect": sql_geo_clip_rect(),
     "collect_areas_rect": sql_collect_areas_rect(),
     "image_lossy_dc": sql_image_lossy_dc(),
