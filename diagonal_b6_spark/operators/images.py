@@ -163,16 +163,26 @@ def lossy_dc_checksum(images: DataFrame) -> DataFrame:
     fixture's closed-form pixel generator.  Blocks whose exact quotient
     lands ON the rounding half (sum - 8192 == 16 mod 32) are excluded
     from the checksum by BOTH engines: there the encoder's float path
-    (~1e-12 off the exact half) rounds in a direction the exact
-    arithmetic cannot predict.  Excluded blocks stay covered by the
-    PSNR>=40 round-trip pytest, which is insensitive to half-step
-    rounding direction.
+    (~1e-12 off the exact half) rounds in a direction exact arithmetic
+    cannot predict (it depends on the BLAS accumulation order inside
+    the DCT matmul).  Those blocks are still VALUE-checked (r5): a half
+    block's stored DC has exactly two admissible values, k and k+1
+    where sum - 8192 = 32k + 16, and `half_ok` asserts every half block
+    stored one of them -- any other value (wrong block sum, wrong
+    quantizer step, transposed plane) fails.  Combined with the exact
+    checksum over non-half blocks, every DC coefficient is now pinned
+    up to the mathematically-irreducible half-step direction, which the
+    PSNR>=40 round-trip pytest is insensitive to by construction.
 
-    Output: (image_id, n_blocks = 3 * blocks/image, n_checked, dc_sum).
-    Map-side only -- the bytes column never crosses a shuffle."""
+    Output: (image_id, n_blocks = 3 * blocks/image, n_checked, dc_sum,
+    half_ok).  Map-side only -- the bytes column never crosses a
+    shuffle."""
     import zlib
 
-    schema = "image_id string, n_blocks long, n_checked long, dc_sum long"
+    schema = (
+        "image_id string, n_blocks long, n_checked long, dc_sum long, "
+        "half_ok boolean"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,11 +201,22 @@ def lossy_dc_checksum(images: DataFrame) -> DataFrame:
                 )
                 sprime = bs - 64 * 128
                 mask = (sprime % 32) != 16
+                # half blocks: stored DC must be one of the two admissible
+                # roundings of the exact half, k or k+1 (s' = 32k + 16)
+                k = (sprime[~mask] - 16) // 32
+                half_ok = bool(np.isin(dc[~mask] - k, (0, 1)).all())
                 out.append(
-                    (r.image_id, 3 * nby * nbx, int(mask.sum()), int(dc[mask].sum()))
+                    (
+                        r.image_id,
+                        3 * nby * nbx,
+                        int(mask.sum()),
+                        int(dc[mask].sum()),
+                        half_ok,
+                    )
                 )
             yield pd.DataFrame(
-                out, columns=["image_id", "n_blocks", "n_checked", "dc_sum"]
+                out,
+                columns=["image_id", "n_blocks", "n_checked", "dc_sum", "half_ok"],
             )
 
     return (

@@ -99,3 +99,39 @@ def test_phash_band_bucket_cap_drops_hot_buckets(spark):
     capped = image_ops.phash_near_dup_pairs(df, max_hamming=0, max_bucket=4)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {("j000", "j001")}  # hot cluster capped out, small one kept
+
+
+def test_lossy_dc_half_block_check_not_vacuous(spark):
+    """r5: the half-block admissibility check must (a) pass on real
+    encoder output, (b) actually see half blocks (non-vacuous), and
+    (c) FAIL when a stored DC is corrupted beyond the two admissible
+    half roundings -- i.e. it is a value check, not a tautology."""
+    from diagonal_b6_spark import fixtures
+
+    img = fixtures.images_table(spark, 60)
+    out = image_ops.lossy_dc_checksum(img).toPandas()
+    assert len(out) > 0 and out["half_ok"].all()
+    assert (out["n_checked"] < out["n_blocks"]).any(), "no half blocks seen"
+
+    # corrupt one half-block DC by +2 (outside {k, k+1}) and re-check
+    import zlib
+
+    row = img.filter("fmt = 'lossy'").limit(1).collect()[0]
+    from diagonal_b6_spark.kernels import imagecodec as ic
+
+    nby, nbx = row.h // 8, row.w // 8
+    raw = np.frombuffer(zlib.decompress(bytes(row.bytes)[12:]), dtype=np.int16).copy()
+    coeffs = raw.reshape(3, nby, nbx, 8, 8)
+    pix = ic.pix(int(row.image_id[3:]), row.w, row.h).astype(np.int64)
+    sums = pix.transpose(2, 0, 1).reshape(3, nby, 8, nbx, 8).sum(axis=(2, 4)) - 8192
+    halves = np.argwhere(sums % 32 == 16)
+    assert len(halves), "fixture image has no half block; pick another id"
+    c, by, bx = halves[0]
+    coeffs[c, by, bx, 0, 0] += 2
+    bad_bytes = bytes(row.bytes)[:12] + zlib.compress(coeffs.tobytes(), level=6)
+    bad = spark.createDataFrame(
+        [(row.image_id, bad_bytes, row.w, row.h, "lossy")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    res = image_ops.lossy_dc_checksum(bad).collect()[0]
+    assert not res["half_ok"]
