@@ -175,6 +175,56 @@ GROUP BY 1, 2
 """
 
 
+def q_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.geofence_transitions (enter/exit presence
+    episodes per user x geofence, 30-minute sampling gap).  The operator
+    runs the SAME containment join as the stream and the islands are the
+    same semantics the stateful operator applies per key (batch==stream
+    pinned in tests/test_streaming.py); the oracle replays winding-parity
+    containment + gaps-and-islands in SQL."""
+    from .streaming import windows as sw
+
+    ev = fixtures.testdata(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id",
+        F.expr(LAT_SQL).alias("lat"), F.expr(LNG_SQL).alias("lng"),
+    )
+    pts = cover_ops.with_point_cells(ev)
+    out = sw.geofence_transitions(
+        pts, fixtures.features_table(spark), gap="30 minutes", point_id="event_id"
+    )
+    return out.select("user_id", "feature_id", "enter_ms", "exit_ms", "n_samples")
+
+
+def sql_geofence_transitions() -> str:
+    return f"""
+WITH {_PTS_CTE},
+edges(pid, x1, y1, x2, y2) AS (VALUES
+    {_polygon_edges_values()}),
+crossings AS (
+  SELECT p.event_id, e.pid
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.lat) != (e.y2 > p.lat))
+   AND p.lng < e.x1 + (p.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+),
+hits AS (
+  SELECT event_id, pid AS feature_id
+  FROM crossings GROUP BY event_id, pid HAVING count(*) % 2 = 1),
+samples AS (
+  SELECT e.user_id, h.feature_id, epoch_us(e.ts) // 1000 AS ms
+  FROM hits h JOIN events e USING (event_id)),
+marked AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_ep
+  FROM samples WINDOW w AS (PARTITION BY user_id, feature_id ORDER BY ms)),
+eps AS (
+  SELECT *, sum(new_ep) OVER (PARTITION BY user_id, feature_id ORDER BY ms) AS ep
+  FROM marked)
+SELECT user_id, feature_id, min(ms) AS enter_ms, max(ms) AS exit_ms,
+       count(*) AS n_samples
+FROM eps GROUP BY user_id, feature_id, ep
+"""
+
+
 def q_geo_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result through the salted bucketed join (skew path)."""
     pts = cover_ops.with_point_cells(_events_points(spark, sf_dir))
@@ -7153,6 +7203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count_bpe": q_token_count_bpe,
     "lm_bigram_score": q_lm_bigram_score,
     "geofence_occupancy": q_geofence_occupancy,
+    "geofence_transitions": q_geofence_transitions,
     "geo_quadkey": q_geo_quadkey,
     "skew_stats": q_skew_stats,
     "tile_pyramid_incremental": q_tile_pyramid_incremental,
@@ -7286,6 +7337,7 @@ ORACLES: dict[str, str] = {
     "token_count_bpe": sql_token_count_bpe(),
     "lm_bigram_score": sql_lm_bigram_score(),
     "geofence_occupancy": sql_geofence_occupancy(),
+    "geofence_transitions": sql_geofence_transitions(),
     "geo_quadkey": sql_geo_quadkey(),
     "skew_stats": sql_skew_stats(),
     "tile_pyramid_incremental": sql_tile_pyramid_incremental(),

@@ -285,3 +285,118 @@ def geofence_occupancy(
             "n",
         )
     )
+
+
+def geofence_transitions(
+    points: DataFrame,
+    polygons: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    point_id: str = "event_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """Enter/exit presence episodes per (entity, geofence) -- the
+    stateful twin of geofence_occupancy.  Sampling-based semantics (the
+    standard telemetry contract): an entity ENTERS a polygon at its
+    first contained sample and EXITS when no contained sample arrives
+    for `gap` of event time, so the episode is the island of contained
+    samples separated by > gap.
+
+    Streaming input: the containment join (stateless, the same
+    stream-static broadcast PIP as streaming_geofence) feeds an
+    ``applyInPandasWithState`` keyed by (entity, feature_id) with an
+    EventTimeTimeout -- the same session machinery as
+    stateful_session_stats -- emitting one row per CLOSED episode.
+    State per key is a constant-size triple, so state stays finite at
+    web scale and expires by watermark.
+
+    Batch input: the identical islands computed with window functions
+    (lag > gap starts a new episode), which is also the shape the
+    DuckDB oracle replays -- batch == stream is pinned in
+    tests/test_streaming.py.
+
+    Output: (entity, feature_id, enter_ms, exit_ms, n_samples) with
+    epoch-millisecond bounds (enter = first, exit = last contained
+    sample of the episode)."""
+    import pandas as pd
+
+    gap_ms = _duration_s(gap) * 1000
+    pts = points.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    hits = streaming_geofence(
+        pts, polygons, point_id, lat, lng, extras=[ts_col, entity_col]
+    )
+    out_schema = (
+        f"{entity_col} long, feature_id string, enter_ms long, exit_ms long, "
+        "n_samples long"
+    )
+
+    if not hits.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(entity_col, "feature_id").orderBy("_ms")
+        # floor-divided micros: exact integer ms, no double roundoff
+        ms = F.expr(f"unix_micros({ts_col}) div 1000")
+        marked = hits.select(
+            entity_col, "feature_id", ms.alias("_ms")
+        ).withColumn(
+            "_new",
+            (F.lag("_ms").over(w).isNull()
+             | (F.col("_ms") - F.lag("_ms").over(w) > gap_ms)).cast("int"),
+        ).withColumn(
+            "_ep",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return marked.groupBy(entity_col, "feature_id", "_ep").agg(
+            F.min("_ms").alias("enter_ms"),
+            F.max("_ms").alias("exit_ms"),
+            F.count("*").alias("n_samples"),
+        ).drop("_ep")
+
+    from pyspark.sql.streaming.state import GroupState
+
+    def _emit(key, episodes):
+        return pd.DataFrame(
+            {
+                entity_col: [key[0]] * len(episodes),
+                "feature_id": [key[1]] * len(episodes),
+                "enter_ms": [e[0] for e in episodes],
+                "exit_ms": [e[1] for e in episodes],
+                "n_samples": [e[2] for e in episodes],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            closed = [tuple(state.get)]
+            state.remove()
+            yield _emit(key, closed)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        ts = rows[ts_col].astype("int64") // 1_000_000  # ms epoch
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t in ts:
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_ms:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        state.update(cur)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1, 1))
+        if closed:
+            yield _emit(key, closed)
+
+    src = hits.withWatermark(ts_col, gap)
+    return src.groupBy(entity_col, "feature_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="enter long, last long, n long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -225,3 +225,50 @@ def test_geofence_occupancy_stream_equals_batch(spark, events_stream_dir):
     )
     got = sorted(tuple(r) for r in got_df.collect())
     assert got == want
+
+
+def test_geofence_transitions_stream_equals_batch(spark, events_stream_dir):
+    """Enter/exit presence episodes (r5): the stateful stream emits only
+    episodes CLOSED by the event-time timeout before shutdown; every one
+    of them must match a batch-islands episode exactly, and the episodes
+    guaranteed closed by an in-data gap (> 30 min before the stream's
+    final watermark) must all be present."""
+    from diagonal_b6_spark import catalog
+    from diagonal_b6_spark.operators import cover as cover_ops
+
+    feats = fixtures.features_table(spark)
+
+    def pts(df):
+        return cover_ops.with_point_cells(
+            df.withColumn("lat", F.expr(catalog.LAT_SQL)).withColumn(
+                "lng", F.expr(catalog.LNG_SQL)
+            )
+        )
+
+    batch = pts(fixtures.testdata(spark, SF, "events"))
+    want = {
+        (r.user_id, r.feature_id, r.enter_ms, r.exit_ms, r.n_samples)
+        for r in sw.geofence_transitions(batch, feats, gap="30 minutes").collect()
+    }
+    assert len(want) > 0
+
+    stream = pts(_stream(spark, events_stream_dir))
+    got_df = sw.run_stream_to_memory(
+        sw.geofence_transitions(stream, feats, gap="30 minutes"),
+        "geofence_trans", spark, output_mode="append",
+    )
+    got = {
+        (r.user_id, r.feature_id, r.enter_ms, r.exit_ms, r.n_samples)
+        for r in got_df.collect()
+    }
+    # soundness: every stream-closed episode is a batch episode
+    assert got <= want, got - want
+    # completeness for guaranteed-closed episodes: any batch episode
+    # whose exit precedes (final watermark - gap) must have been closed
+    batch_hits = sw.streaming_geofence(batch, feats, extras=["ts"])
+    max_ms = batch_hits.agg(
+        F.expr("max(unix_micros(CAST(ts AS TIMESTAMP))) div 1000")
+    ).collect()[0][0]
+    gap_ms = 30 * 60 * 1000
+    guaranteed = {w for w in want if w[3] + gap_ms < max_ms - gap_ms}
+    assert guaranteed <= got, guaranteed - got
