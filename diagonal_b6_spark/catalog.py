@@ -577,10 +577,14 @@ FROM pts GROUP BY 1, 2
 
 
 def q_geo_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 index columns + level-10 ancestor histogram in one query
-    (cell math not SQL-expressible -> rows-only check; the cell-id
-    scheme itself is pinned against published S2 topology in
-    tests/test_cellmath.py)."""
+    """S2 index columns + level-10 ancestor histogram in one query.
+    Fully value-checked since r5: the oracle re-encodes EVERY event
+    point through the SQL Hilbert pipeline (sql_cellmath.
+    point_encode_ctes -- the same 30-level recursion that oracles
+    geo_s2_covering) and replays the signed encoding + the level-13
+    bucket and level-10 ancestor bit math, so the index assignment the
+    spatial joins rely on is verified over the real corpus, not just
+    fixtures."""
     pts = cover_ops.with_point_cells(_events_points(spark, sf_dir))
     return (
         pts.withColumn("cell10", cover_ops.ancestor_at(F.col("cell16"), 10))
@@ -591,6 +595,24 @@ def q_geo_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bucket").alias("n_buckets"),
         )
     )
+
+
+def sql_geo_s2_cells() -> str:
+    from . import sql_cellmath as sc
+
+    return f"""
+WITH RECURSIVE {_PTS_CTE},
+encin AS (SELECT event_id AS pid, lng AS x, lat AS y FROM pts),
+{sc.point_encode_ctes("encin")},
+cells AS (
+  SELECT {sc.signed_sql("cell")} AS cell16,
+         {sc.signed_sql(sc.parent_sql("cell", 13))} AS bucket,
+         {sc.signed_sql(sc.parent_sql("cell", 10))} AS cell10
+  FROM enc16)
+SELECT cell10, count(*) AS n, min(cell16) AS min_cell16,
+       count(DISTINCT bucket) AS n_buckets
+FROM cells GROUP BY cell10
+"""
 
 
 # --- relational / aggregation parity (SURVEY.md §2.6-2.8) -------------------
@@ -3793,11 +3815,47 @@ def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_debug_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """debug-tokens / debug-all-query with the reference's full
     TokensForFeature rule (ingest/tokens.go:9-27): `*` + TokenForTag tag
-    tokens + s2:/a2: covering and ancestor tokens (rows-only here: the
-    covering half is Hilbert, pinned bit-for-bit on the reference's
-    search/spatial_test.go fixture in tests; the SQL-replayable
-    projection is the debug_point_tokens key)."""
+    tokens + s2:/a2: covering and ancestor tokens.  Fully value-checked
+    since r5: the covering half replays through the sql_cellmath SQL
+    covering, the ancestor walk is pure parent bit math per level, and
+    the tag/posting halves inline the fixture rule -- the complete
+    search-index token surface under one oracle (bit-parity with the
+    reference's search/spatial_test.go fixture stays pinned in tests)."""
     return find_ops.debug_tokens(fixtures.features_table(spark))
+
+
+def sql_debug_tokens() -> str:
+    from . import sql_cellmath as sc
+
+    posting = [
+        f"('{f['feature_id']}')"
+        for f in fixtures.feature_rows()
+        if not (f["feature_type"] == "point" and len(f["tags"]) == 0)
+    ]
+    # ancestor at runtime level plvl: m = 1 << (60 - 2*plvl) on the raw id
+    anc_parent = (
+        "(c.cell // (2::UBIGINT * (1::UBIGINT << (60 - 2*r.range))) "
+        "* (2::UBIGINT * (1::UBIGINT << (60 - 2*r.range))) "
+        "+ (1::UBIGINT << (60 - 2*r.range)))"
+    )
+    return f"""
+WITH RECURSIVE {sc.covering_sql_ctes(_feature_ring_vertices_values())},
+posting(fid) AS (VALUES {", ".join(posting)}),
+star AS (SELECT fid, '*' AS token FROM posting),
+tagtok AS ({sql_debug_tag_tokens()}),
+s2tok AS (
+  SELECT a.fid, 's2:' || {sc.TOKEN_SQL} AS token
+  FROM allcells a JOIN posting USING (fid) WHERE a.level > 0),
+anctok AS (
+  SELECT DISTINCT fid, 'a2:' || rtrim(lower(lpad(hex({anc_parent}), 16, '0')), '0') AS token
+  FROM (SELECT a.fid, a.cell, a.level FROM allcells a JOIN posting USING (fid)
+        WHERE a.level > 0) c, range(16) r
+  WHERE r.range < c.level)
+SELECT fid AS feature_id, token FROM star
+UNION ALL SELECT feature_id, token FROM tagtok
+UNION ALL SELECT fid, token FROM s2tok
+UNION ALL SELECT fid, token FROM anctok
+"""
 
 
 def q_debug_tag_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7287,6 +7345,8 @@ ORACLES: dict[str, str] = {
     "uprn_clusters": sql_uprn_clusters(),
     "render_colours": sql_render_colours(),
     "debug_tag_tokens": sql_debug_tag_tokens(),
+    "debug_tokens": sql_debug_tokens(),
+    "geo_s2_cells": sql_geo_s2_cells(),
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
     "doc_repetition": sql_doc_repetition(),
@@ -7343,6 +7403,8 @@ ORACLES: dict[str, str] = {
     "tile_pyramid_incremental": sql_tile_pyramid_incremental(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
     # local tests and flanked by an oracle-backed family sibling; all
-    # PAST the 50-key gate since r5): geo_convex_hull, geo_clip,
-    # geo_s2_cells, debug_tokens, collect_areas
+    # PAST the 50-key gate since r5): geo_convex_hull (float full-cloud
+    # hull), geo_clip (float window clip), collect_areas (float union
+    # fold) -- debug_tokens and geo_s2_cells gained full oracles in r5
+    # via the sql_cellmath Hilbert machinery
 }

@@ -272,3 +272,64 @@ allcells AS (
 # S2-style token of a UBIGINT `cell` column: 16 hex nibbles, trailing
 # zeros stripped (cellmath.token)
 TOKEN_SQL = "rtrim(lower(lpad(hex(cell), 16, '0')), '0')"
+
+
+def point_encode_ctes(src: str = "encin", level: int = MAX_INDEX_LEVEL) -> str:
+    """WITH-body fragment (no leading WITH, starts with a CTE name)
+    encoding every row of CTE `src(pid, x, y)` (lng, lat degrees) to its
+    level-`level` S2 cell: `enc16(pid, cell)` with `cell` the UBIGINT
+    id.  The same per-level Hilbert recursion as covering_sql_ctes, over
+    an arbitrary point source (events-scale inputs: n_rows x 30
+    recursion, fine for an oracle)."""
+    axis = ("(CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
+            "ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END)")
+    major = f"(CASE {axis} WHEN 0 THEN px WHEN 1 THEN py ELSE pz END)"
+    face = f"(CASE WHEN {major} >= 0 THEN {axis} ELSE {axis} + 3 END)"
+    u = ("(CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz "
+         "WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END)")
+    v = ("(CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz "
+         "WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END)")
+    xyz = _xyz_of("y", "x")
+    hil_ij = ("CAST(2*((i // (1::UBIGINT << (k-1))) % 2) "
+              "+ ((j // (1::UBIGINT << (k-1))) % 2) AS INT)")
+    hil_pb = f"CAST({IJ_TO_POS}[ori*4 + {hil_ij} + 1] AS INT)"
+    # level-`level` parent of the leaf id: clear below 2m, set bit m
+    m = 1 << (2 * (30 - level))
+    return f"""excyz AS (
+  SELECT pid, {xyz[0]} AS px, {xyz[1]} AS py, {xyz[2]} AS pz FROM {src}
+),
+exfuv AS (SELECT pid, {face} AS face, px, py, pz FROM excyz),
+exuv AS (SELECT pid, face, {u} AS fu, {v} AS fv FROM exfuv),
+exij AS (
+  SELECT pid, face,
+    CAST(LEAST(GREATEST(CAST(floor({_uv_to_st('fu')} * 1073741824.0) AS BIGINT), 0), 1073741823) AS UBIGINT) AS i,
+    CAST(LEAST(GREATEST(CAST(floor({_uv_to_st('fv')} * 1073741824.0) AS BIGINT), 0), 1073741823) AS UBIGINT) AS j
+  FROM exuv
+),
+exhenc(pid, face, i, j, k, ori, pos) AS (
+  SELECT pid, face, i, j, 30, face % 2, 0::UBIGINT FROM exij
+  UNION ALL
+  SELECT pid, face, i, j, k - 1,
+    xor(ori, {POS_TO_ORI}[{hil_pb} + 1]),
+    pos * 4 + CAST({hil_pb} AS UBIGINT)
+  FROM exhenc WHERE k > 0
+),
+enc16 AS (
+  SELECT pid,
+    (CAST(face AS UBIGINT) * {_P61} + pos * 2 + 1)
+      // {2 * m}::UBIGINT * {2 * m}::UBIGINT + {m}::UBIGINT AS cell
+  FROM exhenc WHERE k = 0
+)"""
+
+
+# signed int64 view of a UBIGINT cell id (cellmath.id_to_signed: flip
+# the top bit, order-preserving -- parquet/Spark have no uint64)
+def signed_sql(cell: str) -> str:
+    return f"CAST(CAST({cell} AS HUGEINT) - 9223372036854775808 AS BIGINT)"
+
+
+def parent_sql(cell: str, level: int) -> str:
+    """Ancestor at `level` of a UBIGINT leaf-marked id (cellmath.parent):
+    (id & ~(m-1)) | m  ==  id // (2m) * (2m) + m, m = 2^(2*(30-level))."""
+    m = 1 << (2 * (30 - level))
+    return f"(({cell}) // {2 * m}::UBIGINT * {2 * m}::UBIGINT + {m}::UBIGINT)"
