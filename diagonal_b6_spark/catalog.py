@@ -1289,6 +1289,58 @@ FROM allcells
 """
 
 
+_COVR_MOD = 50  # every 50th event becomes a covering ring
+# ring half-sizes/offsets use ONLY IEEE divisions and +- (no trig), so
+# the generated vertex coordinates are bit-identical in Spark and DuckDB
+_COVR_HALF = "20.0 * (1 + event_id % 37)"
+
+
+def q_geo_s2_covering_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy cap-covering loop at corpus scale: one square ring per
+    sampled event (side 40-1480 m, hash-placed), covered by the REAL
+    RegionCoverer heuristic (max 5 cells to level 16) and replayed by
+    the full sql_cellmath SQL loop.  Complements the fixture-level
+    geo_s2_covering gate key with 200 varied ring geometries at sf0.01
+    -- the covering heuristic's split/budget decisions exercised across
+    sizes instead of 6 fixtures.  Decision margins for the whole ring
+    family are pinned in tests/test_sql_cellmath.py."""
+    ev = _events_points(spark, sf_dir).filter(F.col("event_id") % _COVR_MOD == 0)
+    half = F.expr(_COVR_HALF)
+    dlat = half / F.lit(111195.0)
+    dlng = half / F.lit(69000.0)
+    feats = ev.select(
+        F.col("event_id").cast("string").alias("feature_id"),
+        F.lit("area").alias("feature_type"),
+        F.array(
+            F.col("lng") + F.lit(-1.0) * dlng, F.col("lng") + F.lit(1.0) * dlng,
+            F.col("lng") + F.lit(1.0) * dlng, F.col("lng") + F.lit(-1.0) * dlng,
+        ).alias("xs"),
+        F.array(
+            F.col("lat") + F.lit(-1.0) * dlat, F.col("lat") + F.lit(-1.0) * dlat,
+            F.col("lat") + F.lit(1.0) * dlat, F.col("lat") + F.lit(1.0) * dlat,
+        ).alias("ys"),
+    )
+    return geo_fn.s2_covering(feats).select("feature_id", "token", "level")
+
+
+def sql_geo_s2_covering_rings() -> str:
+    from . import sql_cellmath as sc
+
+    half = _COVR_HALF.replace("event_id", "p.event_id")
+    src = f"""SELECT CAST(p.event_id AS VARCHAR) AS fid, 'area' AS ftype,
+  p.lng + (CASE c.range WHEN 0 THEN -1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0 ELSE -1.0 END)
+        * (({half}) / 69000.0) AS x,
+  p.lat + (CASE c.range WHEN 0 THEN -1.0 WHEN 1 THEN -1.0 WHEN 2 THEN 1.0 ELSE 1.0 END)
+        * (({half}) / 111195.0) AS y
+FROM pts p, range(4) c WHERE p.event_id % {_COVR_MOD} = 0"""
+    return f"""
+WITH RECURSIVE {_PTS_CTE},
+{sc.covering_sql_ctes(source=src)}
+SELECT fid AS feature_id, {sc.TOKEN_SQL} AS token, CAST(level AS INT) AS level
+FROM allcells
+"""
+
+
 def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hull of the events point cloud (rows-only; hull kernel pinned in
     pytest; two-stage partial-hull plan)."""
@@ -7211,6 +7263,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "geo_convex_hull": q_geo_convex_hull,
+    "geo_s2_covering_rings": q_geo_s2_covering_rings,
     "geo_clip": q_geo_clip,
     "geo_clip_rect": q_geo_clip_rect,
     "collect_areas_rect": q_collect_areas_rect,
@@ -7347,6 +7400,7 @@ ORACLES: dict[str, str] = {
     "debug_tag_tokens": sql_debug_tag_tokens(),
     "debug_tokens": sql_debug_tokens(),
     "geo_s2_cells": sql_geo_s2_cells(),
+    "geo_s2_covering_rings": sql_geo_s2_covering_rings(),
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
     "doc_repetition": sql_doc_repetition(),

@@ -134,11 +134,16 @@ _FACE_SEED = ", ".join(
 _EMPTY_CAND = "[]::STRUCT(lvl INT, id UBIGINT, face INT, i0 UBIGINT, j0 UBIGINT, ori INT)[]"
 
 
-def covering_sql_ctes(values: str) -> str:
+def covering_sql_ctes(values: str | None = None, source: str | None = None) -> str:
     """WITH-body (no leading WITH) computing `allcells(fid, cell, level)`
-    -- the s2_covering of every feature in the `(fid, ftype, ring, k, n,
-    x, y)` VALUES rows, replayed per the module docstring.  Callers
-    append their own final SELECT (token formatting etc.)."""
+    -- the s2_covering of every feature in the vertex rows, replayed per
+    the module docstring.  Vertex rows come either from `values` (rows
+    `(fid, ftype, ring, k, n, x, y)`, the fixture path) or from `source`
+    (an arbitrary SELECT yielding `fid, ftype, x, y` -- the corpus-scale
+    path, e.g. rings derived from the events table).  Callers append
+    their own final SELECT (token formatting etc.)."""
+    if (values is None) == (source is None):
+        raise ValueError("covering_sql_ctes: pass exactly one of values/source")
     xyzp = _xyz_of("y", "x")
     xyzr = _xyz_of("r.y", "r.x")
     axis = ("(CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
@@ -155,9 +160,13 @@ def covering_sql_ctes(values: str) -> str:
     hil_ij = ("CAST(2*((i // (1::UBIGINT << (k-1))) % 2) "
               "+ ((j // (1::UBIGINT << (k-1))) % 2) AS INT)")
     hil_pb = f"CAST({IJ_TO_POS}[ori*4 + {hil_ij} + 1] AS INT)"
-    return f"""scv0(fid, ftype, ring, k, n, x, y) AS (VALUES
+    if values is not None:
+        head = f"""scv0(fid, ftype, ring, k, n, x, y) AS (VALUES
     {values}),
-scv AS (SELECT fid, ftype, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM scv0),
+scv AS (SELECT fid, ftype, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM scv0),"""
+    else:
+        head = f"""scv AS ({source}),"""
+    return f"""{head}
 -- ==== point features: level-16 cell via the full Hilbert encode ====
 pxyz AS (
   SELECT fid, {xyzp[0]} AS px, {xyzp[1]} AS py, {xyzp[2]} AS pz

@@ -131,3 +131,62 @@ def test_covering_decision_margins():
 
     assert min(pt_margins) > 1e-4, min(pt_margins)  # measured 4.2e-3
     assert min(ring_margins) > 1e-9, min(ring_margins)  # measured 3.3e-7
+
+
+def test_corpus_ring_covering_margins():
+    """geo_s2_covering_rings margin guard: the greedy loop's decision
+    margins over the FULL sf0.01 ring family (200 synthetic squares,
+    40-1480 m) must sit far above cross-engine float noise, same
+    criterion as the fixture guard above."""
+    margins = []
+    for e in range(0, 10000, 50):
+        lat = 51.50 + 0.08 * ((e * 2654435761) % 1000003) / 1000003.0
+        lng = -0.16 + 0.10 * ((e * 40503) % 999983) / 999983.0
+        half = 20.0 * (1 + e % 37)
+        dlat = half / 111195.0
+        dlng = half / 69000.0
+        xs = np.array([lng - dlng, lng + dlng, lng + dlng, lng - dlng])
+        ys = np.array([lat - dlat, lat - dlat, lat + dlat, lat + dlat])
+        X, Y, Z = cm.latlng_to_xyz(ys, xs)
+        cxyz = np.array([X.mean(), Y.mean(), Z.mean()])
+        cxyz /= np.linalg.norm(cxyz)
+        ang = float(cm._angle_between(cxyz[0], cxyz[1], cxyz[2], X, Y, Z).max())
+        clat, clng = cm.xyz_to_latlng(cxyz[0], cxyz[1], cxyz[2])
+        cx, cy, cz = cm.latlng_to_xyz(np.array([float(clat)]), np.array([float(clng)]))
+        cap_rad = cm._cap_angle_rad(ang * cm.EARTH_RADIUS_M)
+
+        def mi(cells):
+            la, ln = cm.cell_center_latlng(cells)
+            px, py, pz = cm.latlng_to_xyz(la, ln)
+            a = cm._angle_between(cx[0], cy[0], cz[0], px, py, pz)
+            thr = cap_rad + cm._cell_circumangle(cells) + 1e-12
+            margins.extend(np.abs(a - thr).tolist())
+            return a <= thr
+
+        faces = cm.parent(
+            cm.face_ij_to_id(
+                np.arange(6), np.zeros(6, dtype=np.uint64), np.zeros(6, dtype=np.uint64)
+            ),
+            np.int64(0),
+        )
+        cand = faces[mi(faces)]
+        for _ in range(200):
+            lvls = cm.level(cand)
+            sp = np.where(lvls < cm.MAX_INDEX_LEVEL)[0]
+            if sp.size == 0:
+                break
+            order = np.lexsort((cand[sp], lvls[sp]))
+            pick = sp[order[0]]
+            kids = cm.children(cand[pick])[0]
+            kids = kids[mi(kids)]
+            if cand.size - 1 + kids.size > cm.MAX_COVERING_CELLS and cand.size > 1:
+                break
+            cand = np.sort(np.concatenate([np.delete(cand, pick), kids]))
+            if (
+                cand.size >= cm.MAX_COVERING_CELLS
+                and (cm.level(cand) >= cm.MAX_INDEX_LEVEL).all()
+            ):
+                break
+        else:  # pragma: no cover
+            pytest.fail(f"ring {e}: covering loop did not terminate")
+    assert min(margins) > 1e-9, min(margins)
