@@ -252,13 +252,18 @@ def _cluster_write(
     nparts = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if not has_cells:
         df = with_point_cells(df, lat=lat, lng=lng).drop("bucket")
+    # the layout's recorded bit allocation drives every (re)write of this
+    # table, so appends/compactions cluster by the same curve
+    zbits = int(m.layout.get("space_bits", 24))
+    ztbits = m.layout.get("time_bits")
+    ztbits = int(ztbits) if ztbits is not None else None
     if ts is None:
         clustered = (
             df.repartitionByRange(nparts, F.col("cell16"))
             .sortWithinPartitions("cell16")
         )
     else:
-        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts))
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits)
         clustered = (
             df.withColumn("_zv", zv)
             .repartitionByRange(nparts, F.col("_zv"))
@@ -282,7 +287,7 @@ def _cluster_write(
     if ts is not None:
         from .operators.cover import spacetime_zvalue_col
 
-        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts))
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits)
         aggs += [
             F.min(F.col(ts).cast("long")).alias("ts_min"),
             F.max(F.col(ts).cast("long")).alias("ts_max"),
@@ -340,19 +345,31 @@ def write_spacetime_snapshot(
     lng: str = "lng",
     n_files: int | None = None,
     provenance: str = "",
+    space_bits: int = 24,
+    time_bits: int | None = None,
 ) -> Manifest:
     """Spatio-temporal snapshot: rows Z-order by (cell16 top bits x
     epoch hour), so per-file min/max boxes are tight on BOTH dimensions
     and a (cell range x time range) scan prunes files on both
     predicates via `files_for_box` -- the layout for event tables where
     every query carries a region AND a time window.  Same immutable
-    per-snapshot dirs + manifest chain as the Hilbert layout."""
+    per-snapshot dirs + manifest chain as the Hilbert layout.
+
+    `space_bits`/`time_bits` tune the Z-curve's per-dimension
+    resolution to the table's density (cover.suggest_zorder_bits
+    measures it; pass time_bits=None for the symmetric default).  The
+    allocation is RECORDED IN THE LAYOUT so appends and compactions
+    keep clustering by the same curve instead of silently reverting to
+    the default."""
     prior = Manifest.load(root)
+    layout = {"kind": "spacetime", "ts": ts, "space_bits": space_bits}
+    if time_bits is not None:
+        layout["time_bits"] = time_bits
     m = Manifest(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,
         keep_history=True,
-        layout={"kind": "spacetime", "ts": ts},
+        layout=layout,
     )
     _cluster_write(df, m, lat=lat, lng=lng, n_files=n_files, has_cells=False, ts=ts)
     m.commit()

@@ -234,7 +234,7 @@ def quadkey_col(x, y, zoom: int):
     return F.concat(*digits)
 
 
-def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24):
+def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24, time_bits: int | None = None):
     """Z-order key interleaving the top `bits` of the S2 cell16 id with
     the epoch-hour of an event time -- the spatio-temporal clustering
     key (Morton order over space x time).  Sorting a table by this value
@@ -243,19 +243,61 @@ def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24):
     Pure unrolled whole-stage-codegen bit math (same style as
     geohash_col); pruning CORRECTNESS never depends on this key -- the
     manifest records real per-file min/max of both columns -- only
-    pruning tightness does."""
+    pruning tightness does.
+
+    `time_bits` (default: == bits) allocates the temporal resolution
+    independently of the spatial one (r5, per-table density tuning --
+    suggest_zorder_bits measures it): a table whose events span 400
+    hours wastes 15 of 24 interleave positions on constant zero time
+    bits, coarsening the SPATIAL locality of the curve.  The top
+    min(bits, time_bits) bit pairs interleave; the longer dimension's
+    remaining LOW bits append at the end (they only order within the
+    finest interleaved stripe, preserving the curve's locality
+    contract)."""
     if not 1 <= bits <= 24:
         raise ValueError(f"spacetime_zvalue_col bits must be 1..24, got {bits}")
+    tb = bits if time_bits is None else time_bits
+    if not 1 <= tb <= 24:
+        raise ValueError(f"spacetime_zvalue_col time_bits must be 1..24, got {tb}")
     # signed cell16 -> top `bits` as an unsigned rank (order-preserving):
     # arithmetic >> (64-bits) lands in [-2^(bits-1), 2^(bits-1)), the
     # offset shifts it to [0, 2^bits)
     c = (F.shiftright(cell_col, 64 - bits) + F.lit(1 << (bits - 1))).cast("long")
-    # epoch hours, wrapped to `bits` (wraps after ~1900 years at 24 bits)
-    h = (F.floor(ts_col.cast("long") / F.lit(3600.0)).cast("long")) % F.lit(1 << bits)
-    h = ((h + F.lit(1 << bits)) % F.lit(1 << bits)).cast("long")  # pre-1970 safety
+    # epoch hours, wrapped to `time_bits` (wraps after ~1900 years at 24)
+    h = (F.floor(ts_col.cast("long") / F.lit(3600.0)).cast("long")) % F.lit(1 << tb)
+    h = ((h + F.lit(1 << tb)) % F.lit(1 << tb)).cast("long")  # pre-1970 safety
+    m = min(bits, tb)
     v = F.lit(0).cast("long")
-    for i in range(bits - 1, -1, -1):
-        cb = F.shiftright(c, i).bitwiseAND(F.lit(1))
-        hb = F.shiftright(h, i).bitwiseAND(F.lit(1))
+    for i in range(m - 1, -1, -1):
+        # pairwise interleave the TOP m bits of each rank
+        cb = F.shiftright(c, i + (bits - m)).bitwiseAND(F.lit(1))
+        hb = F.shiftright(h, i + (tb - m)).bitwiseAND(F.lit(1))
         v = F.shiftleft(v, 2).bitwiseOR(F.shiftleft(cb, 1)).bitwiseOR(hb)
+    # longer dimension's remaining low bits, appended below the stripes
+    if bits > m:
+        v = F.shiftleft(v, bits - m).bitwiseOR(c.bitwiseAND(F.lit((1 << (bits - m)) - 1)))
+    elif tb > m:
+        v = F.shiftleft(v, tb - m).bitwiseOR(h.bitwiseAND(F.lit((1 << (tb - m)) - 1)))
     return v
+
+
+def suggest_zorder_bits(
+    df: DataFrame, ts_col: str = "ts", max_bits: int = 24
+) -> tuple[int, int]:
+    """Density-aware Z-order allocation for a spacetime table: give the
+    TIME dimension exactly enough bits to distinguish its realized
+    epoch-hour span (ceil log2 of the distinct-hour count, +1 headroom
+    for appends) and the SPACE dimension the full budget.  One small
+    aggregation job (approx_count_distinct -- never a collect of data
+    rows).  Returns (space_bits, time_bits) for
+    write_spacetime_snapshot / spacetime_zvalue_col."""
+    import math
+
+    row = df.agg(
+        F.approx_count_distinct(
+            F.floor(F.col(ts_col).cast("long") / F.lit(3600.0))
+        ).alias("nh")
+    ).collect()[0]
+    nh = max(int(row["nh"]), 1)
+    time_bits = min(max_bits, max(1, math.ceil(math.log2(nh + 1)) + 1))
+    return max_bits, time_bits

@@ -449,7 +449,7 @@ def test_spacetime_maintenance_preserves_layout(spark, tmp_path):
         return spark.createDataFrame(rows, "id long, lat double, lng double, ts long")
 
     m1 = ckpt.write_spacetime_snapshot(pts(1500), root, ts="ts", n_files=6)
-    assert m1.layout == {"kind": "spacetime", "ts": "ts"}
+    assert m1.layout == {"kind": "spacetime", "ts": "ts", "space_bits": 24}
     assert ckpt.overlap_fraction(m1) == 0.0  # fresh Z-order is tight in zv
 
     m2 = ckpt.append_clustered_snapshot(pts(1500, start=1500), root, n_files=6)
@@ -554,3 +554,67 @@ def test_expire_snapshots_grace_period(spark, tmp_path):
     # default grace (0.0) sweeps as before
     removed = ckpt.expire_snapshots(root, keep=1)
     assert removed and ckpt.read_snapshot(spark, root).count() == 400
+
+
+def test_zorder_bits_density_parameterization(spark, tmp_path):
+    """r5: per-table-density Z-order allocation.  (a) the symmetric
+    default is bit-identical to the pre-parameterization key (equal-bits
+    regression); (b) suggest_zorder_bits gives time exactly enough bits
+    for the realized hour span; (c) a snapshot written with an
+    asymmetric allocation records it in the layout, appends/compactions
+    preserve it, and files_for_box pruning stays correct."""
+    import numpy as np
+
+    from diagonal_b6_spark.operators import cover as cover_ops
+
+    rng = np.random.default_rng(11)
+
+    def pts(n, start=0):
+        rows = [
+            (int(start + i), float(a), float(b), int(t))
+            for i, (a, b, t) in enumerate(
+                zip(
+                    rng.uniform(40, 60, n),
+                    rng.uniform(-10, 10, n),
+                    # ~400 distinct hours -> suggested time_bits ~ 10
+                    rng.integers(1_600_000_000, 1_600_000_000 + 400 * 3600, n),
+                )
+            )
+        ]
+        return spark.createDataFrame(rows, "id long, lat double, lng double, ts long")
+
+    df = cover_ops.with_point_cells(pts(1200))
+    # (a) equal-bits path: time_bits=None == time_bits=bits == old form
+    a = df.select(
+        cover_ops.spacetime_zvalue_col(ckpt.F.col("cell16"), ckpt.F.col("ts")).alias("z")
+    ).collect()
+    b = df.select(
+        cover_ops.spacetime_zvalue_col(
+            ckpt.F.col("cell16"), ckpt.F.col("ts"), bits=24, time_bits=24
+        ).alias("z")
+    ).collect()
+    assert [r["z"] for r in a] == [r["z"] for r in b]
+
+    # (b) suggestion: ~400 distinct hours -> ceil(log2(401))+1 = 10
+    sb, tb = cover_ops.suggest_zorder_bits(pts(1200), "ts")
+    assert sb == 24 and 9 <= tb <= 11
+
+    # (c) asymmetric snapshot: layout carries the bits through the
+    # lifecycle and pruning stays correct
+    root = str(tmp_path / "zbits")
+    m1 = ckpt.write_spacetime_snapshot(
+        pts(1500), root, ts="ts", n_files=6, space_bits=sb, time_bits=tb
+    )
+    assert m1.layout["space_bits"] == sb and m1.layout["time_bits"] == tb
+    assert ckpt.overlap_fraction(m1) == 0.0
+    m2 = ckpt.append_clustered_snapshot(pts(1500, start=1500), root, n_files=6)
+    assert m2.layout["space_bits"] == sb and m2.layout["time_bits"] == tb
+    m3 = ckpt.maybe_compact(spark, root, threshold=0.0, n_files=6)
+    assert m3 is not None and m3.layout["time_bits"] == tb
+    assert ckpt.overlap_fraction(m3) == 0.0
+    probe = sorted(m3.partitions.values(), key=lambda p: p["cell_min"])[1]
+    files = ckpt.files_for_box(
+        m3, probe["cell_min"], probe["cell_max"], probe["ts_min"], probe["ts_max"]
+    )
+    assert probe["path"] in files
+    assert ckpt.read_snapshot(spark, root).count() == 3000
