@@ -240,3 +240,31 @@ def test_new_key_plan_shapes(spark):
     lm = catalog.q_lm_bigram_score(spark, sf)
     lplan = lm._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in lplan and "BroadcastNestedLoopJoin" not in lplan
+
+
+def test_r5_key_plan_shapes(spark):
+    """Plan discipline for the round-5 keys: the concave-clip corpus is
+    pure codegen up to the single clip kernel (zero exchanges, zero
+    ArrowEval -- the ring construction must never fall back to Python);
+    the batch geofence-transition islands carry at most two exchanges
+    (the broadcast of the feature cover + the per-entity window
+    shuffle); the corpus covering-ring key builds its rings without a
+    shuffle."""
+    from diagonal_b6_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+
+    cp = catalog.q_geo_clip_general(spark, sf)
+    plan = cp._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, "clip corpus must be map-side only"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1  # the clip kernel itself
+
+    tr = catalog.q_geofence_transitions(spark, sf)
+    tplan = tr._jdf.queryExecution().executedPlan().toString()
+    assert tplan.count("Exchange") <= 2, tplan.count("Exchange")
+    assert "CartesianProduct" not in tplan and "BroadcastNestedLoopJoin" not in tplan
+
+    cr = catalog.q_geo_s2_covering_rings(spark, sf)
+    rplan = cr._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("Exchange") == 0, "ring build + covering must not shuffle"
