@@ -2019,52 +2019,33 @@ def _imgs_cte(fmt_filter: str, with_fmt: bool = False) -> str:
 )"""
 
 
-def sql_image_pipeline_lossless() -> str:
-    return f"""
-WITH {_imgs_cte("range % 3 <> 2", with_fmt=True)},
-px AS (
-  SELECT i.id, i.image_id, i.fmt, i.w, i.h, xs.range AS x, ys.range AS y
-  FROM imgs i, range(64) xs, range(64) ys
-  WHERE xs.range < i.w AND ys.range < i.h
-),
-vals AS (
-  SELECT id, image_id, fmt, w, h,
-    CAST(((x * 255) // (w - 1) + id) % 256 AS DOUBLE) AS r,
-    CAST(((y * 255) // (h - 1) + id) % 256 AS DOUBLE) AS g,
-    CAST(((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS DOUBLE) AS b
-  FROM px
-),
-agg AS (
-  SELECT image_id, any_value(fmt) AS fmt,
-         avg(r) AS mean_r,
-         (sum(r*r) + sum(g*g) + sum(b*b)) / (3 * any_value(w) * any_value(h)) AS m2,
-         (sum(r) + sum(g) + sum(b)) / (3 * any_value(w) * any_value(h)) AS m1
-  FROM vals GROUP BY image_id
-)
-SELECT image_id, fmt, true AS ok,
-       round(mean_r, 4) AS mean_r,
-       round(sqrt(m2 - m1 * m1), 4) AS std_all,
-       true AS pixels_ok, true AS caption_ok,
-       12 + 16 * 16 * 3 AS resized_bytes
-FROM agg
-"""
-
-
-def sql_image_pipeline() -> str:
-    """All-format pipeline oracle: lossless stats branch + lossy DC
-    branch left-joined to the image catalog (see q_image_pipeline)."""
-    return f"""
-WITH {_imgs_cte("true", with_fmt=True)},
-px AS (
+def _px_grid_cte(name: str, id_filter: str) -> str:
+    """Pixel-coordinate grid over the imgs CTE (one row per pixel of
+    each image passing `id_filter`) -- shared by every pixel oracle."""
+    return f"""{name} AS (
   SELECT i.id, i.image_id, i.w, i.h, xs.range AS x, ys.range AS y
   FROM imgs i, range(64) xs, range(64) ys
-  WHERE i.id % 3 <> 2 AND xs.range < i.w AND ys.range < i.h
-),
+  WHERE ({id_filter}) AND xs.range < i.w AND ys.range < i.h
+)"""
+
+
+# the closed-form pixel generator (kernels/imagecodec.pix), ONE SQL
+# definition shared by every image oracle -- a generator change is a
+# single edit here, not N silently-divergent copies
+_PIX_R = "((x * 255) // (w - 1) + id) % 256"
+_PIX_G = "((y * 255) // (h - 1) + id) % 256"
+_PIX_B = "((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256"
+
+
+def _lossless_stats_ctes(id_filter: str) -> str:
+    """px -> vals -> agg stack: per-image mean_r and the mean/second
+    moment feeding std_all, over images passing `id_filter`."""
+    return f"""{_px_grid_cte("px", id_filter)},
 vals AS (
   SELECT id, image_id, w, h,
-    CAST(((x * 255) // (w - 1) + id) % 256 AS DOUBLE) AS r,
-    CAST(((y * 255) // (h - 1) + id) % 256 AS DOUBLE) AS g,
-    CAST(((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS DOUBLE) AS b
+    CAST({_PIX_R} AS DOUBLE) AS r,
+    CAST({_PIX_G} AS DOUBLE) AS g,
+    CAST({_PIX_B} AS DOUBLE) AS b
   FROM px
 ),
 agg AS (
@@ -2073,17 +2054,19 @@ agg AS (
          (sum(r*r) + sum(g*g) + sum(b*b)) / (3 * any_value(w) * any_value(h)) AS m2,
          (sum(r) + sum(g) + sum(b)) / (3 * any_value(w) * any_value(h)) AS m1
   FROM vals GROUP BY image_id
-),
-lpx AS (
-  SELECT i.id, i.image_id, i.w, i.h, xs.range AS x, ys.range AS y
-  FROM imgs i, range(64) xs, range(64) ys
-  WHERE i.id % 3 = 2 AND xs.range < i.w AND ys.range < i.h
-),
+)"""
+
+
+def _lossy_dc_ctes(id_filter: str) -> str:
+    """8x8 block sums -> per-channel centered DC -> the quantized-DC
+    verification CTE `dc(image_id, n_blocks, n_checked, dc_sum,
+    half_ok)`: exact round-half-even checksum over non-half blocks
+    (the half-block direction is float-order-dependent and excluded;
+    its admissibility is the engine-side half_ok check)."""
+    return f"""{_px_grid_cte("lpx", id_filter)},
 lsums AS (
   SELECT image_id, x // 8 AS bx, y // 8 AS by,
-         sum(((x * 255) // (w - 1) + id) % 256) AS sr,
-         sum(((y * 255) // (h - 1) + id) % 256) AS sg,
-         sum(((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256) AS sb
+         sum({_PIX_R}) AS sr, sum({_PIX_G}) AS sg, sum({_PIX_B}) AS sb
   FROM lpx GROUP BY image_id, bx, by
 ),
 lch AS (
@@ -2099,7 +2082,29 @@ dc AS (
               FILTER (WHERE ((s % 32) + 32) % 32 <> 16) AS BIGINT) AS dc_sum,
          true AS half_ok
   FROM lch GROUP BY image_id
-)
+)"""
+
+
+def sql_image_pipeline_lossless() -> str:
+    return f"""
+WITH {_imgs_cte("range % 3 <> 2", with_fmt=True)},
+{_lossless_stats_ctes("true")}
+SELECT i.image_id, i.fmt, true AS ok,
+       round(a.mean_r, 4) AS mean_r,
+       round(sqrt(a.m2 - a.m1 * a.m1), 4) AS std_all,
+       true AS pixels_ok, true AS caption_ok,
+       12 + 16 * 16 * 3 AS resized_bytes
+FROM imgs i JOIN agg a USING (image_id)
+"""
+
+
+def sql_image_pipeline() -> str:
+    """All-format pipeline oracle: lossless stats branch + lossy DC
+    branch left-joined to the image catalog (see q_image_pipeline)."""
+    return f"""
+WITH {_imgs_cte("true", with_fmt=True)},
+{_lossless_stats_ctes("i.id % 3 <> 2")},
+{_lossy_dc_ctes("i.id % 3 = 2")}
 SELECT i.image_id, i.fmt, true AS ok,
        round(a.mean_r, 4) AS mean_r,
        round(sqrt(a.m2 - a.m1 * a.m1), 4) AS std_all,
@@ -2128,38 +2133,8 @@ def q_image_lossy_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_image_lossy_dc() -> str:
     return f"""
 WITH {_imgs_cte("range % 3 = 2")},
-px AS (
-  SELECT i.id, i.image_id, i.w, i.h, xs.range AS x, ys.range AS y
-  FROM imgs i, range(64) xs, range(64) ys
-  WHERE xs.range < i.w AND ys.range < i.h
-),
-vals AS (
-  SELECT id, image_id, x // 8 AS bx, y // 8 AS by,
-    ((x * 255) // (w - 1) + id) % 256 AS r,
-    ((y * 255) // (h - 1) + id) % 256 AS g,
-    ((xor(x // 4, y // 4) & 1) * 200 + id + id % 56) % 256 AS b
-  FROM px
-),
-blocks AS (
-  SELECT image_id, bx, by, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
-  FROM vals GROUP BY image_id, bx, by
-),
-ch AS (
-  SELECT image_id, sr - 8192 AS s FROM blocks
-  UNION ALL SELECT image_id, sg - 8192 FROM blocks
-  UNION ALL SELECT image_id, sb - 8192 FROM blocks
-),
-q AS (
-  SELECT image_id, s, ((s % 32) + 32) % 32 = 16 AS is_half
-  FROM ch
-)
-SELECT image_id,
-       count(*) AS n_blocks,
-       count(*) FILTER (WHERE NOT is_half) AS n_checked,
-       CAST(sum(CAST(round(s / 32.0, 0) AS BIGINT)) FILTER (WHERE NOT is_half)
-            AS BIGINT) AS dc_sum,
-       true AS half_ok
-FROM q GROUP BY image_id
+{_lossy_dc_ctes("true")}
+SELECT image_id, n_blocks, n_checked, dc_sum, half_ok FROM dc
 """
 
 
@@ -6945,6 +6920,10 @@ FROM idx LEFT JOIN b1 USING (label), t1
 # resumability story) --------------------------------------------------------
 
 
+# snapshot-lifecycle tmp roots with an atexit cleanup already registered
+_SNAP_ROOTS_REGISTERED: set[str] = set()
+
+
 def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered-snapshot lifecycle end to end: base snapshot = events
     with event_id % 7 != 0, child append = the % 7 == 0 rows, then the
@@ -6971,18 +6950,21 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/snap_lifecycle_{sfname}_{os.getpid()}"
     if os.path.isdir(root):
         shutil.rmtree(root)
-    import atexit
-    import glob as _glob
+    if root not in _SNAP_ROOTS_REGISTERED:  # once per root: a gate loop
+        # must not grow the atexit list or re-sweep /tmp every call
+        import atexit
+        import glob as _glob
 
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    for stale in _glob.glob("/tmp/snap_lifecycle_*_*"):
-        try:
-            pid = int(stale.rsplit("_", 1)[1])
-            os.kill(pid, 0)  # raises if that pid is gone
-        except (ValueError, ProcessLookupError):
-            shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another uid -- leave its root alone
+        _SNAP_ROOTS_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        for stale in _glob.glob("/tmp/snap_lifecycle_*_*"):
+            try:
+                pid = int(stale.rsplit("_", 1)[1])
+                os.kill(pid, 0)  # raises if that pid is gone
+            except (ValueError, ProcessLookupError):
+                shutil.rmtree(stale, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid -- leave its root alone
     pts = _events_points(spark, sf_dir)
     ckpt.write_clustered_snapshot(
         pts.filter(F.col("event_id") % 7 != 0), root, n_files=8, provenance="base"

@@ -257,13 +257,14 @@ def _cluster_write(
     zbits = int(m.layout.get("space_bits", 24))
     ztbits = m.layout.get("time_bits")
     ztbits = int(ztbits) if ztbits is not None else None
+    zorigin = int(m.layout.get("time_origin_h", 0))
     if ts is None:
         clustered = (
             df.repartitionByRange(nparts, F.col("cell16"))
             .sortWithinPartitions("cell16")
         )
     else:
-        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits)
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits, time_origin_h=zorigin)
         clustered = (
             df.withColumn("_zv", zv)
             .repartitionByRange(nparts, F.col("_zv"))
@@ -287,7 +288,7 @@ def _cluster_write(
     if ts is not None:
         from .operators.cover import spacetime_zvalue_col
 
-        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits)
+        zv = spacetime_zvalue_col(F.col("cell16"), F.col(ts), bits=zbits, time_bits=ztbits, time_origin_h=zorigin)
         aggs += [
             F.min(F.col(ts).cast("long")).alias("ts_min"),
             F.max(F.col(ts).cast("long")).alias("ts_max"),
@@ -347,6 +348,7 @@ def write_spacetime_snapshot(
     provenance: str = "",
     space_bits: int = 24,
     time_bits: int | None = None,
+    time_origin_h: int = 0,
 ) -> Manifest:
     """Spatio-temporal snapshot: rows Z-order by (cell16 top bits x
     epoch hour), so per-file min/max boxes are tight on BOTH dimensions
@@ -365,6 +367,8 @@ def write_spacetime_snapshot(
     layout = {"kind": "spacetime", "ts": ts, "space_bits": space_bits}
     if time_bits is not None:
         layout["time_bits"] = time_bits
+    if time_origin_h:
+        layout["time_origin_h"] = int(time_origin_h)
     m = Manifest(
         root=root, provenance=provenance,
         parent_id=prior.snapshot_id if prior else None,

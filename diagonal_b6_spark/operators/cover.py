@@ -234,7 +234,10 @@ def quadkey_col(x, y, zoom: int):
     return F.concat(*digits)
 
 
-def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24, time_bits: int | None = None):
+def spacetime_zvalue_col(
+    cell_col, ts_col, bits: int = 24, time_bits: int | None = None,
+    time_origin_h: int = 0,
+):
     """Z-order key interleaving the top `bits` of the S2 cell16 id with
     the epoch-hour of an event time -- the spatio-temporal clustering
     key (Morton order over space x time).  Sorting a table by this value
@@ -253,7 +256,15 @@ def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24, time_bits: int | None
     min(bits, time_bits) bit pairs interleave; the longer dimension's
     remaining LOW bits append at the end (they only order within the
     finest interleaved stripe, preserving the curve's locality
-    contract)."""
+    contract).
+
+    `time_origin_h` REBASES epoch hours before wrapping: sized-down
+    time_bits on ABSOLUTE hours would alias far-apart times whenever
+    the table's hour range crosses a multiple of 2^time_bits (and a
+    sparse table spanning years would fold onto itself), destroying the
+    pruning tightness the allocation exists to improve.  Pass the
+    table's min epoch-hour (suggest_zorder_bits returns it) so the
+    wrap only fires past the sized span."""
     if not 1 <= bits <= 24:
         raise ValueError(f"spacetime_zvalue_col bits must be 1..24, got {bits}")
     tb = bits if time_bits is None else time_bits
@@ -263,9 +274,13 @@ def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24, time_bits: int | None
     # arithmetic >> (64-bits) lands in [-2^(bits-1), 2^(bits-1)), the
     # offset shifts it to [0, 2^bits)
     c = (F.shiftright(cell_col, 64 - bits) + F.lit(1 << (bits - 1))).cast("long")
-    # epoch hours, wrapped to `time_bits` (wraps after ~1900 years at 24)
-    h = (F.floor(ts_col.cast("long") / F.lit(3600.0)).cast("long")) % F.lit(1 << tb)
-    h = ((h + F.lit(1 << tb)) % F.lit(1 << tb)).cast("long")  # pre-1970 safety
+    # rebased epoch hours, wrapped to `time_bits` (wraps after ~1900
+    # years at 24 bits with origin 0)
+    hrs = F.floor(ts_col.cast("long") / F.lit(3600.0)).cast("long") - F.lit(
+        int(time_origin_h)
+    )
+    h = hrs % F.lit(1 << tb)
+    h = ((h + F.lit(1 << tb)) % F.lit(1 << tb)).cast("long")  # pre-origin safety
     m = min(bits, tb)
     v = F.lit(0).cast("long")
     for i in range(m - 1, -1, -1):
@@ -283,21 +298,22 @@ def spacetime_zvalue_col(cell_col, ts_col, bits: int = 24, time_bits: int | None
 
 def suggest_zorder_bits(
     df: DataFrame, ts_col: str = "ts", max_bits: int = 24
-) -> tuple[int, int]:
+) -> tuple[int, int, int]:
     """Density-aware Z-order allocation for a spacetime table: give the
-    TIME dimension exactly enough bits to distinguish its realized
-    epoch-hour span (ceil log2 of the distinct-hour count, +1 headroom
-    for appends) and the SPACE dimension the full budget.  One small
-    aggregation job (approx_count_distinct -- never a collect of data
-    rows).  Returns (space_bits, time_bits) for
+    TIME dimension exactly enough bits for its realized epoch-hour SPAN
+    (ceil log2 of max-min+1, +1 headroom for appends) rebased at the
+    table's min hour, and the SPACE dimension the full budget.  The
+    SPAN (not the distinct count) sizes the bits -- a sparse table
+    loaded one hour per week still needs its full range representable,
+    or the wrap would alias far-apart times onto one rank.  One tiny
+    aggregation job (min/max -- never a collect of data rows).
+    Returns (space_bits, time_bits, time_origin_h) for
     write_spacetime_snapshot / spacetime_zvalue_col."""
     import math
 
-    row = df.agg(
-        F.approx_count_distinct(
-            F.floor(F.col(ts_col).cast("long") / F.lit(3600.0))
-        ).alias("nh")
-    ).collect()[0]
-    nh = max(int(row["nh"]), 1)
-    time_bits = min(max_bits, max(1, math.ceil(math.log2(nh + 1)) + 1))
-    return max_bits, time_bits
+    hour = F.floor(F.col(ts_col).cast("long") / F.lit(3600.0)).cast("long")
+    row = df.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1")).collect()[0]
+    h0 = int(row["h0"]) if row["h0"] is not None else 0
+    span = max(int(row["h1"]) - h0 + 1, 1) if row["h1"] is not None else 1
+    time_bits = min(max_bits, max(1, math.ceil(math.log2(span + 1)) + 1))
+    return max_bits, time_bits, h0

@@ -134,6 +134,30 @@ _FACE_SEED = ", ".join(
 _EMPTY_CAND = "[]::STRUCT(lvl INT, id UBIGINT, face INT, i0 UBIGINT, j0 UBIGINT, ori INT)[]"
 
 
+def _face_uv_sql() -> tuple[str, str, str]:
+    """(face, u, v) SQL over px/py/pz unit-vector columns -- the cube
+    face selection + per-face (u, v) tables of cellmath.xyz_to_face_uv.
+    ONE definition shared by the covering and point-encode generators so
+    the projections cannot silently diverge."""
+    axis = ("(CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
+            "ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END)")
+    major = f"(CASE {axis} WHEN 0 THEN px WHEN 1 THEN py ELSE pz END)"
+    face = f"(CASE WHEN {major} >= 0 THEN {axis} ELSE {axis} + 3 END)"
+    u = ("(CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz "
+         "WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END)")
+    v = ("(CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz "
+         "WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END)")
+    return face, u, v
+
+
+def _hilbert_step_sql() -> str:
+    """Per-level Hilbert position bits of (i, j) at bit (k-1) under the
+    current orientation -- the recursion step shared by both encoders."""
+    hil_ij = ("CAST(2*((i // (1::UBIGINT << (k-1))) % 2) "
+              "+ ((j // (1::UBIGINT << (k-1))) % 2) AS INT)")
+    return f"CAST({IJ_TO_POS}[ori*4 + {hil_ij} + 1] AS INT)"
+
+
 def covering_sql_ctes(values: str | None = None, source: str | None = None) -> str:
     """WITH-body (no leading WITH) computing `allcells(fid, cell, level)`
     -- the s2_covering of every feature in the vertex rows, replayed per
@@ -146,20 +170,9 @@ def covering_sql_ctes(values: str | None = None, source: str | None = None) -> s
         raise ValueError("covering_sql_ctes: pass exactly one of values/source")
     xyzp = _xyz_of("y", "x")
     xyzr = _xyz_of("r.y", "r.x")
-    axis = ("(CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
-            "ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END)")
-    major = f"(CASE {axis} WHEN 0 THEN px WHEN 1 THEN py ELSE pz END)"
-    face = f"(CASE WHEN {major} >= 0 THEN {axis} ELSE {axis} + 3 END)"
-    u = ("(CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz "
-         "WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END)")
-    v = ("(CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz "
-         "WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END)")
+    face, u, v = _face_uv_sql()
     mi = _may_intersect("c", "cx", "cy", "cz", "crad")
-    # per-level Hilbert step: position bits of ij at bit (k-1), orientation
-    # chained through POS_TO_ORIENTATION
-    hil_ij = ("CAST(2*((i // (1::UBIGINT << (k-1))) % 2) "
-              "+ ((j // (1::UBIGINT << (k-1))) % 2) AS INT)")
-    hil_pb = f"CAST({IJ_TO_POS}[ori*4 + {hil_ij} + 1] AS INT)"
+    hil_pb = _hilbert_step_sql()
     if values is not None:
         head = f"""scv0(fid, ftype, ring, k, n, x, y) AS (VALUES
     {values}),
@@ -290,18 +303,9 @@ def point_encode_ctes(src: str = "encin", level: int = MAX_INDEX_LEVEL) -> str:
     id.  The same per-level Hilbert recursion as covering_sql_ctes, over
     an arbitrary point source (events-scale inputs: n_rows x 30
     recursion, fine for an oracle)."""
-    axis = ("(CASE WHEN abs(px) >= abs(py) THEN (CASE WHEN abs(px) >= abs(pz) THEN 0 ELSE 2 END) "
-            "ELSE (CASE WHEN abs(py) >= abs(pz) THEN 1 ELSE 2 END) END)")
-    major = f"(CASE {axis} WHEN 0 THEN px WHEN 1 THEN py ELSE pz END)"
-    face = f"(CASE WHEN {major} >= 0 THEN {axis} ELSE {axis} + 3 END)"
-    u = ("(CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz "
-         "WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END)")
-    v = ("(CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz "
-         "WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END)")
+    face, u, v = _face_uv_sql()
     xyz = _xyz_of("y", "x")
-    hil_ij = ("CAST(2*((i // (1::UBIGINT << (k-1))) % 2) "
-              "+ ((j // (1::UBIGINT << (k-1))) % 2) AS INT)")
-    hil_pb = f"CAST({IJ_TO_POS}[ori*4 + {hil_ij} + 1] AS INT)"
+    hil_pb = _hilbert_step_sql()
     # level-`level` parent of the leaf id: clear below 2m, set bit m
     m = 1 << (2 * (30 - level))
     return f"""excyz AS (

@@ -79,16 +79,16 @@ _DEFS: dict[str, tuple[str, str, str]] = {
     "b6_tile_x": (
         "(lng DOUBLE, zoom INT)", "BIGINT",
         "greatest(CAST(0 AS BIGINT), least("
-        "CAST(floor((lng + 180.0) / 360.0 * CAST(shiftleft(1, zoom) AS DOUBLE)) AS BIGINT), "
-        "CAST(shiftleft(1, zoom) - 1 AS BIGINT)))",
+        "CAST(floor((lng + 180.0) / 360.0 * CAST(shiftleft(CAST(1 AS BIGINT), zoom) AS DOUBLE)) AS BIGINT), "
+        "CAST(shiftleft(CAST(1 AS BIGINT), zoom) - 1 AS BIGINT)))",
     ),
     "b6_tile_y": (
         "(lat DOUBLE, zoom INT)", "BIGINT",
         "greatest(CAST(0 AS BIGINT), least("
         "CAST(floor((1.0 - ln(tan(radians(greatest(-85.05112878, least(lat, 85.05112878)))) "
         "+ 1.0 / cos(radians(greatest(-85.05112878, least(lat, 85.05112878))))) / pi())"
-        " / 2.0 * CAST(shiftleft(1, zoom) AS DOUBLE)) AS BIGINT), "
-        "CAST(shiftleft(1, zoom) - 1 AS BIGINT)))",
+        " / 2.0 * CAST(shiftleft(CAST(1 AS BIGINT), zoom) AS DOUBLE)) AS BIGINT), "
+        "CAST(shiftleft(CAST(1 AS BIGINT), zoom) - 1 AS BIGINT)))",
     ),
 }
 

@@ -199,7 +199,14 @@ def stateful_session_stats(
                 closed.append(cur)  # gap inside the data closes the session
                 cur = (t, t, 1, float(v))
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + float(v))
+                # min() on the start: a sample from a LATER micro-batch can
+                # legitimately precede the open session's first sample
+                # (cross-batch out-of-order within the watermark); the
+                # batch twin sorts globally, so the session start must
+                # absorb it.  t < start - gap cannot occur: the watermark
+                # delay equals the gap, so any admitted t >= max_seen -
+                # gap >= start - gap.
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + float(v))
         state.update(cur)
         # clamp above the current watermark: a borderline-late event
         # touching stale state (last_ts + gap <= watermark) would
@@ -327,8 +334,11 @@ def geofence_transitions(
     hits = streaming_geofence(
         pts, polygons, point_id, lat, lng, extras=[ts_col, entity_col]
     )
+    # the entity column keeps its REAL input type (a string device_id
+    # must not be silently declared long in the streaming state schema)
+    etype = points.schema[entity_col].dataType.simpleString()
     out_schema = (
-        f"{entity_col} long, feature_id string, enter_ms long, exit_ms long, "
+        f"{entity_col} {etype}, feature_id string, enter_ms long, exit_ms long, "
         "n_samples long"
     )
 
@@ -385,7 +395,12 @@ def geofence_transitions(
                 closed.append(cur)
                 cur = (t, t, 1)
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # min() on enter: cross-batch out-of-order samples within
+                # the watermark may precede the open episode's first
+                # sample; the batch islands sort globally, so enter_ms
+                # must absorb them (t < enter - gap cannot occur -- the
+                # watermark delay equals the gap)
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         state.update(cur)
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(cur[1] + gap_ms, wm + 1, 1))

@@ -595,17 +595,28 @@ def test_zorder_bits_density_parameterization(spark, tmp_path):
     ).collect()
     assert [r["z"] for r in a] == [r["z"] for r in b]
 
-    # (b) suggestion: ~400 distinct hours -> ceil(log2(401))+1 = 10
-    sb, tb = cover_ops.suggest_zorder_bits(pts(1200), "ts")
+    # (b) suggestion: 400-hour SPAN -> ceil(log2(span+1))+1 = 10, rebased
+    # at the table's min hour (span-based sizing: a sparse table spanning
+    # the same range gets the same bits, no aliasing)
+    sb, tb, h0 = cover_ops.suggest_zorder_bits(pts(1200), "ts")
     assert sb == 24 and 9 <= tb <= 11
+    assert 0 <= h0 - 1_600_000_000 // 3600 <= 2  # rebased at the table min
+    # a sparse table (one hour per week kept, ~3 distinct hours) keeps
+    # span-sized bits: distinct-count sizing would give ~3 bits and
+    # alias weeks-apart times onto one rank
+    sparse = pts(1200).filter(ckpt.F.col("ts") % (7 * 24 * 3600) < 3600)
+    _, tb_sparse, _ = cover_ops.suggest_zorder_bits(sparse, "ts")
+    assert tb_sparse >= 9  # sized by the surviving ~2-week span
 
-    # (c) asymmetric snapshot: layout carries the bits through the
+    # (c) asymmetric snapshot: layout carries bits + origin through the
     # lifecycle and pruning stays correct
     root = str(tmp_path / "zbits")
     m1 = ckpt.write_spacetime_snapshot(
-        pts(1500), root, ts="ts", n_files=6, space_bits=sb, time_bits=tb
+        pts(1500), root, ts="ts", n_files=6,
+        space_bits=sb, time_bits=tb, time_origin_h=h0,
     )
     assert m1.layout["space_bits"] == sb and m1.layout["time_bits"] == tb
+    assert m1.layout["time_origin_h"] == h0
     assert ckpt.overlap_fraction(m1) == 0.0
     m2 = ckpt.append_clustered_snapshot(pts(1500, start=1500), root, n_files=6)
     assert m2.layout["space_bits"] == sb and m2.layout["time_bits"] == tb
