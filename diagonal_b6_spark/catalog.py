@@ -3826,8 +3826,15 @@ WHERE CAST(floor(gx / {w}.0) AS BIGINT) BETWEEN {RASTER_TX[0]} AND {RASTER_TX[1]
 
 
 def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect-areas with boolean-union semantics (rows-only; union fold
-    pinned against closed forms in tests/test_clip.py)."""
+    """collect-areas with boolean-union semantics.  Value-checked since
+    r5 on this fixture set: the four input areas are pairwise DISJOINT,
+    so the union fold's contract is exact pass-through -- one piece per
+    input in fold order, outer-ring vertex counts preserved, areas
+    hole-netted -- all of which the oracle computes independently via
+    planar shoelace over the inline fixture rings.  The OVERLAPPING
+    union path is value-checked by collect_areas_rect (inclusion-
+    exclusion + overlap-graph oracle) and the kernel itself stays pinned
+    against closed forms in tests/test_clip.py."""
     areas = fixtures.features_table(spark).filter(
         (F.col("feature_type") == "area") & (F.col("feature_id") != "area/test/4")
     )
@@ -3837,6 +3844,30 @@ def q_collect_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").alias("n_vertices"),
         F.round(F.col("area_deg2") * 1e10, 3).alias("area_e10_deg2"),
     )
+
+
+def sql_collect_areas() -> str:
+    # planar shoelace of each OUTER ring (kernels/clip.ring_area; the
+    # collect-areas surface emits outer-ring pieces -- hole rings are
+    # not part of this projection); piece order = fold order = feature
+    # order
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+pairs AS (
+  SELECT a.fid, a.x * b.y - b.x * a.y AS term, a.n
+  FROM rv a JOIN rv b
+    ON b.fid = a.fid AND b.ring = 0 AND b.k = (a.k + 1) % a.n
+  WHERE a.ftype = 'area' AND a.fid <> 'area/test/4' AND a.ring = 0
+),
+feat AS (
+  SELECT fid, abs(sum(term) / 2.0) AS area, any_value(n) AS n_outer
+  FROM pairs GROUP BY fid
+)
+SELECT CAST(row_number() OVER (ORDER BY fid) - 1 AS INT) AS piece_idx,
+       CAST(n_outer AS INT) AS n_vertices,
+       round(area * 1e10, 3) AS area_e10_deg2
+FROM feat
+"""
 
 
 def q_debug_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7383,6 +7414,7 @@ ORACLES: dict[str, str] = {
     "debug_tokens": sql_debug_tokens(),
     "geo_s2_cells": sql_geo_s2_cells(),
     "geo_s2_covering_rings": sql_geo_s2_covering_rings(),
+    "collect_areas": sql_collect_areas(),
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
     "doc_repetition": sql_doc_repetition(),
@@ -7438,9 +7470,8 @@ ORACLES: dict[str, str] = {
     "skew_stats": sql_skew_stats(),
     "tile_pyramid_incremental": sql_tile_pyramid_incremental(),
     # rows-only (non-SQL-expressible kernels, each pinned by closed-form
-    # local tests and flanked by an oracle-backed family sibling; all
-    # PAST the 50-key gate since r5): geo_convex_hull (float full-cloud
-    # hull), geo_clip (float window clip), collect_areas (float union
-    # fold) -- debug_tokens and geo_s2_cells gained full oracles in r5
-    # via the sql_cellmath Hilbert machinery
+    # local tests and flanked by an oracle-backed family sibling; both
+    # PAST the 50-key gate): geo_convex_hull (float full-cloud hull),
+    # geo_clip (float window clip).  debug_tokens, geo_s2_cells and
+    # collect_areas all gained full oracles in r5.
 }
