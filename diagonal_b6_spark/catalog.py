@@ -3268,12 +3268,22 @@ SELECT id_a, seg_a, id_b, seg_b, round(ix, 9) AS ix, round(iy, 9) AS iy FROM hit
 """
 
 
+_CLIP_KY = 600.0 / 111195.0
+_CLIP_KX = 600.0 / (111195.0 * 0.622514)  # cos(51.53 deg)
+
+
 def q_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Foster-clip fixture areas against a 500 m window over the dense
-    cluster (rows-only; kernel pinned against closed forms in
-    tests/test_clip.py)."""
-    ky = 600.0 / 111195.0
-    kx = 600.0 / (111195.0 * 0.622514)  # cos(51.53 deg)
+    """Foster-clip fixture areas against a 600 m window over the dense
+    cluster.  Value-checked since r5: on THIS fixture/window geometry
+    every window-intersecting subject ring happens to be an exact
+    axis-aligned rectangle (the concave and triangle features lie
+    wholly outside), so each output piece is the closed-form bbox
+    overlap -- and the oracle VERIFIES those preconditions itself,
+    raising loudly if a fixture change ever puts a non-rectangular or
+    hole ring into the window (general concave output is value-checked
+    by geo_clip_general; the kernel stays pinned in tests/test_clip.py)."""
+    ky = _CLIP_KY
+    kx = _CLIP_KX
     wx = [-0.133 - kx, -0.133 + kx, -0.133 + kx, -0.133 - kx]
     wy = [51.533 - ky, 51.533 - ky, 51.533 + ky, 51.533 + ky]
     areas = fixtures.features_table(spark).filter(
@@ -3285,6 +3295,42 @@ def q_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").alias("n_vertices"),
         F.round(F.col("area_deg2") * 1e10, 3).alias("area_e10_deg2"),
     )
+
+
+def sql_geo_clip() -> str:
+    wx1, wx2 = -0.133 - _CLIP_KX, -0.133 + _CLIP_KX
+    wy1, wy2 = 51.533 - _CLIP_KY, 51.533 + _CLIP_KY
+    return f"""
+WITH {_RING_CTES.format(values=_feature_ring_vertices_values())},
+verts AS (
+  -- per-vertex bbox-corner test (a ring is an exact axis-aligned
+  -- rectangle iff every vertex sits on a bbox corner and n = 4)
+  SELECT fid, ring, n, x, y,
+         min(x) OVER w AS bx0, max(x) OVER w AS bx1,
+         min(y) OVER w AS by0, max(y) OVER w AS by1
+  FROM rv WHERE ftype = 'area' AND fid <> 'area/test/4'
+  WINDOW w AS (PARTITION BY fid, ring)
+),
+rings AS (
+  SELECT fid, ring, any_value(bx0) AS x0, any_value(bx1) AS x1,
+         any_value(by0) AS y0, any_value(by1) AS y1, any_value(n) AS n,
+         bool_and((x = bx0 OR x = bx1) AND (y = by0 OR y = by1)) AS is_rect
+  FROM verts GROUP BY fid, ring
+),
+ov AS (
+  SELECT *, GREATEST(x0, {wx1!r}) AS ox1, LEAST(x1, {wx2!r}) AS ox2,
+            GREATEST(y0, {wy1!r}) AS oy1, LEAST(y1, {wy2!r}) AS oy2
+  FROM rings
+),
+hit AS (SELECT * FROM ov WHERE ox2 > ox1 AND oy2 > oy1)
+SELECT fid AS feature_id, 0 AS piece_idx, false AS hole,
+       CASE WHEN NOT is_rect OR n <> 4 OR ring <> 0
+            THEN error('geo_clip oracle: non-rectangular or hole ring '
+                       || fid || ' intersects the window -- closed form invalid')
+            ELSE 4 END AS n_vertices,
+       round((ox2 - ox1) * (oy2 - oy1) * 1e10, 3) AS area_e10_deg2
+FROM hit
+"""
 
 
 # Dyadic lattice for the rect-subclass boolean-op oracles: every
@@ -7415,6 +7461,7 @@ ORACLES: dict[str, str] = {
     "geo_s2_cells": sql_geo_s2_cells(),
     "geo_s2_covering_rings": sql_geo_s2_covering_rings(),
     "collect_areas": sql_collect_areas(),
+    "geo_clip": sql_geo_clip(),
     "histogram_b6": sql_histogram_b6(),
     "render_rules": sql_render_rules(),
     "doc_repetition": sql_doc_repetition(),
@@ -7469,9 +7516,8 @@ ORACLES: dict[str, str] = {
     "geo_quadkey": sql_geo_quadkey(),
     "skew_stats": sql_skew_stats(),
     "tile_pyramid_incremental": sql_tile_pyramid_incremental(),
-    # rows-only (non-SQL-expressible kernels, each pinned by closed-form
-    # local tests and flanked by an oracle-backed family sibling; both
-    # PAST the 50-key gate): geo_convex_hull (float full-cloud hull),
-    # geo_clip (float window clip).  debug_tokens, geo_s2_cells and
-    # collect_areas all gained full oracles in r5.
+    # rows-only: geo_convex_hull only (float full-cloud hull, past the
+    # gate, pytest-pinned with the geo_hull_metrics/vertices oracle
+    # pair as siblings).  debug_tokens, geo_s2_cells, collect_areas and
+    # geo_clip all gained full oracles in r5.
 }
