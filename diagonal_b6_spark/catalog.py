@@ -1342,8 +1342,17 @@ FROM allcells
 
 
 def q_geo_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hull of the events point cloud (rows-only; hull kernel pinned in
-    pytest; two-stage partial-hull plan)."""
+    """Hull of the FULL float event cloud (two-stage partial-hull plan).
+    Deliberately rows-only: the generated coordinates are an affine
+    image of an integer lattice, so exactly-collinear hull triples are
+    COMMON, and at those triples float cross products round to ~1e-20
+    where the monotone-chain kernel and an independent edge-
+    characterization oracle legitimately disagree on which collinear
+    endpoint to keep (an r5 attempt confirmed one flipped vertex per
+    ~1k points).  The hull family is value-checked on the exact integer
+    lattice instead (geo_hull_vertices membership + geo_hull_metrics
+    edge sums, both in the driver gate), where the same predicate is
+    exact in both engines."""
     pts = _events_points(spark, sf_dir)
     return geo_fn.convex_hull_agg(pts).select(
         F.round("lat", 9).alias("lat"), F.round("lng", 9).alias("lng")
@@ -7516,8 +7525,11 @@ ORACLES: dict[str, str] = {
     "geo_quadkey": sql_geo_quadkey(),
     "skew_stats": sql_skew_stats(),
     "tile_pyramid_incremental": sql_tile_pyramid_incremental(),
-    # rows-only: geo_convex_hull only (float full-cloud hull, past the
-    # gate, pytest-pinned with the geo_hull_metrics/vertices oracle
-    # pair as siblings).  debug_tokens, geo_s2_cells, collect_areas and
-    # geo_clip all gained full oracles in r5.
+    # rows-only: geo_convex_hull only -- the float full-cloud hull is
+    # provably un-oracle-able on this data (lattice-affine coordinates
+    # make collinear triples common; see its docstring), and the hull
+    # family is value-checked on the exact lattice instead
+    # (geo_hull_vertices + geo_hull_metrics, both in the gate).
+    # debug_tokens, geo_s2_cells, collect_areas and geo_clip all gained
+    # full oracles in r5.
 }
